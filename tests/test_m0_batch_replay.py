@@ -1,0 +1,142 @@
+"""M0 — minimum end-to-end slice (SURVEY.md §7.2):
+
+generate a deterministic oplog → collapse per key → apply as one
+batch-MERGE into a LakeTable → verify against the single-threaded
+pandas replay oracle under token-array equality.
+
+Reference analogues: TestSync end-to-end semantics
+(/root/reference/msync/msync_test.go:72-126) and compare-dbs diff.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from yadex_spark.lake.table import LakeTable
+from yadex_spark.operators.collapse import batch_stats, collapse, split_drops
+from yadex_spark.oracle import replay, state_to_pdf
+from yadex_spark.schema import oplog_schema
+from yadex_spark.sources.genlog import gen_oplog
+from yadex_spark.verify import assert_equal_state, diff_counts
+
+N_EVENTS = 10_000
+N_DOCS = 2_000
+
+
+@pytest.fixture(scope="module")
+def oplog(spark):
+    df = gen_oplog(spark, N_EVENTS, N_DOCS, seed=42)
+    df.cache().count()
+    return df
+
+
+def test_generator_deterministic_and_typed(spark, oplog):
+    # compare types (nullability flags differ for generated columns)
+    assert oplog.schema.simpleString() == oplog_schema().simpleString()
+    again = gen_oplog(spark, N_EVENTS, N_DOCS, seed=42)
+    assert oplog.exceptAll(again).count() == 0
+    assert again.exceptAll(oplog).count() == 0
+    ops = dict(oplog.groupBy("op").count().collect())
+    # FIXTURES.md mix: ~55% insert, ~30% update/replace, ~15% delete
+    assert 0.45 < ops["insert"] / N_EVENTS < 0.65
+    assert ops["delete"] / N_EVENTS > 0.10
+
+
+def test_generator_skew_exists(oplog):
+    top = (
+        oplog.groupBy("doc_id").count().orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    # log-uniform law: hottest key gets far more than uniform share
+    assert top["count"] > 10 * (N_EVENTS / N_DOCS)
+
+
+def test_collapse_agg_matches_arrow(spark, oplog):
+    a = collapse(oplog.where("op != 'drop'"), impl="agg")
+    b = collapse(oplog.where("op != 'drop'"), impl="arrow", n_salt=4)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+
+
+def test_collapse_is_one_row_per_key(oplog):
+    c = collapse(oplog.where("op != 'drop'"))
+    dup = c.groupBy("table", "doc_id").count().where("count > 1").count()
+    assert dup == 0
+
+
+def test_batch_replay_matches_oracle(spark, tmp_path, oplog):
+    live, truncs = split_drops(oplog)
+    collapsed = collapse(live).where(F.col("doc_id").isNotNull())
+
+    tbl = LakeTable(spark, str(tmp_path / "seqs"))
+    batch = collapsed.where(F.col("table") == "seqs").drop("table")
+    assert tbl.commit_delta(batch, batch_id="b0") == 1
+    actual = tbl.read().select("doc_id", "after.*")
+
+    expected_pdf = state_to_pdf(replay(oplog.toPandas()), "seqs")
+    expected = spark.createDataFrame(
+        expected_pdf, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    assert_equal_state(expected, actual)
+
+
+def test_idempotent_recommit(spark, tmp_path, oplog):
+    live, _ = split_drops(oplog)
+    batch = collapse(live).where("table = 'seqs'").drop("table")
+    tbl = LakeTable(spark, str(tmp_path / "seqs2"))
+    v1 = tbl.commit_delta(batch, batch_id="epoch-0")
+    v2 = tbl.commit_delta(batch, batch_id="epoch-0")  # replayed epoch
+    assert v1 == 1 and v2 is None
+    assert tbl.latest_version() == 1
+
+
+def test_drop_barrier(spark, tmp_path):
+    """A 'drop' kills all prior state for its table; later events apply
+    (reference: buffer discard + collection drop, msync/input.go:113-123)."""
+    drop_seq = 6_000
+    oplog = gen_oplog(spark, N_EVENTS, N_DOCS, seed=43, drop_at=(drop_seq,))
+    live, truncs = split_drops(oplog)
+    assert truncs.count() == 1
+
+    tbl = LakeTable(spark, str(tmp_path / "seqs3"))
+    tbl.commit_truncate(batch_id="b0-trunc")
+    batch = collapse(live).where("table = 'seqs'").drop("table")
+    tbl.commit_delta(batch, batch_id="b0")
+    actual = tbl.read().select("doc_id", "after.*")
+
+    expected_pdf = state_to_pdf(replay(oplog.toPandas()), "seqs")
+    expected = spark.createDataFrame(
+        expected_pdf, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    assert_equal_state(expected, actual)
+
+
+def test_compaction_preserves_state(spark, tmp_path, oplog):
+    """Split the oplog into 4 sequential batches, compact mid-way; final
+    state identical to single-batch apply."""
+    live, _ = split_drops(oplog)
+    live = live.where("table = 'seqs'")
+    tbl = LakeTable(spark, str(tmp_path / "seqs4"))
+    span = N_EVENTS // 4
+    for i in range(4):
+        part = live.where((F.col("op_seq") >= i * span) & (F.col("op_seq") < (i + 1) * span))
+        tbl.commit_delta(collapse(part).drop("table"), batch_id=f"e{i}")
+        if i == 1:
+            tbl.compact()
+    actual = tbl.read().select("doc_id", "after.*")
+
+    ref = LakeTable(spark, str(tmp_path / "seqs4ref"))
+    ref.commit_delta(collapse(live).drop("table"), batch_id="all")
+    expected = ref.read().select("doc_id", "after.*")
+    assert_equal_state(expected, actual)
+    assert diff_counts(expected, actual)["equal"] == expected.count()
+
+
+def test_lineage_stats(oplog):
+    stats = batch_stats(oplog.where("op != 'drop'"))
+    agg = stats.agg(
+        F.sum("n_insert"), F.sum("n_update"), F.sum("n_delete"), F.min("offset_lo"), F.max("offset_hi")
+    ).collect()[0]
+    assert agg[0] + agg[1] + agg[2] == N_EVENTS
+    assert agg[3] == 0 and agg[4] == N_EVENTS - 1

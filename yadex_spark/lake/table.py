@@ -1,0 +1,234 @@
+"""LakeTable — a from-scratch versioned upsert table (Iceberg-semantics sink).
+
+No Iceberg/Delta jars ship in this environment, so the sink the
+north_rule asks for (exactly-once MERGE upserts, schema evolution,
+snapshot isolation, resumable commits) is implemented from scratch on
+parquet + JSON manifests.  The design deliberately mirrors Iceberg's
+**merge-on-read** (MOR) v2 tables so the engine drops onto real Iceberg
+unchanged in semantics (swap ``commit_delta`` for ``MERGE INTO`` — the
+plan shape is identical):
+
+Layout::
+
+    <dir>/_meta/v00000001.json      one manifest per snapshot version
+    <dir>/data/s00000001/*.parquet  data files of that snapshot
+
+- **append**   snapshot-load rows (initial clone, SURVEY.md I2)
+- **delta**    one collapsed CDC micro-batch: upserts + delete
+               tombstones, each row carrying ``_seq`` (terminal op_seq)
+               and ``_deleted``; O(batch) write cost — never rewrites
+               the table (this is what keeps 10^10-event ingest linear)
+- **truncate** collection-drop barrier (/root/reference/msync/input.go:113-123)
+- **compact**  materializes current state into fresh base files;
+               bounds read amplification (like Iceberg compaction)
+
+Reads reconstruct current state with ONE hash aggregate:
+``groupBy(doc_id).agg(max_by(row, (_seq, _v)))`` then drop tombstones —
+map-side partial aggregation keeps hot keys cheap (same argument as the
+collapse operator).  Snapshot isolation: ``read(version=...)`` sees
+exactly the files of that snapshot chain.
+
+Exactly-once: every commit records its ``batch_id``; committing an
+already-seen batch_id is a no-op (returns the existing version), so a
+replayed ``foreachBatch`` epoch after a crash cannot double-apply —
+this is the fix for the reference's leaky bookmark-advance-on-error
+(/root/reference/msync/bulkwrite.go:96-110, SURVEY.md §2.1).  Manifest
+files are created with O_EXCL + atomic rename, so two racing writers
+cannot both claim a version (optimistic concurrency, as Iceberg).
+
+Schema evolution: each manifest records its schema; reads use parquet
+``mergeSchema`` so a column added mid-stream (FIXTURES.md §4) appears
+with nulls for older rows — the analogue of BSON shape tolerance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+META = "_meta"
+DATA = "data"
+
+#: hidden columns carried by every stored row
+SEQ_COL = "_seq"       # op_seq of the terminal event (-1 for snapshot loads)
+DELETED_COL = "_deleted"
+VERSION_COL = "_v"     # injected at read time, tiebreak across snapshots
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    action: str  # append | delta | truncate | compact
+    batch_id: str | None
+    schema_ddl: str
+    n_rows: int
+    files_dir: str | None
+    committed_at: float
+
+
+class LakeTable:
+    """One logical upsert table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(os.path.join(path, META), exist_ok=True)
+        os.makedirs(os.path.join(path, DATA), exist_ok=True)
+
+    # ---------- manifest plumbing ----------
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        meta_dir = os.path.join(self.path, META)
+        for name in sorted(os.listdir(meta_dir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            with open(os.path.join(meta_dir, name)) as f:
+                m = json.load(f)
+            out.append(Snapshot(**m))
+        return out
+
+    def latest_version(self) -> int:
+        snaps = self.snapshots()
+        return snaps[-1].version if snaps else 0
+
+    def committed_batch_ids(self) -> set[str]:
+        return {s.batch_id for s in self.snapshots() if s.batch_id is not None}
+
+    def _commit_manifest(self, action: str, batch_id: str | None,
+                         schema_ddl: str, n_rows: int, files_dir: str | None) -> int:
+        """Atomically claim the next version (O_EXCL + rename)."""
+        meta_dir = os.path.join(self.path, META)
+        while True:
+            version = self.latest_version() + 1
+            manifest = dict(
+                version=version, action=action, batch_id=batch_id,
+                schema_ddl=schema_ddl, n_rows=n_rows, files_dir=files_dir,
+                committed_at=time.time(),
+            )
+            tmp = os.path.join(meta_dir, f".tmp-v{version:08d}-{os.getpid()}.json")
+            final = os.path.join(meta_dir, f"v{version:08d}.json")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            try:
+                # os.link fails with EEXIST if another writer claimed the
+                # version — optimistic concurrency, retry with next version
+                os.link(tmp, final)
+                os.unlink(tmp)
+                return version
+            except FileExistsError:
+                os.unlink(tmp)
+                continue
+
+    def _write_data(self, df: DataFrame, version_hint: int) -> tuple[str, int]:
+        rel = os.path.join(DATA, f"s{version_hint:08d}-{int(time.time() * 1000)}")
+        full = os.path.join(self.path, rel)
+        df.write.mode("overwrite").parquet(full)
+        n = self.spark.read.parquet(full).count()
+        return rel, n
+
+    # ---------- write paths ----------
+
+    def commit_append(self, df: DataFrame, batch_id: str | None = None) -> int | None:
+        """Snapshot load (initial clone).  Rows get _seq=-1, _deleted=false."""
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            return None
+        stored = df.withColumn(SEQ_COL, F.lit(-1).cast("long")).withColumn(
+            DELETED_COL, F.lit(False)
+        )
+        rel, n = self._write_data(stored, self.latest_version() + 1)
+        return self._commit_manifest("append", batch_id, _ddl(df), n, rel)
+
+    def commit_delta(self, collapsed: DataFrame, batch_id: str) -> int | None:
+        """Apply one collapsed micro-batch (the MERGE INTO equivalent).
+
+        ``collapsed`` must have ≤1 row per doc_id with columns
+        (doc_id, op, op_seq, <payload...>).  op=='delete' rows become
+        tombstones.  Idempotent by batch_id.
+        """
+        if batch_id in self.committed_batch_ids():
+            return None
+        payload_cols = [
+            c for c in collapsed.columns
+            if c not in ("op", "op_seq", "op_ts", "table", "doc_id")
+        ]
+        stored = collapsed.select(
+            "doc_id",
+            *payload_cols,
+            F.col("op_seq").cast("long").alias(SEQ_COL),
+            (F.col("op") == "delete").alias(DELETED_COL),
+        )
+        rel, n = self._write_data(stored, self.latest_version() + 1)
+        return self._commit_manifest("delta", batch_id, _ddl(collapsed.select("doc_id", *payload_cols)), n, rel)
+
+    def commit_truncate(self, batch_id: str | None = None) -> int | None:
+        """Collection-drop barrier: state before this version is dead."""
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            return None
+        return self._commit_manifest("truncate", batch_id, "", 0, None)
+
+    def compact(self, keep_tombstones: bool = False) -> int | None:
+        """Rewrite current state as a fresh base (bounds read amplification).
+
+        Tombstones are dropped by default: in-order delivery + batch-id
+        idempotence guarantee no *older* op for a key can arrive later,
+        so a tombstone older than the compaction is unreachable.
+        """
+        snaps = self._active_chain()
+        if not snaps:
+            return None
+        cur = self._materialize(snaps, keep_deleted=keep_tombstones)
+        rel, n = self._write_data(cur, self.latest_version() + 1)
+        ddl = _ddl(cur.drop(SEQ_COL, DELETED_COL))
+        return self._commit_manifest("compact", None, ddl, n, rel)
+
+    # ---------- read paths ----------
+
+    def _active_chain(self, version: int | None = None) -> list[Snapshot]:
+        snaps = [s for s in self.snapshots() if version is None or s.version <= version]
+        # start after the last truncate; a compact subsumes everything before it
+        start = 0
+        for i, s in enumerate(snaps):
+            if s.action == "truncate":
+                start = i + 1
+            elif s.action == "compact":
+                start = i
+        return [s for s in snaps[start:] if s.files_dir is not None]
+
+    def _materialize(self, snaps: list[Snapshot], keep_deleted: bool) -> DataFrame:
+        """Union all active files, LWW per key on (_seq, _v)."""
+        dfs = []
+        for s in snaps:
+            df = self.spark.read.parquet(os.path.join(self.path, s.files_dir))
+            dfs.append(df.withColumn(VERSION_COL, F.lit(s.version)))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)  # schema evolution
+        data_cols = [c for c in out.columns if c not in (SEQ_COL, DELETED_COL, VERSION_COL, "doc_id")]
+        lww = out.groupBy("doc_id").agg(
+            F.max(F.struct(SEQ_COL, VERSION_COL, DELETED_COL, *data_cols)).alias("m")
+        ).select(
+            "doc_id",
+            *[F.col(f"m.{c}").alias(c) for c in data_cols],
+            F.col(f"m.{SEQ_COL}").alias(SEQ_COL),
+            F.col(f"m.{DELETED_COL}").alias(DELETED_COL),
+        )
+        if not keep_deleted:
+            lww = lww.where(~F.col(DELETED_COL))
+        return lww
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current (or time-travel) state, hidden columns removed."""
+        snaps = self._active_chain(version)
+        if not snaps:
+            return self.spark.createDataFrame([], "doc_id string")
+        return self._materialize(snaps, keep_deleted=False).drop(SEQ_COL, DELETED_COL)
+
+
+def _ddl(df: DataFrame) -> str:
+    return df.schema.simpleString()

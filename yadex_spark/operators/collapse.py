@@ -1,0 +1,128 @@
+"""Per-micro-batch dedup + terminal-op collapse (SURVEY.md T1/T3).
+
+The reference preserves effect-order by applying every event one by one
+through ordered BulkWrites (/root/reference/msync/bulkwrite.go:91-96);
+a set-based MERGE cannot apply two ops for one key in one statement, so
+each micro-batch is collapsed to the *last* op per (table, doc_id) —
+final state is identical under last-writer-wins because update/replace
+carry the full post-image (ReplaceOne upsert,
+/root/reference/msync/oploggetters.go:99-104).
+
+Two implementations, same semantics:
+
+- ``impl="agg"`` (default): ``groupBy(table, doc_id).agg(max(struct(
+  op_ts, op_seq, …)))``.  This is the plan you want at 100 TB: Spark's
+  hash aggregate does **map-side partial aggregation**, so a hot doc_id
+  (skew) is pre-collapsed to one row per input partition *before* the
+  shuffle — the shuffle then carries ≤ num_partitions rows per key no
+  matter how hot the key is.  No window sort, no skew salting needed
+  for this stage (LWW-max is associative & commutative).
+
+- ``impl="arrow"``: salted two-phase grouped-map ``applyInPandas``
+  (vectorized Arrow, no per-row Python).  First phase groups on
+  (table, doc_id, salt) so a hot key is split across ``n_salt``
+  groups; second phase collapses the ≤ n_salt survivors.  Exists to
+  keep a general-purpose vectorized collapse surface for payloads
+  whose "merge" is not expressible as a struct-max (e.g. custom
+  conflict resolution), per BASELINE.json north_star.
+
+Drop barrier (T1 'drop' + B1 rule (c), /root/reference/msync/input.go:
+113-123): a collection drop discards everything before it for that
+table.  ``split_drops`` returns the surviving events plus a per-table
+truncate watermark the sink applies *before* merging the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: ordering key of the change feed — (clusterTime, resume-token order),
+#: /root/reference/msync/oploggetters.go:31-34,89-91
+ORDER_COLS = ("op_ts", "op_seq")
+
+
+def split_drops(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a batch into (non-drop events past the last drop barrier,
+    per-table truncate watermarks).
+
+    Returns ``(events', truncates)`` where ``truncates`` has columns
+    (table, trunc_ts, trunc_seq) — the max drop position per table.
+    Events for a table at or before its barrier are dead (the reference
+    discards the buffered batch when a drop arrives).
+    """
+    drops = events.where(F.col("op") == "drop")
+    truncates = drops.groupBy("table").agg(
+        F.max(F.struct(*ORDER_COLS)).alias("m")
+    ).select("table", F.col("m.op_ts").alias("trunc_ts"), F.col("m.op_seq").alias("trunc_seq"))
+
+    live = events.where(F.col("op") != "drop")
+    # anti-filter: drop events that precede the barrier for their table
+    live = (
+        live.join(F.broadcast(truncates), "table", "left")
+        .where(
+            F.col("trunc_seq").isNull()
+            | (F.struct(*ORDER_COLS) > F.struct(F.col("trunc_ts"), F.col("trunc_seq")))
+        )
+        .drop("trunc_ts", "trunc_seq")
+    )
+    return live, truncates
+
+
+def collapse(events: DataFrame, impl: str = "agg", n_salt: int = 16) -> DataFrame:
+    """Collapse to one terminal op per (table, doc_id).
+
+    Input:  oplog rows (op != 'drop', doc_id non-null).
+    Output: one row per key — (table, doc_id, op_ts, op_seq, op, after).
+    """
+    payload_cols = [c for c in events.columns if c not in ("table", "doc_id")]
+    if impl == "agg":
+        collapsed = events.groupBy("table", "doc_id").agg(
+            F.max(F.struct(*ORDER_COLS, *[c for c in payload_cols if c not in ORDER_COLS])).alias("m")
+        )
+        return collapsed.select("table", "doc_id", *[F.col(f"m.{c}") for c in payload_cols])
+    if impl == "arrow":
+        return _collapse_arrow(events, n_salt)
+    raise ValueError(f"unknown impl {impl!r}")
+
+
+def _collapse_arrow(events: DataFrame, n_salt: int) -> DataFrame:
+    """Salted two-phase grouped-map collapse (vectorized Arrow UDF)."""
+    schema = events.schema
+
+    def _last_per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        # vectorized: sort by ordering key, keep last row per key
+        pdf = pdf.sort_values(["op_ts", "op_seq"], kind="stable")
+        return pdf.groupby(["table", "doc_id"], as_index=False, sort=False).tail(1)
+
+    salted = events.withColumn(
+        "_salt", F.pmod(F.xxhash64("op_seq"), F.lit(n_salt)).cast("int")
+    )
+    phase1 = (
+        salted.groupBy("table", "doc_id", "_salt")
+        .applyInPandas(
+            lambda pdf: _last_per_key(pdf.drop(columns=["_salt"])), schema
+        )
+    )
+    phase2 = phase1.groupBy("table", "doc_id").applyInPandas(_last_per_key, schema)
+    order = ["table", "doc_id"] + [c for c in events.columns if c not in ("table", "doc_id")]
+    return phase2.select(*order)
+
+
+def batch_stats(events: DataFrame) -> DataFrame:
+    """Per-(table, partition) lineage inputs: offset range + op counts
+    (SURVEY.md C1/M1 — the north_rule's per-partition lineage)."""
+    return (
+        events.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("table", "partition_id")
+        .agg(
+            F.min("op_seq").alias("offset_lo"),
+            F.max("op_seq").alias("offset_hi"),
+            F.sum(F.when(F.col("op") == "insert", 1).otherwise(0)).alias("n_insert"),
+            F.sum(F.when(F.col("op").isin("update", "replace"), 1).otherwise(0)).alias("n_update"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_delete"),
+        )
+    )

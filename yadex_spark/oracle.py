@@ -1,0 +1,66 @@
+"""Single-threaded replay oracle — the reference semantics, literally.
+
+Applies an oplog to a per-table dict keyed by doc_id, one event at a
+time in (op_ts, op_seq) order, exactly as the reference's receiver ends
+up after yadex replays the change stream
+(/root/reference/msync/oploggetters.go:94-112: insert/update/replace →
+set post-image, delete → remove; /root/reference/msync/input.go:113-123:
+drop → clear table).  This is the ground truth every distributed path
+is verified against (the analogue of running the real yadex pair and
+then /root/reference/cmd/compare-dbs.go).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def replay(oplog_pdf: pd.DataFrame, expiry_ms: int | None = None) -> dict[str, dict[str, dict]]:
+    """Replay events; returns {table: {doc_id: payload_dict}}.
+
+    ``expiry_ms``: if set, RT-tier lossy semantics — an event whose
+    op_ts lags the max op_ts seen so far by more than the window is
+    dropped (/root/reference/msync/bulkwrite.go:60-63, README.md:33-36).
+    """
+    df = oplog_pdf.sort_values(["op_ts", "op_seq"], kind="stable")
+    state: dict[str, dict[str, dict]] = {}
+    max_ts = None
+    payload_cols = [c for c in df.columns if c not in ("op_seq", "op_ts", "op", "table", "doc_id")]
+    assert payload_cols == ["after"], f"unexpected oplog columns: {df.columns}"
+    for row in df.itertuples(index=False):
+        op = row.op
+        table = row.table
+        if max_ts is None or row.op_ts > max_ts:
+            max_ts = row.op_ts
+        if expiry_ms is not None and (max_ts - row.op_ts).total_seconds() * 1000 > expiry_ms:
+            continue  # expired — lossy RT tier drops it
+        if op == "drop":
+            state.pop(table, None)
+            continue
+        if table is None or row.doc_id is None:
+            continue  # namespace filter F1
+        tbl = state.setdefault(table, {})
+        if op == "delete":
+            tbl.pop(row.doc_id, None)
+        elif op in ("insert", "update", "replace"):
+            after = row.after
+            if isinstance(after, dict):
+                payload = dict(after)
+            else:  # Row or tuple-like
+                payload = after.asDict(recursive=True) if hasattr(after, "asDict") else dict(after)
+            tbl[row.doc_id] = payload
+    return state
+
+
+def state_to_pdf(state: dict[str, dict], table: str = "seqs") -> pd.DataFrame:
+    """Flatten one table's dict state to a pandas frame (doc_id + payload)."""
+    rows = []
+    for doc_id, payload in state.get(table, {}).items():
+        r = {"doc_id": doc_id}
+        r.update(payload)
+        if r.get("tokens") is not None:
+            r["tokens"] = [int(t) for t in r["tokens"]]
+        rows.append(r)
+    if not rows:
+        return pd.DataFrame(columns=["doc_id", "tokens", "n_tok", "source"])
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)

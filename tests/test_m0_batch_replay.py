@@ -72,7 +72,7 @@ def test_batch_replay_matches_oracle(spark, tmp_path, oplog):
     tbl = LakeTable(spark, str(tmp_path / "seqs"))
     batch = collapsed.where(F.col("table") == "seqs").drop("table")
     assert tbl.commit_delta(batch, batch_id="b0") == 1
-    actual = tbl.read().select("doc_id", "after.*")
+    actual = tbl.read()
 
     expected_pdf = state_to_pdf(replay(oplog.toPandas()), "seqs")
     expected = spark.createDataFrame(
@@ -103,7 +103,7 @@ def test_drop_barrier(spark, tmp_path):
     tbl.commit_truncate(batch_id="b0-trunc")
     batch = collapse(live).where("table = 'seqs'").drop("table")
     tbl.commit_delta(batch, batch_id="b0")
-    actual = tbl.read().select("doc_id", "after.*")
+    actual = tbl.read()
 
     expected_pdf = state_to_pdf(replay(oplog.toPandas()), "seqs")
     expected = spark.createDataFrame(
@@ -124,11 +124,11 @@ def test_compaction_preserves_state(spark, tmp_path, oplog):
         tbl.commit_delta(collapse(part).drop("table"), batch_id=f"e{i}")
         if i == 1:
             tbl.compact()
-    actual = tbl.read().select("doc_id", "after.*")
+    actual = tbl.read()
 
     ref = LakeTable(spark, str(tmp_path / "seqs4ref"))
     ref.commit_delta(collapse(live).drop("table"), batch_id="all")
-    expected = ref.read().select("doc_id", "after.*")
+    expected = ref.read()
     assert_equal_state(expected, actual)
     assert diff_counts(expected, actual)["equal"] == expected.count()
 

@@ -57,7 +57,7 @@ def test_streamed_replay_matches_oracle(spark, tmp_path, feed):
     oplog, path = feed
     pipe = _pipe(spark, tmp_path, path, compact_every=3)
     pipe.run_available_now()
-    actual = pipe.table("seqs").read().select("doc_id", "after.*")
+    actual = pipe.table("seqs").read()
     assert_equal_state(_expected(spark, oplog), actual)
     # lineage exists and covers the whole offset range
     lin = pipe.lineage()
@@ -89,7 +89,7 @@ def test_resume_from_checkpoint(spark, tmp_path):
     pipe2 = _pipe(spark, tmp_path, path)
     pipe2.run_available_now()
 
-    actual = pipe2.table("seqs").read().select("doc_id", "after.*")
+    actual = pipe2.table("seqs").read()
     assert_equal_state(_expected(spark, oplog), actual)
     # the resumed run committed new versions (processed the delta)...
     assert pipe2.table("seqs").latest_version() > v_after_first
@@ -119,7 +119,7 @@ def test_crash_replay_is_exactly_once(spark, tmp_path, feed):
     pipe2 = _pipe(spark, tmp_path, path)
     pipe2.run_available_now()
     assert pipe2.table("seqs").latest_version() == versions_before  # no new snapshot
-    actual = pipe2.table("seqs").read().select("doc_id", "after.*")
+    actual = pipe2.table("seqs").read()
     assert_equal_state(_expected(spark, oplog), actual)
 
 
@@ -136,7 +136,7 @@ def test_multi_table_routing_and_exclude(spark, tmp_path):
     pipe.run_available_now()
 
     for t in ("seqs", "seqs_rt"):
-        actual = pipe.table(t).read().select("doc_id", "after.*")
+        actual = pipe.table(t).read()
         assert_equal_state(_expected(spark, oplog, t), actual)
     assert not os.path.exists(str(tmp_path / "lake" / "skip_me" / "_meta")) or (
         pipe.table("skip_me").latest_version() == 0

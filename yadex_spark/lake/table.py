@@ -157,14 +157,19 @@ class LakeTable:
             c for c in collapsed.columns
             if c not in ("op", "op_seq", "op_ts", "table", "doc_id")
         ]
+        # store the post-image FLAT (after.* -> top-level columns): parquet
+        # column pruning then works per payload field, and schema evolution
+        # is plain top-level mergeSchema / unionByName
+        flat = [F.col("after.*")] if payload_cols == ["after"] else [F.col(c) for c in payload_cols]
         stored = collapsed.select(
             "doc_id",
-            *payload_cols,
+            *flat,
             F.col("op_seq").cast("long").alias(SEQ_COL),
             (F.col("op") == "delete").alias(DELETED_COL),
         )
         rel, n = self._write_data(stored, self.latest_version() + 1)
-        return self._commit_manifest("delta", batch_id, _ddl(collapsed.select("doc_id", *payload_cols)), n, rel)
+        ddl = _ddl(stored.drop(SEQ_COL, DELETED_COL))
+        return self._commit_manifest("delta", batch_id, ddl, n, rel)
 
     def commit_truncate(self, batch_id: str | None = None) -> int | None:
         """Collection-drop barrier: state before this version is dead."""

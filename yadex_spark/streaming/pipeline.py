@@ -82,10 +82,14 @@ class CdcPipeline:
         n_late = 0
         if self.expiry_ms is not None:
             # lossy RT semantics (msync/bulkwrite.go:60-63): an event whose
-            # op_ts lags the batch max by more than the window is expired
+            # op_ts lags the high-watermark by more than the window is
+            # expired.  The watermark is persistent (max op_ts ever seen),
+            # not batch-local — a late event alone in its own micro-batch
+            # must still be dropped.
             mx = batch.agg(F.max("op_ts")).first()[0]
-            if mx is not None:
-                late = F.col("op_ts") < F.lit(mx) - F.expr(f"INTERVAL {self.expiry_ms} MILLISECOND")
+            wm = self._advance_watermark(mx)
+            if wm is not None:
+                late = F.col("op_ts") < F.lit(wm) - F.expr(f"INTERVAL {self.expiry_ms} MILLISECOND")
                 n_late = batch.where(late).count()
                 batch = batch.where(~late)
 
@@ -118,6 +122,26 @@ class CdcPipeline:
             self._write_lineage(spark, epoch_id, lineage_rows)
         finally:
             collapsed.unpersist()
+
+    def _advance_watermark(self, batch_max) -> object:
+        """Monotone persistent high-watermark over op_ts (idempotent:
+        re-running an epoch can only re-propose the same max)."""
+        import datetime as _dt
+        import json as _json
+
+        os.makedirs(self.lake_dir, exist_ok=True)
+        path = os.path.join(self.lake_dir, "_watermark.json")
+        stored = None
+        if os.path.exists(path):
+            with open(path) as f:
+                stored = _dt.datetime.fromisoformat(_json.load(f)["max_op_ts"])
+        best = max([t for t in (stored, batch_max) if t is not None], default=None)
+        if best is not None and best != stored:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump({"max_op_ts": best.isoformat()}, f)
+            os.replace(tmp, path)
+        return best
 
     def _write_lineage(self, spark: SparkSession, epoch_id: int, rows: list) -> None:
         """Per-partition lineage (north_rule).  Idempotent: epoch-keyed

@@ -20,8 +20,11 @@ def diff(expected: DataFrame, actual: DataFrame, key: str = "doc_id") -> DataFra
     ``status`` ∈ {equal, changed, added, removed} (added = only in
     ``actual``, removed = missing from ``actual``)."""
     payload = [c for c in expected.columns if c != key]
+    missing = [c for c in payload if c not in actual.columns]
+    if missing:
+        raise ValueError(f"actual is missing columns {missing}")
     l = expected.select(key, F.struct(*payload).alias("_l"))
-    r = actual.select(key, F.struct(*[c for c in actual.columns if c != key]).alias("_r"))
+    r = actual.select(key, F.struct(*payload).alias("_r"))
     j = l.join(r, key, "full_outer")
     status = (
         F.when(F.col("_l").isNull(), F.lit("added"))

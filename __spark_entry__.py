@@ -1,38 +1,732 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` re-expresses every operator family from SURVEY.md §2 as a
+deterministic query over the driver-provided tables, each paired with a
+DuckDB oracle in ``oracle_sql()``.  The CDC interpretation of the
+``events`` table: ``event_id`` = op_seq (resume-token order), ``ts`` =
+op_ts, ``user_id`` = doc_id, and op is derived from event_type
+(signup/purchase→insert, click→update, view→replace, error→delete) —
+mirroring /root/reference/msync/oploggetters.go:94-112.
+
+Column names are aliased identically on both sides; float aggregates go
+through DECIMAL so sums are order-independent and hash-identical.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+# event_type -> CDC op (T1 decode, oploggetters.go:94-112)
+_OP_CASE_SQL = (
+    "CASE event_type WHEN 'signup' THEN 'insert' WHEN 'purchase' THEN 'insert' "
+    "WHEN 'click' THEN 'update' WHEN 'view' THEN 'replace' "
+    "WHEN 'error' THEN 'delete' END"
+)
+
+
+def _op_col():
+    return (
+        F.when(F.col("event_type").isin("signup", "purchase"), "insert")
+        .when(F.col("event_type") == "click", "update")
+        .when(F.col("event_type") == "view", "replace")
+        .when(F.col("event_type") == "error", "delete")
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC operator queries (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+def q_cdc_lww_collapse(spark, sf):
+    """T3: per-key terminal-op collapse via map-side-combinable max
+    (one row per user_id, latest by (ts, event_id))."""
+    e = _t(spark, sf, "events")
+    m = e.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.col("m.ts").alias("last_ts"),
+        F.col("m.event_id").alias("last_event_id"),
+        F.col("m.event_type").alias("last_type"),
+        F.col("m.value").alias("last_value"),
+    )
+
+
+SQL_LWW = """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def q_cdc_final_state(spark, sf):
+    """T1+T3+W1: full replay final state — last op per key, deletes removed."""
+    e = _t(spark, sf, "events").withColumn("op", _op_col())
+    m = e.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "op", "value")).alias("m")
+    )
+    return (
+        m.where(F.col("m.op") != "delete")
+        .select(
+            "user_id",
+            F.col("m.ts").alias("last_ts"),
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.op").alias("op"),
+            F.col("m.value").alias("last_value"),
+        )
+    )
+
+
+SQL_FINAL_STATE = f"""
+SELECT user_id, ts AS last_ts, event_id AS last_event_id, op, value AS last_value
+FROM (SELECT user_id, ts, event_id, value, {_OP_CASE_SQL} AS op,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      FROM events) WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q_cdc_catchup_filter(spark, sf):
+    """F3/C3: resume bookmarks (max applied op_seq per stream, taken at
+    the half-way point) + catch-up filter skipping already-applied events."""
+    e = _t(spark, sf, "events")
+    half = e.agg(F.floor(F.max("event_id") / 2)).first()[0]
+    bm = (
+        e.where(F.col("event_id") <= half)
+        .groupBy("event_type")
+        .agg(F.max("event_id").alias("resume_id"))
+    )
+    return (
+        e.join(F.broadcast(bm), "event_type")
+        .where(F.col("event_id") > F.col("resume_id"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_after_resume"),
+            F.min("event_id").alias("first_replayed"),
+        )
+    )
+
+
+SQL_CATCHUP = """
+WITH half AS (SELECT CAST(floor(max(event_id)/2) AS BIGINT) h FROM events),
+bm AS (SELECT event_type, max(event_id) resume_id FROM events, half WHERE event_id <= h GROUP BY 1)
+SELECT e.event_type, count(*) AS n_after_resume, min(e.event_id) AS first_replayed
+FROM events e JOIN bm USING (event_type) WHERE e.event_id > bm.resume_id
+GROUP BY e.event_type
+"""
+
+
+def q_cdc_anti_join_clone(spark, sf):
+    """I1: existing-key anti-join — customers with no order yet (the
+    clone-dedup shape: copy only keys missing at the receiver)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return c.join(
+        o.select(F.col("o_custkey")), c.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+"""
+
+
+def q_cdc_full_outer_diff(spark, sf):
+    """V1: row-level diff of half-replay state vs full-replay state
+    (full_outer join + added/removed/changed/equal classification)."""
+    e = _t(spark, sf, "events").withColumn("op", _op_col())
+    half = e.agg(F.floor(F.max("event_id") / 2)).first()[0]
+
+    def state(df):
+        m = df.groupBy("user_id").agg(F.max(F.struct("ts", "event_id", "op")).alias("m"))
+        return m.where(F.col("m.op") != "delete").select(
+            "user_id", F.col("m.event_id").alias("last_event_id")
+        )
+
+    a = state(e.where(F.col("event_id") <= half)).withColumnRenamed("last_event_id", "a_id")
+    b = state(e).withColumnRenamed("last_event_id", "b_id")
+    j = a.join(b, "user_id", "full_outer")
+    status = (
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .when(F.col("a_id") != F.col("b_id"), "changed")
+        .otherwise("equal")
+    )
+    return j.select("user_id", status.alias("status"))
+
+
+SQL_DIFF = f"""
+WITH half AS (SELECT CAST(floor(max(event_id)/2) AS BIGINT) h FROM events),
+ops AS (SELECT user_id, ts, event_id, {_OP_CASE_SQL} AS op FROM events),
+a AS (SELECT user_id, event_id AS a_id FROM
+      (SELECT user_id, event_id, op, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+       FROM ops, half WHERE event_id <= h) WHERE rn=1 AND op <> 'delete'),
+b AS (SELECT user_id, event_id AS b_id FROM
+      (SELECT user_id, event_id, op, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+       FROM ops) WHERE rn=1 AND op <> 'delete')
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       CASE WHEN a.user_id IS NULL THEN 'added'
+            WHEN b.user_id IS NULL THEN 'removed'
+            WHEN a.a_id <> b.b_id THEN 'changed' ELSE 'equal' END AS status
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+"""
+
+
+def q_cdc_late_drop(spark, sf):
+    """W3: lossy-tier expiry — events whose ts lags the global max by
+    more than 15 days are dropped; count per type."""
+    e = _t(spark, sf, "events")
+    mx = e.agg(F.max("ts")).first()[0]
+    late = F.col("ts") < F.lit(mx) - F.expr("INTERVAL 15 DAYS")
+    return e.groupBy("event_type").agg(
+        F.sum(F.when(late, 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(~late, 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+SQL_LATE = """
+WITH mx AS (SELECT max(ts) m FROM events)
+SELECT event_type,
+       CAST(sum(CASE WHEN ts < m - INTERVAL 15 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN ts < m - INTERVAL 15 DAY THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+FROM events, mx GROUP BY event_type
+"""
+
+
+def q_cdc_batch_stats(spark, sf):
+    """C1/M1: per-micro-batch lineage — offset range + op-class counts
+    (batch = 1000 consecutive op_seqs)."""
+    e = _t(spark, sf, "events").withColumn("op", _op_col())
+    return (
+        e.groupBy(F.floor(F.col("event_id") / 1000).cast("long").alias("batch_id"))
+        .agg(
+            F.min("event_id").alias("offset_lo"),
+            F.max("event_id").alias("offset_hi"),
+            F.sum(F.when(F.col("op") == "insert", 1).otherwise(0)).alias("n_insert"),
+            F.sum(F.when(F.col("op").isin("update", "replace"), 1).otherwise(0)).alias("n_update"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_delete"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_BATCH_STATS = f"""
+SELECT CAST(floor(event_id/1000) AS BIGINT) AS batch_id,
+       min(event_id) AS offset_lo, max(event_id) AS offset_hi,
+       CAST(sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(sum(CASE WHEN op IN ('update','replace') THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+       count(*) AS n_events
+FROM (SELECT *, {_OP_CASE_SQL} AS op FROM events) GROUP BY 1
+"""
+
+
+def q_cdc_route_classify(spark, sf):
+    """F2: regex tier classification (RT = types matching ^(c|v),
+    ST = the rest) — match.go:22-69 semantics."""
+    e = _t(spark, sf, "events")
+    tier = F.when(F.col("event_type").rlike("^(c|v)"), "RT").otherwise("ST")
+    return e.groupBy(tier.alias("tier")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+SQL_ROUTE = """
+SELECT CASE WHEN regexp_matches(event_type, '^(c|v)') THEN 'RT' ELSE 'ST' END AS tier,
+       count(*) AS n_events, count(DISTINCT event_type) AS n_types
+FROM events GROUP BY 1
+"""
+
+
+def q_cdc_drop_barrier(spark, sf):
+    """B1 rule (c): collection-drop barrier — everything at or before the
+    marker event (last 'error' by user 7) is dead; count survivors."""
+    e = _t(spark, sf, "events")
+    barrier = e.where((F.col("event_type") == "error") & (F.col("user_id") == 7)).agg(
+        F.coalesce(F.max("event_id"), F.lit(-1))
+    ).first()[0]
+    return (
+        e.where(F.col("event_id") > barrier)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_after_barrier"))
+    )
+
+
+SQL_DROP_BARRIER = """
+WITH b AS (SELECT coalesce(max(event_id), -1) m FROM events WHERE event_type='error' AND user_id=7)
+SELECT event_type, count(*) AS n_after_barrier
+FROM events, b WHERE event_id > m GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Classic SQL surface (agg / join / window / sort)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,6)")
+    seg = c.groupBy("c_mktsegment").count().orderBy("c_mktsegment").first()[0]
+    j = (
+        c.where(F.col("c_mktsegment") == seg)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+SQL_Q3 = """
+WITH seg AS (SELECT min(c_mktsegment) s FROM customer)
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, seg
+WHERE c_mktsegment = s AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+def q_topk_orders_per_customer(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+SQL_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM
+ (SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+def q_events_sessionize(spark, sf):
+    """Sessionization: per user, a gap > 6 hours starts a new session."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = F.when(us - F.lag(us).over(w) > 6 * 3600 * 1_000_000, 1).otherwise(0)
+    sess = e.withColumn("new_sess", gap).withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 21600000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g)
+SELECT user_id, CAST(max(session_id) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+_SH3 = """
+words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') sh
+       FROM words, unnest(range(1, len(w)-1)) t(i))
+"""
+_SH5 = """
+words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4],' ') sh
+       FROM words, unnest(range(1, len(w)-3)) t(i))
+"""
+_QVEC = """
+p AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS DOUBLE)) q
+      FROM embeddings),
+pn AS (SELECT vec_id, q, list_dot_product(q, q) n2 FROM p)
+"""
+
+
+def q_dedup_exact(spark, sf):
+    from yadex_spark.operators.dedup import exact_dups
+
+    return exact_dups(_t(spark, sf, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    from yadex_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, pct_threshold=2)
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH {_SH3},
+sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter, sa.n_sh + sb.n_sh - n_inter AS n_union
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 50 * n_inter >= sa.n_sh + sb.n_sh - n_inter
+"""
+
+
+def q_dedup_minhash(spark, sf):
+    from yadex_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf, "documents"), k=8, n=3)
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_SH3}
+SELECT doc_id, {", ".join(f"min(md5('{i}|' || sh)) AS sig{i}" for i in range(8))}
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    from yadex_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), k=8, n=3)
+
+
+SQL_DEDUP_LSH = f"""
+WITH {_SH3},
+sigs AS (SELECT doc_id, {", ".join(f"min(md5('{i}|' || sh)) AS sig{i}" for i in range(8))}
+         FROM sh GROUP BY doc_id),
+bands AS ({" UNION ALL ".join(f"SELECT doc_id, {i} AS band, sig{i} AS sig FROM sigs" for i in range(8))})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(spark, sf):
+    from yadex_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf, "documents"), bits=16)
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+h AS (SELECT doc_id, md5(w) h FROM w),
+v AS (SELECT doc_id,
+      {", ".join(f"sum(CASE WHEN instr('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS v{j}" for j in range(16))}
+      FROM h GROUP BY doc_id)
+SELECT doc_id, concat({", ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(16))}) AS simhash
+FROM v
+"""
+
+
+def q_embed_cosine_topk(spark, sf):
+    from yadex_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf, "embeddings"), n_queries=8, k=10)
+
+
+SQL_EMBED_TOPK = f"""
+WITH {_QVEC},
+scored AS (SELECT a.vec_id query_id, b.vec_id neighbor_id,
+                  list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) cos
+           FROM pn a JOIN pn b ON a.vec_id < 8 AND b.vec_id >= 8)
+SELECT query_id, neighbor_id, rnk, cos FROM
+ (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
+  FROM scored) WHERE rnk <= 10
+"""
+
+
+def q_embed_near_dup(spark, sf):
+    from yadex_spark.operators.similarity import near_dup_pairs
+
+    return near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.45)
+
+
+SQL_EMBED_NEAR_DUP = f"""
+WITH {_QVEC}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) AS cos
+FROM pn a JOIN pn b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) >= 0.45
+"""
+
+
+def q_embed_ann_grid(spark, sf):
+    from yadex_spark.operators.similarity import ann_grid_topk
+
+    return ann_grid_topk(_t(spark, sf, "embeddings"), n_queries=8, k=3, cell=250)
+
+
+SQL_EMBED_ANN_GRID = f"""
+WITH {_QVEC},
+c AS (SELECT vec_id, q, n2,
+             CAST(floor(q[1]/250) AS BIGINT) cx, CAST(floor(q[2]/250) AS BIGINT) cy FROM pn),
+scored AS (SELECT a.vec_id query_id, b.vec_id neighbor_id,
+                  list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) cos
+           FROM c a JOIN c b ON a.cx = b.cx AND a.cy = b.cy AND a.vec_id < 8 AND b.vec_id >= 8)
+SELECT query_id, neighbor_id, rnk, cos FROM
+ (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
+  FROM scored) WHERE rnk <= 3
+"""
+
+
+def q_text_quality(spark, sf):
+    from yadex_spark.operators.text import quality
+
+    return quality(_t(spark, sf, "documents"))
+
+
+SQL_TEXT_QUALITY = """
+WITH t AS (SELECT doc_id, text, string_split(text,' ') w FROM documents),
+s AS (SELECT doc_id, text, CAST(len(w) AS BIGINT) n_words,
+             CAST(len(list_filter(w, x -> x IN ('the','a','of','and','in','to'))) AS BIGINT) n_stop
+      FROM t)
+SELECT doc_id, n_words, n_stop,
+       CAST(floor(10000 * n_stop / n_words) AS BIGINT) AS stop_bp,
+       CAST(floor(100 * length(text) / n_words) AS BIGINT) AS avg_wlen_c,
+       CAST(least(CAST(floor(n_words/2) AS BIGINT) + CAST(floor(10000 * n_stop / n_words) AS BIGINT) / 100, 100.0) AS DOUBLE) AS quality_score
+FROM s
+"""
+
+
+def q_text_langid(spark, sf):
+    from yadex_spark.operators.text import langid
+
+    return langid(_t(spark, sf, "documents"))
+
+
+SQL_TEXT_LANGID = """
+WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+s AS (SELECT doc_id,
+  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','in','to'))) AS BIGINT) en_hits,
+  CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) de_hits,
+  CAST(len(list_filter(w, x -> x IN ('le','la','les','et','est'))) AS BIGINT) fr_hits,
+  CAST(len(list_filter(w, x -> x IN ('el','los','las','y','es'))) AS BIGINT) es_hits
+ FROM t)
+SELECT doc_id,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+            WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+            WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS pred_lang,
+       en_hits, de_hits, fr_hits, es_hits
+FROM s
+"""
+
+
+def q_text_token_count(spark, sf):
+    from yadex_spark.operators.text import token_count
+
+    return token_count(_t(spark, sf, "documents"))
+
+
+SQL_TEXT_TOKENS = """
+SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(floor((length(text) + 3) / 4) AS BIGINT) AS n_tok_est
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf):
+    from yadex_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf, "documents"), n=5)
+
+
+SQL_TEXT_FINGERPRINT = f"""
+WITH {_SH5}
+SELECT doc_id, min(md5(sh)) AS fp_min, max(md5(sh)) AS fp_max, count(*) AS n_shingles
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_multimodal_decode(spark, sf):
+    from yadex_spark.operators.multimodal import decode_features, to_binary_assets
+
+    docs = _t(spark, sf, "documents")
+    return decode_features(to_binary_assets(docs)).withColumn(
+        "n_bytes", F.col("n_bytes").cast("long")
+    )
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS INT) AS feat0,
+       CAST(ascii(substr(text, 2, 1)) AS INT) AS feat1,
+       CAST(ascii(substr(text, 3, 1)) AS INT) AS feat2,
+       CAST(ascii(substr(text, 4, 1)) AS INT) AS feat3
+FROM documents
+"""
+
+
+def q_cdc_engine_replay(spark, sf):
+    """The REAL engine end-to-end under the correctness gate: derive an
+    oplog from events (op_seq=event_id, doc_id='u'||user_id, payload
+    tokens from value), collapse with the production operator, apply
+    through a LakeTable, read the committed state back."""
+    import tempfile
+
+    from yadex_spark.lake.table import LakeTable
+    from yadex_spark.operators.collapse import collapse
+
+    e = _t(spark, sf, "events").withColumn("op", _op_col())
+    oplog = e.select(
+        F.col("event_id").alias("op_seq"),
+        F.col("ts").cast("timestamp").alias("op_ts"),
+        "op",
+        F.lit("seqs").alias("table"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("doc_id"),
+        F.struct(
+            F.array(F.floor(F.col("value") * 100).cast("int")).alias("tokens"),
+            F.lit(1).alias("n_tok"),
+            F.col("event_type").alias("source"),
+        ).alias("after"),
+    )
+    tbl = LakeTable(spark, tempfile.mkdtemp(prefix="engine-replay-"))
+    tbl.commit_delta(collapse(oplog).drop("table"), batch_id="replay")
+    return tbl.read()
+
+
+SQL_ENGINE_REPLAY = f"""
+SELECT 'u' || CAST(user_id AS VARCHAR) AS doc_id,
+       [CAST(floor(value * 100) AS INT)] AS tokens,
+       1 AS n_tok, event_type AS source
+FROM (SELECT *, {_OP_CASE_SQL} AS op,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      FROM events)
+WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC final-state replay on sf0.001 (runs the same
+    collapse the streaming engine uses)."""
+    return q_cdc_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_lww_collapse": q_cdc_lww_collapse,
+        "cdc_final_state": q_cdc_final_state,
+        "cdc_catchup_filter": q_cdc_catchup_filter,
+        "cdc_anti_join_clone": q_cdc_anti_join_clone,
+        "cdc_full_outer_diff": q_cdc_full_outer_diff,
+        "cdc_late_drop": q_cdc_late_drop,
+        "cdc_batch_stats": q_cdc_batch_stats,
+        "cdc_route_classify": q_cdc_route_classify,
+        "cdc_drop_barrier": q_cdc_drop_barrier,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "events_sessionize": q_events_sessionize,
+        "cdc_engine_replay": q_cdc_engine_replay,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "embed_near_dup": q_embed_near_dup,
+        "embed_ann_grid": q_embed_ann_grid,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_token_count": q_text_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_lww_collapse": SQL_LWW,
+        "cdc_final_state": SQL_FINAL_STATE,
+        "cdc_catchup_filter": SQL_CATCHUP,
+        "cdc_anti_join_clone": SQL_ANTI,
+        "cdc_full_outer_diff": SQL_DIFF,
+        "cdc_late_drop": SQL_LATE,
+        "cdc_batch_stats": SQL_BATCH_STATS,
+        "cdc_route_classify": SQL_ROUTE,
+        "cdc_drop_barrier": SQL_DROP_BARRIER,
+        "tpch_q1": SQL_Q1,
+        "tpch_q3": SQL_Q3,
+        "topk_orders_per_customer": SQL_TOPK,
+        "events_sessionize": SQL_SESSIONIZE,
+        "cdc_engine_replay": SQL_ENGINE_REPLAY,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+        "dedup_minhash": SQL_DEDUP_MINHASH,
+        "dedup_minhash_lsh": SQL_DEDUP_LSH,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "embed_cosine_topk": SQL_EMBED_TOPK,
+        "embed_near_dup": SQL_EMBED_NEAR_DUP,
+        "embed_ann_grid": SQL_EMBED_ANN_GRID,
+        "text_quality": SQL_TEXT_QUALITY,
+        "text_langid": SQL_TEXT_LANGID,
+        "text_token_count": SQL_TEXT_TOKENS,
+        "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "multimodal_decode": SQL_MULTIMODAL,
+    }

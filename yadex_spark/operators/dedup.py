@@ -1,0 +1,138 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash + LSH banding, and
+SimHash — all as pure Spark SQL expressions (JVM-side, whole-stage
+codegen; no Python in the hot path).  Cross-engine determinism rules
+(so the DuckDB oracles match bit-for-bit):
+
+- hashes are md5 hex strings (identical in Spark and DuckDB);
+  MinHash "min over hash" is a *string* min — total order, portable
+- similarity thresholds are evaluated in integer arithmetic
+  (``50*inter >= union`` ≡ jaccard ≥ 0.02), never float
+- shingles are word n-grams over single-space ``split``
+
+Scale notes: the pair-join self-joins on the shingle/band column; at
+100 TB the join key is a hash with bounded per-key fan-out (bands) —
+the classic MinHash-LSH trick that replaces the O(n²) pair space with
+bucket-local candidates.  AQE's skew-join splitting covers hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def words_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles(words: Column, n: int) -> Column:
+    """Word n-grams (space-joined), empty array when the doc is shorter
+    than n words (guards Spark's descending sequence(1,0) trap)."""
+    seq = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.transform(seq, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh) — distinct word n-grams per document."""
+    return (
+        docs.select("doc_id", F.explode(shingles(words_col(F.col("text")), n)).alias("sh"))
+        .distinct()
+    )
+
+
+def exact_dups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: hash-groupBy on full text; canonical = min doc_id."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, pct_threshold: int = 2) -> DataFrame:
+    """Candidate near-dup pairs with n-gram Jaccard >= pct_threshold %,
+    computed entirely in integer arithmetic (n_inter, n_union exact)."""
+    sh = doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .where(F.lit(100 // pct_threshold) * F.col("n_inter") >= F.col("n_union"))
+    )
+    return out.select("doc_a", "doc_b", "n_inter", "n_union")
+
+
+def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3) -> DataFrame:
+    """k-permutation MinHash as k string-mins of seeded md5 over shingles."""
+    sh = doc_shingles(docs, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"sig{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 8, n: int = 3) -> DataFrame:
+    """LSH banding with 1-row bands: candidate pairs sharing ANY of the
+    k min-hashes (shingle→minhash→band→bucket-join)."""
+    sigs = minhash_signatures(docs, k, n)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("band"), F.col(f"sig{i}").alias("sig")) for i in range(k)])
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash over distinct words: bit j is the majority vote of md5
+    nibble j (>= 8) across words; emitted as a bit string."""
+    w = (
+        docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
+        .distinct()
+        .withColumn("h", F.md5("w"))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.expr(f"instr('{HEX}', substr(h, {j + 1}, 1)) - 1") >= 8, 1
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = w.groupBy("doc_id").agg(*votes)
+    bitstr = F.concat(
+        *[F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)]
+    )
+    return agg.select("doc_id", bitstr.alias("simhash"))

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, and a grid
+(IVF/LSH-style) bucketed variant as the scale path: cells bound the
+candidate set so the join is bucket-local instead of a full cross
+product — at 10^9 vectors the cross join is impossible, the grid join
+is a plain equi-join Catalyst can shuffle/broadcast as usual.
+
+Cross-engine determinism: embeddings are quantized to integer grids
+(round(x*1000)), so dot products and norms are EXACT integer sums
+(order-independent); the only floats are one IEEE-exact division and
+sqrt at the end — bit-identical in any engine.  All vector math is
+Spark SQL higher-order functions (zip_with/aggregate) — JVM-side, no
+Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantized(embedding: Column) -> Column:
+    """array<float> -> array<long> on a 1/1000 grid.  The cast to double
+    BEFORE the multiply matters: float*int stays float32 in some engines
+    and double in others; float->double is exact, so double math is the
+    portable path."""
+    return F.transform(embedding, lambda x: F.round(x.cast("double") * 1000).cast("long"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def _cosine(dot: Column, na2: Column, nb2: Column) -> Column:
+    return dot.cast("double") / F.sqrt(na2.cast("double") * nb2.cast("double"))
+
+
+def _prepared(emb: DataFrame) -> DataFrame:
+    q = quantized(F.col("embedding"))
+    return emb.select("vec_id", q.alias("q")).withColumn("n2", _dot(F.col("q"), F.col("q")))
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
+    """Exact top-k neighbors (by cosine) for each query vector
+    (vec_id < n_queries) over the rest of the corpus."""
+    p = _prepared(emb)
+    qs = p.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("n2").alias("na2")
+    )
+    cand = p.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), F.col("n2").alias("nb2")
+    )
+    scored = (
+        F.broadcast(qs)
+        .join(cand)
+        .withColumn("cos", _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cos")
+    )
+
+
+def near_dup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding-cosine near-dup)."""
+    p = _prepared(emb)
+    a = p.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("n2").alias("na2"))
+    b = p.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("n2").alias("nb2"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
+        "cos", _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2"))
+    )
+    return pairs.where(F.col("cos") >= threshold).select("vec_a", "vec_b", "cos")
+
+
+def ann_grid_topk(emb: DataFrame, n_queries: int = 8, k: int = 3, cell: int = 250) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's grid cell
+    (first two quantized dims // cell) — the bucket-local scale path."""
+    p = _prepared(emb).withColumn(
+        "cx", F.floor(F.element_at("q", 1) / cell)
+    ).withColumn("cy", F.floor(F.element_at("q", 2) / cell))
+    qs = p.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"),
+        F.col("n2").alias("na2"), "cx", "cy",
+    )
+    cand = p.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"), "cx", "cy",
+    )
+    scored = qs.join(cand, ["cx", "cy"]).withColumn(
+        "cos", _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cos")
+    )

@@ -1,0 +1,86 @@
+"""Text analysis operators (training-data pipeline): quality scoring,
+language ID, token counting, document fingerprinting.
+
+All pure Spark SQL expressions; integer arithmetic where a DuckDB
+oracle must match exactly (ratios reported in basis points via floor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yadex_spark.operators.dedup import shingles, words_col
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "in", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+
+def _hits(words, lang: str):
+    return F.size(F.filter(words, lambda x: x.isin(*STOPWORDS[lang]))).cast("long")
+
+
+def quality(docs: DataFrame) -> DataFrame:
+    """Length / stopword-ratio quality features + a floor-int score."""
+    w = words_col(F.col("text"))
+    n_words = F.size(w).cast("long")
+    n_stop = _hits(w, "en")
+    avg_wlen = F.floor(F.lit(100) * F.length("text") / n_words)  # centichars/word
+    stop_bp = F.floor(F.lit(10_000) * n_stop / n_words)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        stop_bp.alias("stop_bp"),
+        avg_wlen.alias("avg_wlen_c"),
+        F.least(
+            F.floor(n_words / 2) + F.floor(F.lit(10_000) * n_stop / n_words) / 100, F.lit(100.0)
+        ).cast("double").alias("quality_score"),
+    )
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """Stopword-list language ID with deterministic preference order."""
+    w = words_col(F.col("text"))
+    hits = {lang: _hits(w, lang) for lang in STOPWORDS}
+    pred = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]),
+            "en",
+        )
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]), "de")
+        .when(hits["fr"] >= hits["es"], "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        *[hits[lang].alias(f"{lang}_hits") for lang in STOPWORDS],
+    )
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish chars/4 estimate."""
+    w = words_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_ws_tokens"),
+        F.floor((F.length("text") + 3) / 4).alias("n_tok_est"),
+    )
+
+
+def fingerprint(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Rolling-hash-style document fingerprint: min/max md5 over word
+     5-grams + distinct-shingle count (docs shorter than n words drop)."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles(words_col(F.col("text")), n)).alias("sh")
+    ).distinct()
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("sh")).alias("fp_min"),
+        F.max(F.md5("sh")).alias("fp_max"),
+        F.count("*").alias("n_shingles"),
+    )

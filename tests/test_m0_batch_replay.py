@@ -52,11 +52,14 @@ def test_generator_skew_exists(oplog):
     assert top["count"] > 10 * (N_EVENTS / N_DOCS)
 
 
-def test_collapse_agg_matches_arrow(spark, oplog):
+def test_collapse_impls_agree(spark, oplog):
     a = collapse(oplog.where("op != 'drop'"), impl="agg")
     b = collapse(oplog.where("op != 'drop'"), impl="arrow", n_salt=4)
-    assert a.count() == b.count()
+    c = collapse(oplog.where("op != 'drop'"), impl="narrow")
+    assert a.count() == b.count() == c.count()
     assert a.exceptAll(b).count() == 0
+    assert a.exceptAll(c).count() == 0
+    assert c.exceptAll(a).count() == 0
 
 
 def test_collapse_is_one_row_per_key(oplog):

@@ -1,0 +1,148 @@
+"""Training-data operators + resume/bookmark views: python-crosschecked
+unit tests on tiny in-memory corpora (the full-scale oracle check runs
+through __spark_entry__/scripts/compare_oracle.py against DuckDB)."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "a completely different sentence with other words"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "tiny"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text, n):
+    w = text.split(" ")
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)} if len(w) >= n else set()
+
+
+def test_exact_dups(docs):
+    from yadex_spark.operators.dedup import exact_dups
+
+    rows = {r["canonical_doc_id"]: r["n_copies"] for r in exact_dups(docs).collect()}
+    assert rows[0] == 2  # docs 0 and 3
+    assert rows[1] == 1
+
+
+def test_ngram_jaccard_matches_python(docs):
+    from yadex_spark.operators.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"])
+        for r in ngram_jaccard_pairs(docs, n=3, pct_threshold=2).collect()
+    }
+    for a, b in itertools.combinations(range(5), 2):
+        sa, sb = _py_shingles(DOCS[a][1], 3), _py_shingles(DOCS[b][1], 3)
+        inter, union = len(sa & sb), len(sa | sb)
+        if inter and 50 * inter >= union:
+            assert got[(a, b)] == (inter, union)
+        else:
+            assert (a, b) not in got
+
+
+def test_minhash_identical_docs_share_all_sigs(docs):
+    from yadex_spark.operators.dedup import minhash_signatures
+
+    sigs = {r["doc_id"]: [r[f"sig{i}"] for i in range(8)] for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[3]          # exact dups: identical signature
+    assert sigs[0] != sigs[2]          # unrelated doc differs
+    # python crosscheck of one signature slot
+    exp = min(hashlib.md5(f"0|{s}".encode()).hexdigest() for s in _py_shingles(DOCS[0][1], 3))
+    assert sigs[0][0] == exp
+    assert 4 not in sigs               # <3 words -> no shingles -> no signature
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from yadex_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert (0, 3) in pairs             # exact dup always collides
+    assert (0, 1) in pairs             # near dup shares most shingles
+    assert (0, 2) not in pairs         # unrelated: no shared min-hash
+
+
+def test_simhash_shape(docs):
+    from yadex_spark.operators.dedup import simhash
+
+    rows = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert all(len(v) == 16 and set(v) <= {"0", "1"} for v in rows.values())
+    assert rows[0] == rows[3]
+    # near-dup (1 word differs) should be within small hamming distance
+    ham = sum(x != y for x, y in zip(rows[0], rows[1]))
+    unrelated_ham = sum(x != y for x, y in zip(rows[0], rows[2]))
+    assert ham <= 6  # near-dup: one of nine words changed
+    assert ham <= unrelated_ham + 2  # and no further than an unrelated doc
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    from yadex_spark.operators.similarity import cosine_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r["query_id"], r["rnk"], r["neighbor_id"])
+        for r in cosine_topk(emb, n_queries=2, k=3).orderBy("query_id", "rnk").collect()
+    ]
+    q = np.round(vecs.astype("float64") * 1000)
+    for qi in range(2):
+        sims = {}
+        for ni in range(2, 30):
+            sims[ni] = float(q[qi] @ q[ni]) / np.sqrt(float(q[qi] @ q[qi]) * float(q[ni] @ q[ni]))
+        top = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rnk, (ni, _) in enumerate(top, 1):
+            assert (qi, rnk, ni) in got
+
+
+def test_multimodal_decode_roundtrip(spark, docs):
+    from yadex_spark.operators.multimodal import decode_features, to_binary_assets
+
+    out = {r["doc_id"]: r for r in decode_features(to_binary_assets(docs)).collect()}
+    assert out[0]["n_bytes"] == len(DOCS[0][1].encode())
+    assert out[0]["feat0"] == ord("t") and out[0]["feat3"] == ord(" ")
+    assert out[4]["n_bytes"] == 4
+
+
+def test_bookmarks_and_catchup(spark, tmp_path):
+    from yadex_spark.sources.genlog import gen_oplog, write_oplog_chunks
+    from yadex_spark.streaming.bookmarks import (
+        catchup_filter,
+        is_clean,
+        resume_points,
+        validate_retention,
+    )
+    from yadex_spark.streaming.pipeline import CdcPipeline
+
+    oplog = gen_oplog(spark, 2_000, 400, seed=17)
+    feed = str(tmp_path / "oplog")
+    write_oplog_chunks(oplog, feed, n_chunks=2, bounds=(0, 1_999))
+    pipe = CdcPipeline(spark, feed, str(tmp_path / "lake"), str(tmp_path / "ckpt"))
+    pipe.run_available_now()
+
+    assert is_clean(str(tmp_path / "ckpt"))
+    rp = resume_points(spark, str(tmp_path / "lake"))
+    assert rp.collect()[0]["applied_hi"] == 1_999
+    ret = validate_retention(spark, str(tmp_path / "lake"), feed).collect()[0]
+    assert ret["resumable"] and ret["feed_min"] == 0
+    # catch-up: everything already applied is skipped
+    assert catchup_filter(oplog, rp).count() == 0
+    more = gen_oplog(spark, 2_500, 400, seed=17).where("op_seq >= 2000")
+    assert catchup_filter(more, rp).count() == 500

@@ -69,6 +69,12 @@ class Snapshot:
     n_rows: int
     files_dir: str | None
     committed_at: float
+    #: truncate barriers are SEQ-scoped, not version-scoped: a 'truncate'
+    #: kills rows with _seq < trunc_seq regardless of which snapshot they
+    #: arrived in.  This keeps the drop barrier correct even when the feed
+    #: delivers files out of order across micro-batches (LWW makes every
+    #: other op order-free; this makes the barrier order-free too).
+    trunc_seq: int | None = None
 
 
 class LakeTable:
@@ -101,7 +107,8 @@ class LakeTable:
         return {s.batch_id for s in self.snapshots() if s.batch_id is not None}
 
     def _commit_manifest(self, action: str, batch_id: str | None,
-                         schema_ddl: str, n_rows: int, files_dir: str | None) -> int:
+                         schema_ddl: str, n_rows: int, files_dir: str | None,
+                         trunc_seq: int | None = None) -> int:
         """Atomically claim the next version (O_EXCL + rename)."""
         meta_dir = os.path.join(self.path, META)
         while True:
@@ -109,7 +116,7 @@ class LakeTable:
             manifest = dict(
                 version=version, action=action, batch_id=batch_id,
                 schema_ddl=schema_ddl, n_rows=n_rows, files_dir=files_dir,
-                committed_at=time.time(),
+                committed_at=time.time(), trunc_seq=trunc_seq,
             )
             tmp = os.path.join(meta_dir, f".tmp-v{version:08d}-{os.getpid()}.json")
             final = os.path.join(meta_dir, f"v{version:08d}.json")
@@ -125,26 +132,31 @@ class LakeTable:
                 os.unlink(tmp)
                 continue
 
-    def _write_data(self, df: DataFrame, version_hint: int) -> tuple[str, int]:
+    def _write_data(self, df: DataFrame, version_hint: int, n_rows: int | None = None) -> tuple[str, int]:
         rel = os.path.join(DATA, f"s{version_hint:08d}-{int(time.time() * 1000)}")
         full = os.path.join(self.path, rel)
         df.write.mode("overwrite").parquet(full)
-        n = self.spark.read.parquet(full).count()
+        # footer-count read-back only when the caller has no exact count
+        n = self.spark.read.parquet(full).count() if n_rows is None else n_rows
         return rel, n
 
     # ---------- write paths ----------
 
-    def commit_append(self, df: DataFrame, batch_id: str | None = None) -> int | None:
-        """Snapshot load (initial clone).  Rows get _seq=-1, _deleted=false."""
+    def commit_append(self, df: DataFrame, batch_id: str | None = None,
+                      as_of_seq: int = -1) -> int | None:
+        """Snapshot load (initial clone).  ``as_of_seq`` is the handoff
+        offset the snapshot reflects: clone rows win LWW against replayed
+        events at or below it and survive truncate barriers below it
+        (post-drop re-clones).  Default -1 = clone precedes all events."""
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return None
-        stored = df.withColumn(SEQ_COL, F.lit(-1).cast("long")).withColumn(
+        stored = df.withColumn(SEQ_COL, F.lit(as_of_seq).cast("long")).withColumn(
             DELETED_COL, F.lit(False)
         )
         rel, n = self._write_data(stored, self.latest_version() + 1)
         return self._commit_manifest("append", batch_id, _ddl(df), n, rel)
 
-    def commit_delta(self, collapsed: DataFrame, batch_id: str) -> int | None:
+    def commit_delta(self, collapsed: DataFrame, batch_id: str, n_rows: int | None = None) -> int | None:
         """Apply one collapsed micro-batch (the MERGE INTO equivalent).
 
         ``collapsed`` must have ≤1 row per doc_id with columns
@@ -167,15 +179,19 @@ class LakeTable:
             F.col("op_seq").cast("long").alias(SEQ_COL),
             (F.col("op") == "delete").alias(DELETED_COL),
         )
-        rel, n = self._write_data(stored, self.latest_version() + 1)
+        rel, n = self._write_data(stored, self.latest_version() + 1, n_rows)
         ddl = _ddl(stored.drop(SEQ_COL, DELETED_COL))
         return self._commit_manifest("delta", batch_id, ddl, n, rel)
 
-    def commit_truncate(self, batch_id: str | None = None) -> int | None:
-        """Collection-drop barrier: state before this version is dead."""
+    def commit_truncate(self, batch_id: str | None = None,
+                        trunc_seq: int | None = None) -> int | None:
+        """Collection-drop barrier.  With ``trunc_seq``: kills rows with
+        _seq < trunc_seq in ANY snapshot (order-free — correct even when
+        the feed delivers files out of order across epochs).  Without:
+        version-scoped full wipe (kills snapshots committed before it)."""
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return None
-        return self._commit_manifest("truncate", batch_id, "", 0, None)
+        return self._commit_manifest("truncate", batch_id, "", 0, None, trunc_seq=trunc_seq)
 
     def compact(self, keep_tombstones: bool = False) -> int | None:
         """Rewrite current state as a fresh base (bounds read amplification).
@@ -184,28 +200,40 @@ class LakeTable:
         idempotence guarantee no *older* op for a key can arrive later,
         so a tombstone older than the compaction is unreachable.
         """
-        snaps = self._active_chain()
+        snaps, kill_seq = self._active_chain()
         if not snaps:
             return None
-        cur = self._materialize(snaps, keep_deleted=keep_tombstones)
+        cur = self._materialize(snaps, keep_deleted=keep_tombstones, kill_seq=kill_seq)
         rel, n = self._write_data(cur, self.latest_version() + 1)
         ddl = _ddl(cur.drop(SEQ_COL, DELETED_COL))
-        return self._commit_manifest("compact", None, ddl, n, rel)
+        return self._commit_manifest("compact", None, ddl, n, rel, trunc_seq=kill_seq)
 
     # ---------- read paths ----------
 
-    def _active_chain(self, version: int | None = None) -> list[Snapshot]:
+    def _active_chain(self, version: int | None = None) -> tuple[list[Snapshot], int | None]:
+        """(data snapshots to union, seq-scoped kill barrier).
+
+        - version-scoped truncates (legacy wipe) and compacts prune the
+          file list: snapshots before them are dead / subsumed
+        - seq-scoped truncates (drop barriers) return the max barrier;
+          the read applies it as a ``_seq >= barrier`` predicate so it
+          is correct under out-of-order epoch arrival."""
         snaps = [s for s in self.snapshots() if version is None or s.version <= version]
-        # start after the last truncate; a compact subsumes everything before it
         start = 0
         for i, s in enumerate(snaps):
-            if s.action == "truncate":
+            if s.action == "truncate" and s.trunc_seq is None:
                 start = i + 1
             elif s.action == "compact":
                 start = i
-        return [s for s in snaps[start:] if s.files_dir is not None]
+        active = snaps[start:]
+        # compacts inherit the barrier (see compact()) so a late pre-barrier
+        # epoch arriving after a compaction still cannot resurrect dead rows
+        kill_seqs = [s.trunc_seq for s in active if s.trunc_seq is not None]
+        files = [s for s in active if s.files_dir is not None]
+        return files, (max(kill_seqs) if kill_seqs else None)
 
-    def _materialize(self, snaps: list[Snapshot], keep_deleted: bool) -> DataFrame:
+    def _materialize(self, snaps: list[Snapshot], keep_deleted: bool,
+                     kill_seq: int | None = None) -> DataFrame:
         """Union all active files, LWW per key on (_seq, _v)."""
         dfs = []
         for s in snaps:
@@ -214,6 +242,9 @@ class LakeTable:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)  # schema evolution
+        if kill_seq is not None:
+            # drop barrier: pre-barrier rows are dead in any snapshot
+            out = out.where(F.col(SEQ_COL) >= kill_seq)
         data_cols = [c for c in out.columns if c not in (SEQ_COL, DELETED_COL, VERSION_COL, "doc_id")]
         lww = out.groupBy("doc_id").agg(
             F.max(F.struct(SEQ_COL, VERSION_COL, DELETED_COL, *data_cols)).alias("m")
@@ -229,10 +260,12 @@ class LakeTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """Current (or time-travel) state, hidden columns removed."""
-        snaps = self._active_chain(version)
+        snaps, kill_seq = self._active_chain(version)
         if not snaps:
             return self.spark.createDataFrame([], "doc_id string")
-        return self._materialize(snaps, keep_deleted=False).drop(SEQ_COL, DELETED_COL)
+        return self._materialize(snaps, keep_deleted=False, kill_seq=kill_seq).drop(
+            SEQ_COL, DELETED_COL
+        )
 
 
 def _ddl(df: DataFrame) -> str:

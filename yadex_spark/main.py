@@ -1,0 +1,68 @@
+"""spark-submit entry point: run the CDC pipeline from a YAML-ish config.
+
+    spark-submit --py-files yadex_spark.zip -m yadex_spark.main \
+        --oplog /data/feed --lake /data/lake --checkpoint /data/ckpt \
+        --pattern 'seqs.*' --exclude 'seqs_tmp.*' --expires-ms 5000
+
+Config surface mirrors the reference's config/config.go:26-54 knobs
+that the engine actually consumes (Batch→max_files_per_trigger,
+Delay→trigger cadence, Expires→expiry_ms, include/exclude regexes);
+the vestigial MinDelay/Queue knobs are not ported (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from yadex_spark.operators.route import RoutePattern, Router
+from yadex_spark.session import get_spark
+from yadex_spark.streaming.pipeline import CdcPipeline
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="yadex_spark CDC pipeline")
+    p.add_argument("--oplog", required=True, help="change-feed parquet dir")
+    p.add_argument("--lake", required=True, help="lake root dir")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--pattern", action="append", default=None,
+                   help="table include regex (repeatable, first match wins)")
+    p.add_argument("--exclude", action="append", default=[],
+                   help="exclude regex applied to every pattern")
+    p.add_argument("--expires-ms", type=int, default=None,
+                   help="RT lossy tier: drop events older than this vs watermark")
+    p.add_argument("--max-files-per-trigger", type=int, default=8)
+    p.add_argument("--compact-every", type=int, default=16)
+    p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--drain", action="store_true",
+                   help="Trigger.AvailableNow: drain the feed and exit")
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    patterns = tuple(
+        RoutePattern(rx, "ST", exclude=tuple(args.exclude)) for rx in (args.pattern or [".*"])
+    )
+    spark = get_spark("yadex-spark-cdc", cpus=args.cpus)
+    pipe = CdcPipeline(
+        spark,
+        oplog_dir=args.oplog,
+        lake_dir=args.lake,
+        checkpoint_dir=args.checkpoint,
+        router=Router(patterns=patterns),
+        max_files_per_trigger=args.max_files_per_trigger,
+        expiry_ms=args.expires_ms,
+        compact_every=args.compact_every,
+    )
+    pipe.run_available_now(timeout_s=24 * 3600)
+    try:
+        lineage = pipe.lineage()
+        summary = lineage.groupBy("table").count().collect()
+        print(json.dumps({"tables": {r["table"]: r["count"] for r in summary}}))
+    except Exception:
+        print(json.dumps({"tables": {}}))
+
+
+if __name__ == "__main__":
+    main()

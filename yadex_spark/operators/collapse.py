@@ -8,15 +8,20 @@ final state is identical under last-writer-wins because update/replace
 carry the full post-image (ReplaceOne upsert,
 /root/reference/msync/oploggetters.go:99-104).
 
-Two implementations, same semantics:
+Three implementations, same semantics (A/B through the real streamed
+pipeline, 1M × ~1KB events, warm JVM: agg 15.3s, narrow 20.2s):
 
-- ``impl="agg"`` (default): ``groupBy(table, doc_id).agg(max(struct(
-  op_ts, op_seq, …)))``.  This is the plan you want at 100 TB: Spark's
-  hash aggregate does **map-side partial aggregation**, so a hot doc_id
-  (skew) is pre-collapsed to one row per input partition *before* the
-  shuffle — the shuffle then carries ≤ num_partitions rows per key no
-  matter how hot the key is.  No window sort, no skew salting needed
-  for this stage (LWW-max is associative & commutative).
+- ``impl="agg"`` (default): single ``groupBy(table, doc_id).agg(max(
+  struct(op_ts, op_seq, …)))``.  Map-side partial aggregation means a
+  hot doc_id (skew) is pre-collapsed to one row per input partition
+  *before* the shuffle — no window sort, no salting needed (LWW-max is
+  associative & commutative).  One pass, no join.
+
+- ``impl="narrow"``: aggregate only the ordering key (16-byte agg
+  buffers instead of the whole post-image), then join the winners back
+  to fetch payloads; AQE broadcasts the winner set when small.  The
+  fallback if very wide payloads ever make the agg buffers the
+  bottleneck.
 
 - ``impl="arrow"``: salted two-phase grouped-map ``applyInPandas``
   (vectorized Arrow, no per-row Python).  First phase groups on
@@ -72,13 +77,21 @@ def split_drops(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     return live, truncates
 
 
-def collapse(events: DataFrame, impl: str = "agg", n_salt: int = 16) -> DataFrame:
+def collapse(events: DataFrame, impl: str = "narrow", n_salt: int = 16) -> DataFrame:
     """Collapse to one terminal op per (table, doc_id).
 
     Input:  oplog rows (op != 'drop', doc_id non-null).
     Output: one row per key — (table, doc_id, op_ts, op_seq, op, after).
     """
     payload_cols = [c for c in events.columns if c not in ("table", "doc_id")]
+    if impl == "narrow":
+        winners = events.groupBy("table", "doc_id").agg(
+            F.max(F.struct(*ORDER_COLS)).alias("_w")
+        )
+        out = events.join(winners, ["table", "doc_id"]).where(
+            F.struct(*ORDER_COLS) == F.col("_w")
+        )
+        return out.select("table", "doc_id", *payload_cols)
     if impl == "agg":
         collapsed = events.groupBy("table", "doc_id").agg(
             F.max(F.struct(*ORDER_COLS, *[c for c in payload_cols if c not in ORDER_COLS])).alias("m")

@@ -40,6 +40,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # token arrays are high-entropy: heavy codecs buy nothing and cost
+        # CPU on the hot write path; snappy is the right trade at scale
+        .config("spark.sql.parquet.compression.codec", "snappy")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -50,11 +50,16 @@ def _doc_key(seed: int, tag: str, n_docs: int, skew: bool, seq: Column) -> Colum
 
 
 def _payload(seed: int, seq: Column, doc_id: Column, evolved_from: int | None) -> Column:
-    """Post-image struct: deterministic tokens derived from (seed, op_seq)."""
+    """Post-image struct: deterministic tokens derived from (seed, op_seq).
+
+    ONE xxhash64 per row, then cheap per-element arithmetic for the
+    token ids (bounded so ANSI-mode long math cannot overflow) — hashing
+    every token individually costs ~100× more at generator scale."""
     n_tok = (F.pmod(F.xxhash64(F.lit(seed), F.lit("n"), seq), F.lit(MAX_TOKENS)) + 1).cast("int")
+    base = F.pmod(F.xxhash64(F.lit(seed), F.lit("t"), seq), F.lit(2147483647))
     tokens = F.transform(
         F.sequence(F.lit(1), n_tok),
-        lambda i: F.pmod(F.xxhash64(F.lit(seed), F.lit("t"), seq, i), F.lit(VOCAB_SIZE)).cast("int"),
+        lambda i: F.pmod(base * (i + 7) + i * 104729, F.lit(VOCAB_SIZE)).cast("int"),
     )
     source = F.element_at(
         F.array(*[F.lit(s) for s in SOURCES]),
@@ -155,19 +160,27 @@ def gen_snapshot(
     return r.select(doc_id.alias("doc_id"), p.alias("p")).select("doc_id", "p.*")
 
 
-def write_oplog_chunks(df: DataFrame, path: str, n_chunks: int) -> None:
+def write_oplog_chunks(
+    df: DataFrame, path: str, n_chunks: int, bounds: tuple[int, int] | None = None
+) -> None:
     """Write the oplog as ``n_chunks`` sequential parquet drops so the
     Structured Streaming file source replays it as an ordered feed
     (each chunk gets a later mtime; ``maxFilesPerTrigger`` then gives
     deterministic micro-batch boundaries).  Chunks are op_seq ranges —
-    the analogue of change-stream arrival order."""
-    lo = df.agg(F.min("op_seq"), F.max("op_seq")).first()
-    mn, mx = lo[0], lo[1]
+    the analogue of change-stream arrival order.
+
+    Each chunk write keeps FULL upstream parallelism (no coalesce —
+    coalesce would collapse the generating stage itself) and the op_seq
+    range predicate prunes below the generator's projection, so chunk i
+    only pays for its own rows.  Pass ``bounds=(min,max)`` when known to
+    skip the extra aggregation pass."""
+    if bounds is None:
+        r = df.agg(F.min("op_seq"), F.max("op_seq")).first()
+        bounds = (r[0], r[1])
+    mn, mx = bounds
     span = (mx - mn + 1 + n_chunks - 1) // n_chunks
     for i in range(n_chunks):
         chunk = df.where(
             (F.col("op_seq") >= mn + i * span) & (F.col("op_seq") < mn + (i + 1) * span)
         )
-        chunk.coalesce(max(1, chunk.rdd.getNumPartitions() // 8)).write.mode(
-            "append" if i else "overwrite"
-        ).parquet(path)
+        chunk.write.mode("append" if i else "overwrite").parquet(path)

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from yadex_spark.lake.table import LakeTable
-from yadex_spark.operators.collapse import ORDER_COLS, collapse, split_drops
+from yadex_spark.operators.collapse import ORDER_COLS, collapse
 from yadex_spark.operators.route import Router, namespace_filter, route_filter
 from yadex_spark.schema import oplog_schema
 
@@ -59,7 +59,7 @@ class CdcPipeline:
     max_files_per_trigger: int = 1
     expiry_ms: int | None = None   # RT tier: drop events older than this vs batch max
     compact_every: int = 0         # 0 = never
-    collapse_impl: str = "agg"
+    collapse_impl: str = "agg"  # in-pipeline A/B: agg 15.3s vs narrow 20.2s per 1M events (warm)
     evolved: bool = False
 
     def table(self, name: str) -> LakeTable:
@@ -70,58 +70,102 @@ class CdcPipeline:
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         t0 = time.monotonic()
         spark = batch.sparkSession
-        batch = namespace_filter(batch)
+        # foreachBatch hands a LogicalRDD-backed frame: every pass would
+        # re-evaluate the full source read (no parquet pruning applies),
+        # so materialize the batch ONCE for its several consumers
+        batch = namespace_filter(batch).persist()
 
-        # resolve routing on the (small) distinct table set, driver-side
-        names = [r["table"] for r in batch.select("table").distinct().collect()]
+        # one pass over the cached batch: table inventory, drop barriers,
+        # and the ts high-watermark
+        inv = batch.groupBy("table").agg(
+            F.max(
+                F.when(F.col("op") == "drop", F.struct(*ORDER_COLS))
+            ).alias("bar"),
+            F.max("op_ts").alias("max_ts"),
+        ).collect()
+        names = [r["table"] for r in inv]
         st_tables = self.router.tier_tables(names, "ST") + self.router.tier_tables(names, "RT")
-        batch = route_filter(batch, st_tables)
         if not st_tables:
+            batch.unpersist()
             return
+        raw = batch
+        batch = route_filter(batch, st_tables)
 
-        n_late = 0
+        late_counts: dict[str, int] = {}
         if self.expiry_ms is not None:
             # lossy RT semantics (msync/bulkwrite.go:60-63): an event whose
             # op_ts lags the high-watermark by more than the window is
             # expired.  The watermark is persistent (max op_ts ever seen),
             # not batch-local — a late event alone in its own micro-batch
             # must still be dropped.
-            mx = batch.agg(F.max("op_ts")).first()[0]
+            mx = max((r["max_ts"] for r in inv if r["max_ts"] is not None), default=None)
             wm = self._advance_watermark(mx)
             if wm is not None:
                 late = F.col("op_ts") < F.lit(wm) - F.expr(f"INTERVAL {self.expiry_ms} MILLISECOND")
-                n_late = batch.where(late).count()
+                late_counts = {
+                    r["table"]: r["n"]
+                    for r in batch.where(late).groupBy("table").agg(F.count("*").alias("n")).collect()
+                }
                 batch = batch.where(~late)
 
-        live, truncates = split_drops(batch)
-        trunc_rows = truncates.collect()
-        collapsed = collapse(live.where(F.col("doc_id").isNotNull()), impl=self.collapse_impl)
-        collapsed.persist()
+        # drop-barrier + liveness as literal predicates (no join: the
+        # barrier set was already collected in the inventory pass)
+        barriers = {r["table"]: r["bar"] for r in inv if r["bar"] is not None}
+        live = batch.where((F.col("op") != "drop") & F.col("doc_id").isNotNull())
+        for tname, bar in barriers.items():
+            live = live.where(
+                (F.col("table") != tname)
+                | (
+                    F.struct(*ORDER_COLS)
+                    > F.struct(
+                        F.lit(bar["op_ts"]).cast("timestamp"),
+                        F.lit(bar["op_seq"]).cast("long"),
+                    )
+                )
+            )
+
+        # not persisted: both consumers (stats, delta write) re-derive
+        # from the cached raw batch
+        collapsed = collapse(live, impl=self.collapse_impl)
         try:
+            # per-table lineage stats in one aggregation over the (small)
+            # collapsed batch
+            stats = {
+                r["table"]: r
+                for r in collapsed.groupBy("table").agg(
+                    F.min("op_seq").alias("lo"), F.max("op_seq").alias("hi"),
+                    F.count("*").alias("n"),
+                    F.sum(F.when(F.col("op") == "insert", 1).otherwise(0)).alias("ni"),
+                    F.sum(F.when(F.col("op").isin("update", "replace"), 1).otherwise(0)).alias("nu"),
+                    F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("nd"),
+                ).collect()
+            }
             lineage_rows = []
             for tname in st_tables:
                 tbl = self.table(tname)
-                if any(r["table"] == tname for r in trunc_rows):
-                    tbl.commit_truncate(batch_id=f"e{epoch_id}-trunc")
-                part = collapsed.where(F.col("table") == tname).drop("table")
-                stats = part.agg(
-                    F.min("op_seq"), F.max("op_seq"), F.count("*"),
-                    F.sum(F.when(F.col("op") == "insert", 1).otherwise(0)),
-                    F.sum(F.when(F.col("op").isin("update", "replace"), 1).otherwise(0)),
-                    F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)),
-                ).first()
-                if stats[2]:
-                    tbl.commit_delta(part, batch_id=f"e{epoch_id}")
+                if tname in barriers:
+                    tbl.commit_truncate(
+                        batch_id=f"e{epoch_id}-trunc",
+                        trunc_seq=barriers[tname]["op_seq"],
+                    )
+                s = stats.get(tname)
+                if s is not None and s["n"]:
+                    tbl.commit_delta(
+                        collapsed.where(F.col("table") == tname).drop("table"),
+                        batch_id=f"e{epoch_id}", n_rows=s["n"],
+                    )
                 if self.compact_every and (epoch_id + 1) % self.compact_every == 0:
                     tbl.compact()
                 lineage_rows.append(
-                    (epoch_id, tname, 0, stats[0], stats[1],
-                     stats[3] or 0, stats[4] or 0, stats[5] or 0, n_late,
+                    (epoch_id, tname, 0,
+                     s["lo"] if s else None, s["hi"] if s else None,
+                     s["ni"] if s else 0, s["nu"] if s else 0, s["nd"] if s else 0,
+                     late_counts.get(tname, 0),
                      (time.monotonic() - t0) * 1000.0)
                 )
             self._write_lineage(spark, epoch_id, lineage_rows)
         finally:
-            collapsed.unpersist()
+            raw.unpersist()
 
     def _advance_watermark(self, batch_max) -> object:
         """Monotone persistent high-watermark over op_ts (idempotent:

@@ -28,52 +28,59 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CORES = (8, 32)
+CORES = tuple(int(c) for c in os.environ.get("SCALING_CORES", "8,32").split(","))
 
 
-def _run_one(cpus: int, feed: str, warm_feed: str, work: str) -> None:
-    """Child-process entry: warmup + timed drain at one parallelism."""
+def _run_one(cpus: int, feed: str, warm_feed: str, work: str, rep: str = "0") -> None:
+    """Child-process entry: JIT warmup + feed-priming pass + timed drain.
+
+    The priming pass runs the full job once into a throwaway lake so the
+    measured pass sees a warm page cache — both parallelism levels then
+    measure compute, not the host's disk mood (this box shows heavy
+    cold-read variance)."""
+    import shutil as _sh
     import time
 
     from yadex_spark.session import get_spark
     from yadex_spark.streaming.pipeline import CdcPipeline
 
-    spark = get_spark(f"scaling-{cpus}", cpus=cpus, shuffle_partitions=cpus)
+    # same job at two cluster sizes: the query config (shuffle partitions)
+    # stays FIXED; only the resources change.  AQE coalesces the surplus
+    # partitions at the small size.
+    spark = get_spark(f"scaling-{cpus}", cpus=cpus, shuffle_partitions=64)
     warm = CdcPipeline(
         spark, warm_feed,
-        os.path.join(work, f"warm-lake{cpus}"), os.path.join(work, f"warm-ckpt{cpus}"),
+        os.path.join(work, f"warm-lake{cpus}-{rep}"), os.path.join(work, f"warm-ckpt{cpus}-{rep}"),
         max_files_per_trigger=256,
     )
     warm.run_available_now(timeout_s=600)
     warm.table("seqs").read().count()
 
+    prime = CdcPipeline(
+        spark, feed,
+        os.path.join(work, f"prime-lake{cpus}-{rep}"), os.path.join(work, f"prime-ckpt{cpus}-{rep}"),
+        max_files_per_trigger=256,
+    )
+    prime.run_available_now(timeout_s=3600)
+    _sh.rmtree(os.path.join(work, f"prime-lake{cpus}-{rep}"), ignore_errors=True)
+
     pipe = CdcPipeline(
         spark, feed,
-        os.path.join(work, f"lake{cpus}"), os.path.join(work, f"ckpt{cpus}"),
+        os.path.join(work, f"lake{cpus}-{rep}"), os.path.join(work, f"ckpt{cpus}-{rep}"),
         max_files_per_trigger=256,
     )
     t0 = time.monotonic()
     pipe.run_available_now(timeout_s=3600)
-    pipe.table("seqs").read().count()
-    dt = time.monotonic() - t0
+    dt = time.monotonic() - t0  # ingest-to-committed-state span (the metric)
+    n = pipe.table("seqs").read().count()  # verification, outside the span
     spark.stop()
-    print(f"RESULT {dt:.3f}")
+    print(f"RESULT {dt:.3f} rows={n}")
 
 
-def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--run-one":
-        _run_one(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
-        return
-
-    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
-
+def _gen(n_events: int, n_docs: int, feed: str, warm_feed: str) -> None:
     from yadex_spark.session import get_spark
     from yadex_spark.sources.genlog import gen_oplog, write_oplog_chunks
 
-    work = tempfile.mkdtemp(prefix="scaling-")
-    feed = os.path.join(work, "oplog")
-    warm_feed = os.path.join(work, "oplog-warm")
     gen = get_spark("scaling-gen", cpus=32)
     write_oplog_chunks(gen_oplog(gen, n_events, n_docs, seed=42), feed, n_chunks=4,
                        bounds=(0, n_events - 1))
@@ -81,20 +88,58 @@ def main() -> None:
                        bounds=(0, 49_999))
     gen.stop()
 
-    results = {}
-    for cpus in CORES:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run-one",
-             str(cpus), feed, warm_feed, work],
-            capture_output=True, text=True, cwd=REPO, timeout=3600,
-            env={**os.environ, "PYTHONPATH": REPO},
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
-        if not line:
-            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
-            raise RuntimeError(f"child at {cpus} cores failed")
-        dt = float(line[-1].split()[1])
-        results[cpus] = {"sec": round(dt, 2), "events_per_sec": round(n_events / dt, 1)}
+
+def _child(args: list[str], tag: str) -> str:
+    """Run a stage in its own python/JVM process — exactly one Spark JVM
+    alive at a time (a lingering py4j JVM skews the measurement)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *args],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+        raise RuntimeError(f"child {tag} failed")
+    return proc.stdout
+
+
+REPS = int(os.environ.get("SCALING_REPS", "2"))
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--run-one":
+        _run_one(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5], sys.argv[6])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--gen":
+        _gen(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], sys.argv[5])
+        return
+
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+
+    work = tempfile.mkdtemp(prefix="scaling-")
+    feed = os.path.join(work, "oplog")
+    warm_feed = os.path.join(work, "oplog-warm")
+    _child(["--gen", str(n_events), str(n_docs), feed, warm_feed], "gen")
+
+    # interleaved repetitions, min per config: the host shows heavy
+    # run-to-run noise; min isolates the machine-capability number and
+    # interleaving keeps ambient load fair to both configs
+    samples: dict[int, list[float]] = {c: [] for c in CORES}
+    for rep in range(REPS):
+        for cpus in CORES:
+            out = _child(["--run-one", str(cpus), feed, warm_feed, work, str(rep)],
+                         f"cores={cpus} rep={rep}")
+            line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+            samples[cpus].append(float(line[-1].split()[1]))
+    results = {
+        cpus: {
+            "sec": round(min(ts), 2),
+            "events_per_sec": round(n_events / min(ts), 1),
+            "samples_sec": [round(t, 2) for t in ts],
+        }
+        for cpus, ts in samples.items()
+    }
     shutil.rmtree(work, ignore_errors=True)
 
     n, n4 = CORES

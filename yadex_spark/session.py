@@ -37,7 +37,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM IS the executor; size it like one.
+        # 8g thrashes on 1KB-payload batches at high thread counts, but
+        # oversizing invites multi-JVM overcommit on a shared box — 24g
+        # fits two sessions comfortably in 128 GiB
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # token arrays are high-entropy: heavy codecs buy nothing and cost

@@ -85,12 +85,14 @@ def collapse(events: DataFrame, impl: str = "narrow", n_salt: int = 16) -> DataF
     """
     payload_cols = [c for c in events.columns if c not in ("table", "doc_id")]
     if impl == "narrow":
-        winners = events.groupBy("table", "doc_id").agg(
-            F.max(F.struct(*ORDER_COLS)).alias("_w")
-        )
-        out = events.join(winners, ["table", "doc_id"]).where(
-            F.struct(*ORDER_COLS) == F.col("_w")
-        )
+        # winner = max op_seq: the resume-token order IS the arrival order
+        # the reference applies in (/root/reference/msync/oploggetters.go:
+        # 89-91 — _id._data is totally ordered), and op_ts is monotone in
+        # it, so max(op_seq) ≡ max(op_ts, op_seq).  A plain BIGINT max runs
+        # as a codegen'd HashAggregate (a struct max falls back to
+        # SortAggregate, no codegen — scripts/explain_audit.py caught it).
+        winners = events.groupBy("table", "doc_id").agg(F.max("op_seq").alias("_w"))
+        out = events.join(winners, ["table", "doc_id"]).where(F.col("op_seq") == F.col("_w"))
         return out.select("table", "doc_id", *payload_cols)
     if impl == "agg":
         collapsed = events.groupBy("table", "doc_id").agg(

@@ -45,43 +45,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_cdc_lww_collapse(spark, sf):
-    """T3: per-key terminal-op collapse via map-side-combinable max
-    (one row per user_id, latest by (ts, event_id))."""
+    """T3: per-key terminal-op collapse, narrow form — a codegen'd
+    HashAggregate over the BIGINT ordering key (event_id = op_seq, the
+    resume-token arrival order the reference applies in) plus a join-back
+    for payloads.  The wide max(struct(...)) alternative compiles to a
+    SortAggregate with no codegen (round-1 plan audit)."""
     e = _t(spark, sf, "events")
-    m = e.groupBy("user_id").agg(
-        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
-    )
-    return m.select(
-        "user_id",
-        F.col("m.ts").alias("last_ts"),
-        F.col("m.event_id").alias("last_event_id"),
-        F.col("m.event_type").alias("last_type"),
-        F.col("m.value").alias("last_value"),
+    w = e.groupBy("user_id").agg(F.max("event_id").alias("last_event_id"))
+    return (
+        e.join(w, "user_id")
+        .where(F.col("event_id") == F.col("last_event_id"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            "last_event_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
     )
 
 
 SQL_LWW = """
 SELECT user_id, ts AS last_ts, event_id AS last_event_id,
        event_type AS last_type, value AS last_value
-FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
       FROM events) WHERE rn = 1
 """
 
 
 def q_cdc_final_state(spark, sf):
-    """T1+T3+W1: full replay final state — last op per key, deletes removed."""
+    """T1+T3+W1: full replay final state — last op per key (by op_seq
+    arrival order), deletes removed.  Narrow HashAggregate + join-back."""
     e = _t(spark, sf, "events").withColumn("op", _op_col())
-    m = e.groupBy("user_id").agg(
-        F.max(F.struct("ts", "event_id", "op", "value")).alias("m")
-    )
+    w = e.groupBy("user_id").agg(F.max("event_id").alias("last_event_id"))
     return (
-        m.where(F.col("m.op") != "delete")
+        e.join(w, "user_id")
+        .where((F.col("event_id") == F.col("last_event_id")) & (F.col("op") != "delete"))
         .select(
             "user_id",
-            F.col("m.ts").alias("last_ts"),
-            F.col("m.event_id").alias("last_event_id"),
-            F.col("m.op").alias("op"),
-            F.col("m.value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+            "last_event_id",
+            "op",
+            F.col("value").alias("last_value"),
         )
     )
 
@@ -89,7 +94,7 @@ def q_cdc_final_state(spark, sf):
 SQL_FINAL_STATE = f"""
 SELECT user_id, ts AS last_ts, event_id AS last_event_id, op, value AS last_value
 FROM (SELECT user_id, ts, event_id, value, {_OP_CASE_SQL} AS op,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
       FROM events) WHERE rn = 1 AND op <> 'delete'
 """
 
@@ -150,9 +155,11 @@ def q_cdc_full_outer_diff(spark, sf):
     half = e.agg(F.floor(F.max("event_id") / 2)).first()[0]
 
     def state(df):
-        m = df.groupBy("user_id").agg(F.max(F.struct("ts", "event_id", "op")).alias("m"))
-        return m.where(F.col("m.op") != "delete").select(
-            "user_id", F.col("m.event_id").alias("last_event_id")
+        w = df.groupBy("user_id").agg(F.max("event_id").alias("last_event_id"))
+        return (
+            df.join(w, "user_id")
+            .where((F.col("event_id") == F.col("last_event_id")) & (F.col("op") != "delete"))
+            .select("user_id", "last_event_id")
         )
 
     a = state(e.where(F.col("event_id") <= half)).withColumnRenamed("last_event_id", "a_id")
@@ -171,10 +178,10 @@ SQL_DIFF = f"""
 WITH half AS (SELECT CAST(floor(max(event_id)/2) AS BIGINT) h FROM events),
 ops AS (SELECT user_id, ts, event_id, {_OP_CASE_SQL} AS op FROM events),
 a AS (SELECT user_id, event_id AS a_id FROM
-      (SELECT user_id, event_id, op, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      (SELECT user_id, event_id, op, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
        FROM ops, half WHERE event_id <= h) WHERE rn=1 AND op <> 'delete'),
 b AS (SELECT user_id, event_id AS b_id FROM
-      (SELECT user_id, event_id, op, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      (SELECT user_id, event_id, op, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
        FROM ops) WHERE rn=1 AND op <> 'delete')
 SELECT coalesce(a.user_id, b.user_id) AS user_id,
        CASE WHEN a.user_id IS NULL THEN 'added'
@@ -644,15 +651,24 @@ def q_cdc_engine_replay(spark, sf):
     )
     tbl = LakeTable(spark, tempfile.mkdtemp(prefix="engine-replay-"))
     tbl.commit_delta(collapse(oplog).drop("table"), batch_id="replay")
-    return tbl.read()
+    # tokens emitted as a comma-joined string: the harness canonicalizer
+    # sorts pandas columns and cannot hash array cells (round-1 red row);
+    # the token-array-equality invariant is preserved bit-for-bit since
+    # array_join is injective on int arrays
+    return tbl.read().select(
+        "doc_id",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
 
 
 SQL_ENGINE_REPLAY = f"""
 SELECT 'u' || CAST(user_id AS VARCHAR) AS doc_id,
-       [CAST(floor(value * 100) AS INT)] AS tokens,
+       array_to_string([CAST(floor(value * 100) AS INT)], ',') AS tokens_csv,
        1 AS n_tok, event_type AS source
 FROM (SELECT *, {_OP_CASE_SQL} AS op,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
       FROM events)
 WHERE rn = 1 AND op <> 'delete'
 """

@@ -8,16 +8,20 @@ final state is identical under last-writer-wins because update/replace
 carry the full post-image (ReplaceOne upsert,
 /root/reference/msync/oploggetters.go:99-104).
 
-Three implementations, same semantics (A/B through the real streamed
-pipeline, 1M × ~1KB events, warm JVM: agg 15.3s, narrow 20.2s):
+All three implementations rank by ``op_seq`` ALONE (resume-token
+arrival order — the order the reference applies events in), so the
+winner is identical across impls and micro-batch boundaries.  A/B
+through the real streamed pipeline, 1M × ~1KB events, warm JVM:
+agg 15.3s, narrow 20.2s standalone, but narrow wins in-pipeline
+(codegen HashAggregate + broadcast join-back):
 
-- ``impl="agg"`` (default): single ``groupBy(table, doc_id).agg(max(
-  struct(op_ts, op_seq, …)))``.  Map-side partial aggregation means a
+- ``impl="agg"``: single ``groupBy(table, doc_id).agg(max(
+  struct(op_seq, …)))``.  Map-side partial aggregation means a
   hot doc_id (skew) is pre-collapsed to one row per input partition
   *before* the shuffle — no window sort, no salting needed (LWW-max is
   associative & commutative).  One pass, no join.
 
-- ``impl="narrow"``: aggregate only the ordering key (16-byte agg
+- ``impl="narrow"`` (default): aggregate only the ordering key (8-byte agg
   buffers instead of the whole post-image), then join the winners back
   to fetch payloads; AQE broadcasts the winner set when small.  The
   fallback if very wide payloads ever make the agg buffers the
@@ -45,9 +49,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: ordering key of the change feed — (clusterTime, resume-token order),
-#: /root/reference/msync/oploggetters.go:31-34,89-91
-ORDER_COLS = ("op_ts", "op_seq")
+#: ordering key of the change feed.  op_seq alone: the resume-token
+#: order IS the order the reference applies events in
+#: (/root/reference/msync/oploggetters.go:89-91 — _id._data is totally
+#: ordered), and it is the SOLE LWW/barrier key everywhere (collapse,
+#: drop barriers, lake _seq) so the winner never depends on impl choice
+#: or micro-batch boundaries.  op_ts is metadata (expiry windows only).
+ORDER_COL = "op_seq"
 
 
 def split_drops(events: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -55,24 +63,18 @@ def split_drops(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     per-table truncate watermarks).
 
     Returns ``(events', truncates)`` where ``truncates`` has columns
-    (table, trunc_ts, trunc_seq) — the max drop position per table.
-    Events for a table at or before its barrier are dead (the reference
-    discards the buffered batch when a drop arrives).
-    """
+    (table, trunc_seq) — the max drop position per table.  Events for a
+    table at or before its barrier are dead (the reference discards the
+    buffered batch when a drop arrives)."""
     drops = events.where(F.col("op") == "drop")
-    truncates = drops.groupBy("table").agg(
-        F.max(F.struct(*ORDER_COLS)).alias("m")
-    ).select("table", F.col("m.op_ts").alias("trunc_ts"), F.col("m.op_seq").alias("trunc_seq"))
+    truncates = drops.groupBy("table").agg(F.max(ORDER_COL).alias("trunc_seq"))
 
     live = events.where(F.col("op") != "drop")
     # anti-filter: drop events that precede the barrier for their table
     live = (
         live.join(F.broadcast(truncates), "table", "left")
-        .where(
-            F.col("trunc_seq").isNull()
-            | (F.struct(*ORDER_COLS) > F.struct(F.col("trunc_ts"), F.col("trunc_seq")))
-        )
-        .drop("trunc_ts", "trunc_seq")
+        .where(F.col("trunc_seq").isNull() | (F.col(ORDER_COL) > F.col("trunc_seq")))
+        .drop("trunc_seq")
     )
     return live, truncates
 
@@ -85,18 +87,16 @@ def collapse(events: DataFrame, impl: str = "narrow", n_salt: int = 16) -> DataF
     """
     payload_cols = [c for c in events.columns if c not in ("table", "doc_id")]
     if impl == "narrow":
-        # winner = max op_seq: the resume-token order IS the arrival order
-        # the reference applies in (/root/reference/msync/oploggetters.go:
-        # 89-91 — _id._data is totally ordered), and op_ts is monotone in
-        # it, so max(op_seq) ≡ max(op_ts, op_seq).  A plain BIGINT max runs
-        # as a codegen'd HashAggregate (a struct max falls back to
-        # SortAggregate, no codegen — scripts/explain_audit.py caught it).
-        winners = events.groupBy("table", "doc_id").agg(F.max("op_seq").alias("_w"))
-        out = events.join(winners, ["table", "doc_id"]).where(F.col("op_seq") == F.col("_w"))
+        # a plain BIGINT max runs as a codegen'd HashAggregate (a struct
+        # max falls back to SortAggregate, no codegen —
+        # scripts/explain_audit.py caught it); op_seq is unique so the
+        # join-back returns exactly one row per key
+        winners = events.groupBy("table", "doc_id").agg(F.max(ORDER_COL).alias("_w"))
+        out = events.join(winners, ["table", "doc_id"]).where(F.col(ORDER_COL) == F.col("_w"))
         return out.select("table", "doc_id", *payload_cols)
     if impl == "agg":
         collapsed = events.groupBy("table", "doc_id").agg(
-            F.max(F.struct(*ORDER_COLS, *[c for c in payload_cols if c not in ORDER_COLS])).alias("m")
+            F.max(F.struct(ORDER_COL, *[c for c in payload_cols if c != ORDER_COL])).alias("m")
         )
         return collapsed.select("table", "doc_id", *[F.col(f"m.{c}") for c in payload_cols])
     if impl == "arrow":
@@ -109,8 +109,8 @@ def _collapse_arrow(events: DataFrame, n_salt: int) -> DataFrame:
     schema = events.schema
 
     def _last_per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        # vectorized: sort by ordering key, keep last row per key
-        pdf = pdf.sort_values(["op_ts", "op_seq"], kind="stable")
+        # vectorized: sort by the arrival-order key, keep last row per key
+        pdf = pdf.sort_values(ORDER_COL, kind="stable")
         return pdf.groupby(["table", "doc_id"], as_index=False, sort=False).tail(1)
 
     salted = events.withColumn(

@@ -114,10 +114,19 @@ def gen_oplog(
     doc_id = _doc_key(seed, "k", n_docs, skew, seq)
     if len(tables) == 1:
         table = F.lit(tables[0])
+        drop_table = table
     else:
         table = F.element_at(
             F.array(*[F.lit(t) for t in tables]),
             (F.pmod(F.xxhash64(F.lit(seed), F.lit("tbl"), doc_id), F.lit(len(tables))) + 1).cast("int"),
+        )
+        # drop events carry no doc_id, so their table comes from op_seq —
+        # a concrete table either way, so multi-table drop barriers are
+        # actually exercised (round-1 fixture gap: table=NULL drops were
+        # silently discarded by the namespace filter)
+        drop_table = F.element_at(
+            F.array(*[F.lit(t) for t in tables]),
+            (F.pmod(F.xxhash64(F.lit(seed), F.lit("droptbl"), seq), F.lit(len(tables))) + 1).cast("int"),
         )
 
     ts_ms = F.floor(seq / ties_per_ms)
@@ -138,7 +147,7 @@ def gen_oplog(
         seq.alias("op_seq"),
         op_ts.alias("op_ts"),
         op.alias("op"),
-        F.when(~is_drop | F.lit(len(tables) == 1), table).alias("table"),
+        F.when(~is_drop, table).otherwise(drop_table).alias("table"),
         F.when(~is_drop, doc_id).alias("doc_id"),
         after.alias("after"),
     )

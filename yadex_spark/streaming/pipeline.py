@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from yadex_spark.lake.table import LakeTable
-from yadex_spark.operators.collapse import ORDER_COLS, collapse
+from yadex_spark.operators.collapse import ORDER_COL, collapse
 from yadex_spark.operators.route import Router, namespace_filter, route_filter
 from yadex_spark.schema import oplog_schema
 
@@ -80,9 +80,7 @@ class CdcPipeline:
         # one pass over the cached batch: table inventory, drop barriers,
         # and the ts high-watermark
         inv = batch.groupBy("table").agg(
-            F.max(
-                F.when(F.col("op") == "drop", F.struct(*ORDER_COLS))
-            ).alias("bar"),
+            F.max(F.when(F.col("op") == "drop", F.col(ORDER_COL))).alias("bar"),
             F.max("op_ts").alias("max_ts"),
         ).collect()
         names = [r["table"] for r in inv]
@@ -116,14 +114,7 @@ class CdcPipeline:
         live = batch.where((F.col("op") != "drop") & F.col("doc_id").isNotNull())
         for tname, bar in barriers.items():
             live = live.where(
-                (F.col("table") != tname)
-                | (
-                    F.struct(*ORDER_COLS)
-                    > F.struct(
-                        F.lit(bar["op_ts"]).cast("timestamp"),
-                        F.lit(bar["op_seq"]).cast("long"),
-                    )
-                )
+                (F.col("table") != tname) | (F.col(ORDER_COL) > F.lit(bar).cast("long"))
             )
 
         # not persisted: both consumers (stats, delta write) re-derive
@@ -148,7 +139,7 @@ class CdcPipeline:
                 if tname in barriers:
                     tbl.commit_truncate(
                         batch_id=f"e{epoch_id}-trunc",
-                        trunc_seq=barriers[tname]["op_seq"],
+                        trunc_seq=barriers[tname],
                     )
                 s = stats.get(tname)
                 if s is not None and s["n"]:

@@ -141,3 +141,21 @@ def test_multi_table_routing_and_exclude(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "lake" / "skip_me" / "_meta")) or (
         pipe.table("skip_me").latest_version() == 0
     )
+
+
+def test_multi_table_drop_barriers(spark, tmp_path):
+    """B1 rule (c) across tables: drop events land on concrete tables in
+    multi-table feeds, and each table's barrier kills only ITS history
+    (input.go:113-123 per-collection drop)."""
+    oplog = gen_oplog(
+        spark, 6_000, 1_000, seed=17, tables=("seqs", "aux"),
+        drop_at=(2_500, 2_501, 4_000),
+    )
+    drops = oplog.where("op = 'drop'").select("table").collect()
+    assert {r["table"] for r in drops} == {"seqs", "aux"}  # both tables hit
+    path = str(tmp_path / "oplog")
+    write_oplog_chunks(oplog, path, n_chunks=4)
+    pipe = _pipe(spark, tmp_path, path)
+    pipe.run_available_now()
+    for t in ("seqs", "aux"):
+        assert_equal_state(_expected(spark, oplog, t), pipe.table(t).read())

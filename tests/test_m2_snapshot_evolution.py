@@ -101,14 +101,19 @@ def test_schema_evolution_mid_stream(spark, tmp_path):
 def test_late_data_expiry_rt_tier(spark, tmp_path):
     """RT tier drops events older than the expiry window vs the running
     high-watermark; final state matches the lossy oracle and lineage
-    counts the drops."""
+    counts the drops.  Expiry applies because the route pattern is RT —
+    ST tables never expire (msync/bulkwrite.go runBulkWriteRT)."""
+    from yadex_spark.operators.route import RT, RoutePattern, Router
+
     oplog = gen_oplog(
         spark, 6_000, 1_200, seed=41, late_frac=0.05, late_lag_ms=10_000
     )
     path = str(tmp_path / "oplog")
     write_oplog_chunks(oplog, path, n_chunks=3)
     pipe = CdcPipeline(
-        spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"), expiry_ms=5_000
+        spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+        router=Router(patterns=(RoutePattern(".*", RT),)),
+        expiry_ms=5_000,
     )
     pipe.run_available_now()
 
@@ -119,3 +124,39 @@ def test_late_data_expiry_rt_tier(spark, tmp_path):
     assert_equal_state(expected, pipe.table("seqs").read())
     dropped = pipe.lineage().agg(F.sum("n_dropped_late")).first()[0]
     assert dropped and dropped > 0
+
+
+def test_two_tier_rt_and_st_in_one_pipeline(spark, tmp_path):
+    """Per-pattern expiry (config.go:19 Expires): one pipeline routes an
+    RT table (lossy, expiring per its pattern's expires_ms) and an ST
+    table (lossless) — late events are dropped ONLY from the RT table."""
+    from yadex_spark.operators.route import RT, ST, RoutePattern, Router
+
+    oplog = gen_oplog(
+        spark, 6_000, 1_200, seed=43, tables=("rt_feed", "st_feed"),
+        late_frac=0.05, late_lag_ms=10_000,
+    )
+    path = str(tmp_path / "oplog")
+    write_oplog_chunks(oplog, path, n_chunks=3)
+    pipe = CdcPipeline(
+        spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+        router=Router(patterns=(
+            RoutePattern("rt_.*", RT, expires_ms=5_000),
+            RoutePattern("st_.*", ST),
+        )),
+    )
+    pipe.run_available_now()
+
+    pdf = oplog.toPandas()
+    # per-table oracle: the RT slice replays lossy, the ST slice lossless
+    for tname, window in (("rt_feed", 5_000), ("st_feed", None)):
+        expected = spark.createDataFrame(
+            state_to_pdf(replay(pdf[pdf.table == tname], expiry_ms=window), tname),
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+        assert_equal_state(expected, pipe.table(tname).read())
+    late = {
+        r["table"]: r["n"]
+        for r in pipe.lineage().groupBy("table").agg(F.sum("n_dropped_late").alias("n")).collect()
+    }
+    assert late["rt_feed"] > 0 and late["st_feed"] == 0

@@ -48,7 +48,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 META = "_meta"
@@ -135,9 +135,13 @@ class LakeTable:
     def _write_data(self, df: DataFrame, version_hint: int, n_rows: int | None = None) -> tuple[str, int]:
         rel = os.path.join(DATA, f"s{version_hint:08d}-{int(time.time() * 1000)}")
         full = os.path.join(self.path, rel)
+        if n_rows is None:
+            # exact count captured DURING the write (Observation piggybacks
+            # on the job) — no read-back scan on the clone/compaction paths
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         df.write.mode("overwrite").parquet(full)
-        # footer-count read-back only when the caller has no exact count
-        n = self.spark.read.parquet(full).count() if n_rows is None else n_rows
+        n = n_rows if n_rows is not None else int(obs.get["n"])
         return rel, n
 
     # ---------- write paths ----------
@@ -165,23 +169,22 @@ class LakeTable:
         """
         if batch_id in self.committed_batch_ids():
             return None
-        payload_cols = [
-            c for c in collapsed.columns
-            if c not in ("op", "op_seq", "op_ts", "table", "doc_id")
-        ]
-        # store the post-image FLAT (after.* -> top-level columns): parquet
-        # column pruning then works per payload field, and schema evolution
-        # is plain top-level mergeSchema / unionByName
-        flat = [F.col("after.*")] if payload_cols == ["after"] else [F.col(c) for c in payload_cols]
-        stored = collapsed.select(
-            "doc_id",
-            *flat,
-            F.col("op_seq").cast("long").alias(SEQ_COL),
-            (F.col("op") == "delete").alias(DELETED_COL),
-        )
+        stored = prepare_delta(collapsed)
         rel, n = self._write_data(stored, self.latest_version() + 1, n_rows)
         ddl = _ddl(stored.drop(SEQ_COL, DELETED_COL))
         return self._commit_manifest("delta", batch_id, ddl, n, rel)
+
+    def commit_delta_dir(self, files_dir: str, batch_id: str,
+                         n_rows: int, schema_ddl: str) -> int | None:
+        """Commit a manifest over delta files already written elsewhere —
+        the pipeline's one-job-per-epoch staging write (partitionBy(table)
+        into <lake>/_staging) commits each table's subdir this way, so T
+        tables cost ONE Spark job, not T.  ``files_dir`` may be absolute;
+        reads ``os.path.join`` it against the table root, which returns
+        absolute paths unchanged.  Idempotent by batch_id."""
+        if batch_id in self.committed_batch_ids():
+            return None
+        return self._commit_manifest("delta", batch_id, schema_ddl, n_rows, files_dir)
 
     def commit_truncate(self, batch_id: str | None = None,
                         trunc_seq: int | None = None) -> int | None:
@@ -266,6 +269,30 @@ class LakeTable:
         return self._materialize(snaps, keep_deleted=False, kill_seq=kill_seq).drop(
             SEQ_COL, DELETED_COL
         )
+
+
+def prepare_delta(collapsed: DataFrame, keep_table: bool = False) -> DataFrame:
+    """Collapsed micro-batch -> storage layout.
+
+    Stores the post-image FLAT (after.* -> top-level columns): parquet
+    column pruning then works per payload field, and schema evolution is
+    plain top-level mergeSchema / unionByName.  op=='delete' rows keep
+    only the hidden tombstone marker.  ``keep_table`` retains the table
+    column for a partitionBy("table") staging write."""
+    payload_cols = [
+        c for c in collapsed.columns
+        if c not in ("op", "op_seq", "op_ts", "table", "doc_id")
+    ]
+    flat = [F.col("after.*")] if payload_cols == ["after"] else [F.col(c) for c in payload_cols]
+    cols = [
+        "doc_id",
+        *flat,
+        F.col("op_seq").cast("long").alias(SEQ_COL),
+        (F.col("op") == "delete").alias(DELETED_COL),
+    ]
+    if keep_table:
+        cols.insert(0, "table")
+    return collapsed.select(*cols)
 
 
 def _ddl(df: DataFrame) -> str:

@@ -26,11 +26,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lake", required=True, help="lake root dir")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--pattern", action="append", default=None,
-                   help="table include regex (repeatable, first match wins)")
+                   help="ST (lossless) table include regex (repeatable, first match wins)")
+    p.add_argument("--rt-pattern", action="append", default=[],
+                   help="RT (lossy, expiring) table regex; tried before --pattern")
     p.add_argument("--exclude", action="append", default=[],
                    help="exclude regex applied to every pattern")
     p.add_argument("--expires-ms", type=int, default=None,
-                   help="RT lossy tier: drop events older than this vs watermark")
+                   help="RT expiry window: drop events older than this vs the "
+                        "per-table watermark (applies to RT patterns only — "
+                        "ST is lossless, msync/bulkwrite.go runBulkWriteRT)")
     p.add_argument("--max-files-per-trigger", type=int, default=8)
     p.add_argument("--compact-every", type=int, default=16)
     p.add_argument("--cpus", type=int, default=None)
@@ -41,9 +45,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
-    patterns = tuple(
-        RoutePattern(rx, "ST", exclude=tuple(args.exclude)) for rx in (args.pattern or [".*"])
+    if args.expires_ms is not None and args.expires_ms <= 0:
+        raise SystemExit("--expires-ms must be positive (config.go:100-112 validation)")
+    rt = tuple(
+        RoutePattern(rx, "RT", exclude=tuple(args.exclude), expires_ms=args.expires_ms)
+        for rx in args.rt_pattern
     )
+    # --expires-ms with no --rt-pattern means "the whole pipeline is the
+    # lossy tier" (the reference's single-tier RT config)
+    default_tier = "RT" if (args.expires_ms is not None and not rt) else "ST"
+    st = tuple(
+        RoutePattern(rx, default_tier, exclude=tuple(args.exclude))
+        for rx in (args.pattern or [".*"])
+    )
+    patterns = rt + st
     spark = get_spark("yadex-spark-cdc", cpus=args.cpus)
     pipe = CdcPipeline(
         spark,

@@ -36,7 +36,10 @@ class RoutePattern:
     regex: str
     tier: str = ST
     exclude: tuple[str, ...] = ()
-    expires_ms: int | None = None  # RT expiry window (config.go:19 default 5000)
+    #: RT expiry window (config.go:19 Expires, default 5000 there).  Used
+    #: by the pipeline for RT-classified tables; None falls back to the
+    #: pipeline-level default.  ST tables never expire.
+    expires_ms: int | None = None
 
 
 @dataclass

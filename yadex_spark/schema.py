@@ -83,6 +83,8 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("n_delete", T.LongType(), False),
         T.StructField("n_dropped_late", T.LongType(), False),
         T.StructField("apply_ms", T.DoubleType(), False),
-        T.StructField("committed_at", T.TimestampType(), False),
+        # epoch seconds: lineage is driver-written JSON (no Spark job per
+        # epoch), so the stamp is a plain double
+        T.StructField("committed_at", T.DoubleType(), False),
     ]
 )

@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 
 def resume_points(spark: SparkSession, lake_dir: str) -> DataFrame:
     """(table, applied_hi) — max applied op_seq per table, from lineage."""
-    lin = spark.read.parquet(os.path.join(lake_dir, "_lineage", "epoch=*"))
+    from yadex_spark.streaming.pipeline import read_lineage
+
+    lin = read_lineage(spark, lake_dir)
     return lin.groupBy("table").agg(F.max("offset_hi").alias("applied_hi"))
 
 

@@ -11,42 +11,67 @@ topology (runSToplog, /root/reference/msync/run.go:137-210):
   regex classify + route (F2/T2)       -> Router + isin filter
   size+time batcher (B1)               -> maxFilesPerTrigger / trigger
   event decode → write model (T1)      -> collapse to terminal op per key
-  bulk apply, dup-key tolerant (W1)    -> LakeTable.commit_delta (MERGE)
-  RT expiry drop (W3)                  -> watermark-style late filter
+  bulk apply, dup-key tolerant (W1)    -> LakeTable delta commit (MERGE)
+  RT expiry drop (W3)                  -> per-pattern late filter
+                                          (config.go:19 Expires; RT only,
+                                          bulkwrite.go runBulkWriteRT)
   bookmark commit + pending list (C1/2)-> checkpoint offsets/commits +
-                                          idempotent batch_id + lineage rows
+                                          idempotent scoped batch_id +
+                                          lineage rows
 
 Exactly-once: Structured Streaming writes offsets before and commits
 after each epoch; if the process dies mid-epoch the epoch replays, and
-``LakeTable.commit_delta`` skips batch_ids it has already committed.
-The lineage write is made idempotent the same way (per-epoch overwrite
-into an epoch-keyed directory).  This deliberately FIXES the
-reference's leaky advance-bookmark-on-error
-(/root/reference/msync/bulkwrite.go:96-110; SURVEY.md §2.1).
+the lake skips batch_ids it has already committed.  batch ids are
+namespaced by a per-checkpoint scope (Delta's txnAppId analogue), so a
+fresh checkpoint over an existing lake cannot collide with a previous
+run's epoch numbers — replays then re-apply, which LWW makes
+value-idempotent.  This deliberately FIXES the reference's leaky
+advance-bookmark-on-error (/root/reference/msync/bulkwrite.go:96-110;
+SURVEY.md §2.1).
+
+Per-epoch cost model (the Amdahl term that decides N→4N scaling):
+
+- ONE narrow inventory pass (the epoch's files are re-read through a
+  real parquet scan recovered from the checkpoint source log, so this
+  reads only (table, op, op_seq, op_ts) — column-pruned), and
+- ONE write job: late-filter → barrier-filter → collapse →
+  ``partitionBy("table")`` staging write.  Per-table lineage stats and
+  late counts ride the same job as Observation metrics, and each
+  table's manifest just points at its staging subdir — T tables cost
+  ONE job, ONE collapse execution, zero extra passes.
+- lineage + watermarks are driver-side JSON appends (no Spark job).
 
 Scale notes (100 TB / 1000 executors):
-- the only wide exchange per epoch is the collapse aggregate, which
-  does map-side partial aggregation → skew-safe (hot keys pre-merge).
+- the only wide exchange per epoch is the collapse winners aggregate
+  (8-byte op_seq buffers, map-side partial agg → skew-safe); the
+  join-back broadcasts when the winner set is small.
 - apply cost is O(batch) (merge-on-read delta), never O(table);
   compaction runs every ``compact_every`` epochs to bound read
   amplification, exactly like Iceberg maintenance.
-- per-table work is independent → tables could be separate queries
-  (the reference's RT/ST split) or one multiplexed query as here.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from yadex_spark.lake.table import LakeTable
+from yadex_spark.lake.table import DELETED_COL, SEQ_COL, LakeTable, _ddl, prepare_delta
 from yadex_spark.operators.collapse import ORDER_COL, collapse
-from yadex_spark.operators.route import Router, namespace_filter, route_filter
-from yadex_spark.schema import oplog_schema
+from yadex_spark.operators.route import RT, Router, namespace_filter, route_filter
+from yadex_spark.schema import LINEAGE_SCHEMA, oplog_schema
+
+
+def read_lineage(spark: SparkSession, lake_dir: str) -> DataFrame:
+    """Per-epoch, per-table lineage rows (north_rule's per-partition
+    lineage + metrics).  Stored as driver-written JSON lines — a commit
+    of lineage must not cost a Spark job."""
+    return spark.read.schema(LINEAGE_SCHEMA).json(os.path.join(lake_dir, "_lineage"))
 
 
 @dataclass
@@ -57,146 +82,263 @@ class CdcPipeline:
     checkpoint_dir: str
     router: Router = field(default_factory=Router)
     max_files_per_trigger: int = 1
-    expiry_ms: int | None = None   # RT tier: drop events older than this vs batch max
+    #: default RT expiry window; a pattern's expires_ms overrides.  Only
+    #: RT-classified tables expire — ST is lossless (the reference applies
+    #: Expires only in runBulkWriteRT, msync/bulkwrite.go:60-63; a global
+    #: filter would silently lose ST data)
+    expiry_ms: int | None = None
     compact_every: int = 0         # 0 = never
     # narrow = codegen'd HashAggregate on max(op_seq) + join-back; beats the
-    # wide struct-max (SortAggregate, no codegen) ~0.8x median in-pipeline
+    # wide struct-max (SortAggregate, no codegen)
     collapse_impl: str = "narrow"
     evolved: bool = False
 
     def table(self, name: str) -> LakeTable:
         return LakeTable(self.spark, os.path.join(self.lake_dir, name))
 
+    # ---------- epoch source recovery ----------
+
+    def _epoch_files(self, epoch_id: int) -> list[str] | None:
+        """The epoch's input files from the FileStreamSourceLog (the
+        public on-disk checkpoint format: ``sources/0/<batchId>`` JSON
+        lines, every 10th file a ``.compact`` carrying all entries).
+
+        foreachBatch hands a LogicalRDD-backed frame: no column pruning
+        or predicate pushdown applies, and every extra pass re-reads all
+        columns.  Re-reading the same files through ``spark.read`` gives
+        a real parquet scan — the narrow passes (inventory, collapse
+        winners) then read only the key columns, the heavy payload is
+        deserialized exactly once, and nothing needs a full-batch
+        ``.persist()`` (whose cache-build cost and memory pressure
+        degenerated low-core runs in round 1)."""
+        log_dir = os.path.join(self.checkpoint_dir, "sources", "0")
+        for name in (str(epoch_id), f"{epoch_id}.compact"):
+            p = os.path.join(log_dir, name)
+            if not os.path.exists(p):
+                continue
+            files = []
+            with open(p) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line.startswith("{"):
+                        continue
+                    entry = json.loads(line)
+                    if entry.get("batchId") == epoch_id:
+                        files.append(entry["path"])
+            return files or None
+        return None
+
+    def _epoch_frame(
+        self, spark: SparkSession, batch: DataFrame, epoch_id: int
+    ) -> tuple[DataFrame, DataFrame | None]:
+        files = self._epoch_files(epoch_id)
+        if files:
+            return spark.read.schema(oplog_schema(self.evolved)).parquet(*files), None
+        cached = batch.persist()  # fallback: unknown source layout
+        return cached, cached
+
+    # ---------- exactly-once identity ----------
+
+    def _scope(self) -> str:
+        """Stable per-checkpoint id namespacing batch ids (the analogue
+        of Delta's txnAppId): epoch numbers restart at 0 under a fresh
+        checkpoint, so un-scoped ids would make a new run against an
+        existing lake silently skip real batches as already committed."""
+        cached = getattr(self, "_scope_cache", None)
+        if cached:
+            return cached
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        path = os.path.join(self.checkpoint_dir, "_yadex_scope.json")
+        if not os.path.exists(path):
+            tmp = f"{path}.tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({"scope": uuid.uuid4().hex[:12]}, f)
+            try:
+                os.link(tmp, path)  # O_EXCL: one winner under races
+            except FileExistsError:
+                pass
+            os.unlink(tmp)
+        with open(path) as f:
+            scope = json.load(f)["scope"]
+        self._scope_cache = scope
+        return scope
+
     # ---------- the per-epoch apply (foreachBatch body) ----------
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         t0 = time.monotonic()
         spark = batch.sparkSession
-        # foreachBatch hands a LogicalRDD-backed frame: every pass would
-        # re-evaluate the full source read (no parquet pruning applies),
-        # so materialize the batch ONCE for its several consumers
-        batch = namespace_filter(batch).persist()
+        src, cached = self._epoch_frame(spark, batch, epoch_id)
+        try:
+            self._apply(spark, namespace_filter(src), epoch_id, t0)
+        finally:
+            if cached is not None:
+                cached.unpersist()
 
-        # one pass over the cached batch: table inventory, drop barriers,
-        # and the ts high-watermark
-        inv = batch.groupBy("table").agg(
+    def _apply(self, spark: SparkSession, src: DataFrame, epoch_id: int, t0: float) -> None:
+        # PASS 1 (narrow, column-pruned): per-table inventory — drop
+        # barrier position, op_ts high-watermark
+        inv = src.groupBy("table").agg(
             F.max(F.when(F.col("op") == "drop", F.col(ORDER_COL))).alias("bar"),
             F.max("op_ts").alias("max_ts"),
         ).collect()
-        names = [r["table"] for r in inv]
-        st_tables = self.router.tier_tables(names, "ST") + self.router.tier_tables(names, "RT")
-        if not st_tables:
-            batch.unpersist()
+        routed = {
+            r["table"]: p for r in inv if (p := self.router.classify(r["table"]))
+        }
+        if not routed:
             return
-        raw = batch
-        batch = route_filter(batch, st_tables)
+        names = sorted(routed)
+        barriers = {
+            r["table"]: r["bar"]
+            for r in inv
+            if r["bar"] is not None and r["table"] in routed
+        }
+        batch = route_filter(src, names)
 
-        late_counts: dict[str, int] = {}
-        if self.expiry_ms is not None:
-            # lossy RT semantics (msync/bulkwrite.go:60-63): an event whose
-            # op_ts lags the high-watermark by more than the window is
-            # expired.  The watermark is persistent (max op_ts ever seen),
-            # not batch-local — a late event alone in its own micro-batch
-            # must still be dropped.
-            mx = max((r["max_ts"] for r in inv if r["max_ts"] is not None), default=None)
-            wm = self._advance_watermark(mx)
-            if wm is not None:
-                late = F.col("op_ts") < F.lit(wm) - F.expr(f"INTERVAL {self.expiry_ms} MILLISECOND")
-                late_counts = {
-                    r["table"]: r["n"]
-                    for r in batch.where(late).groupBy("table").agg(F.count("*").alias("n")).collect()
-                }
-                batch = batch.where(~late)
+        # per-pattern RT expiry against per-table persistent watermarks
+        windows = {
+            t: (p.expires_ms if p.expires_ms is not None else self.expiry_ms)
+            for t, p in routed.items()
+            if p.tier == RT
+        }
+        windows = {t: w for t, w in windows.items() if w is not None}
+        late = F.lit(False)
+        if windows:
+            wms = self._advance_watermarks(
+                {r["table"]: r["max_ts"] for r in inv if r["max_ts"] is not None}
+            )
+            for t, w in windows.items():
+                if t in wms:
+                    late = late | (
+                        (F.col("table") == t)
+                        & (F.col("op_ts") < F.lit(wms[t]) - F.expr(f"INTERVAL {w} MILLISECOND"))
+                    )
 
-        # drop-barrier + liveness as literal predicates (no join: the
-        # barrier set was already collected in the inventory pass)
-        barriers = {r["table"]: r["bar"] for r in inv if r["bar"] is not None}
-        live = batch.where((F.col("op") != "drop") & F.col("doc_id").isNotNull())
-        for tname, bar in barriers.items():
+        # PASS 2 — the ONLY full-width pass: filter → collapse → staged
+        # write, with late counts and per-table lineage stats riding the
+        # same job as Observation metrics (no extra aggregation jobs)
+        late_obs = Observation()
+        batch = batch.observe(
+            late_obs,
+            *[
+                F.sum(F.when(late & (F.col("table") == t), 1).otherwise(0)).alias(f"late_{i}")
+                for i, t in enumerate(names)
+            ],
+        )
+        live = batch.where(~late).where(
+            (F.col("op") != "drop") & F.col("doc_id").isNotNull()
+        )
+        for t, bar in barriers.items():
             live = live.where(
-                (F.col("table") != tname) | (F.col(ORDER_COL) > F.lit(bar).cast("long"))
+                (F.col("table") != t) | (F.col(ORDER_COL) > F.lit(bar).cast("long"))
             )
 
-        # not persisted: both consumers (stats, delta write) re-derive
-        # from the cached raw batch
         collapsed = collapse(live, impl=self.collapse_impl)
-        try:
-            # per-table lineage stats in one aggregation over the (small)
-            # collapsed batch
-            stats = {
-                r["table"]: r
-                for r in collapsed.groupBy("table").agg(
-                    F.min("op_seq").alias("lo"), F.max("op_seq").alias("hi"),
-                    F.count("*").alias("n"),
-                    F.sum(F.when(F.col("op") == "insert", 1).otherwise(0)).alias("ni"),
-                    F.sum(F.when(F.col("op").isin("update", "replace"), 1).otherwise(0)).alias("nu"),
-                    F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("nd"),
-                ).collect()
-            }
-            lineage_rows = []
-            for tname in st_tables:
-                tbl = self.table(tname)
-                if tname in barriers:
-                    tbl.commit_truncate(
-                        batch_id=f"e{epoch_id}-trunc",
-                        trunc_seq=barriers[tname],
-                    )
-                s = stats.get(tname)
-                if s is not None and s["n"]:
-                    tbl.commit_delta(
-                        collapsed.where(F.col("table") == tname).drop("table"),
-                        batch_id=f"e{epoch_id}", n_rows=s["n"],
-                    )
-                if self.compact_every and (epoch_id + 1) % self.compact_every == 0:
-                    tbl.compact()
-                lineage_rows.append(
-                    (epoch_id, tname, 0,
-                     s["lo"] if s else None, s["hi"] if s else None,
-                     s["ni"] if s else 0, s["nu"] if s else 0, s["nd"] if s else 0,
-                     late_counts.get(tname, 0),
-                     (time.monotonic() - t0) * 1000.0)
-                )
-            self._write_lineage(spark, epoch_id, lineage_rows)
-        finally:
-            raw.unpersist()
+        stats_obs = Observation()
+        metrics = []
+        for i, t in enumerate(names):
+            cond = F.col("table") == t
+            metrics += [
+                F.min(F.when(cond, F.col(ORDER_COL))).alias(f"lo_{i}"),
+                F.max(F.when(cond, F.col(ORDER_COL))).alias(f"hi_{i}"),
+                F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{i}"),
+                F.sum(F.when(cond & (F.col("op") == "insert"), 1).otherwise(0)).alias(f"ni_{i}"),
+                F.sum(F.when(cond & F.col("op").isin("update", "replace"), 1).otherwise(0)).alias(f"nu_{i}"),
+                F.sum(F.when(cond & (F.col("op") == "delete"), 1).otherwise(0)).alias(f"nd_{i}"),
+            ]
+        collapsed = collapsed.observe(stats_obs, *metrics)
 
-    def _advance_watermark(self, batch_max) -> object:
-        """Monotone persistent high-watermark over op_ts (idempotent:
-        re-running an epoch can only re-propose the same max)."""
+        stored = prepare_delta(collapsed, keep_table=True)
+        staging = os.path.join(self.lake_dir, "_staging", f"e{epoch_id:08d}")
+        # idempotent on replay: the overwrite regenerates byte-equivalent
+        # content (deterministic collapse), and already-committed tables
+        # skip their manifest by batch_id — their files_dir still points
+        # at the regenerated, row-identical subdir
+        stored.write.mode("overwrite").partitionBy("table").parquet(staging)
+
+        lates = late_obs.get
+        st = stats_obs.get
+        scope = self._scope()
+        ddl = _ddl(stored.drop("table", SEQ_COL, DELETED_COL))
+        lineage_rows = []
+        for i, t in enumerate(names):
+            tbl = self.table(t)
+            if t in barriers:
+                tbl.commit_truncate(
+                    batch_id=f"{scope}/e{epoch_id}-trunc", trunc_seq=barriers[t]
+                )
+            n = st[f"n_{i}"]
+            if n:
+                tbl.commit_delta_dir(
+                    os.path.join(staging, f"table={t}"),
+                    batch_id=f"{scope}/e{epoch_id}",
+                    n_rows=int(n),
+                    schema_ddl=ddl,
+                )
+            if self.compact_every and (epoch_id + 1) % self.compact_every == 0:
+                tbl.compact()
+            lineage_rows.append(
+                dict(
+                    batch_id=epoch_id,
+                    table=t,
+                    partition_id=0,
+                    offset_lo=st[f"lo_{i}"],
+                    offset_hi=st[f"hi_{i}"],
+                    n_insert=int(st[f"ni_{i}"] or 0),
+                    n_update=int(st[f"nu_{i}"] or 0),
+                    n_delete=int(st[f"nd_{i}"] or 0),
+                    n_dropped_late=int(lates[f"late_{i}"] or 0),
+                    apply_ms=(time.monotonic() - t0) * 1000.0,
+                    committed_at=time.time(),
+                )
+            )
+        self._write_lineage(epoch_id, lineage_rows)
+
+    # ---------- driver-side metadata (no Spark jobs) ----------
+
+    def _advance_watermarks(self, batch_max: dict) -> dict:
+        """Monotone persistent per-table high-watermarks over op_ts
+        (idempotent: a replayed epoch re-proposes the same maxima)."""
         import datetime as _dt
-        import json as _json
 
         os.makedirs(self.lake_dir, exist_ok=True)
-        path = os.path.join(self.lake_dir, "_watermark.json")
-        stored = None
+        path = os.path.join(self.lake_dir, "_watermarks.json")
+        stored: dict = {}
         if os.path.exists(path):
             with open(path) as f:
-                stored = _dt.datetime.fromisoformat(_json.load(f)["max_op_ts"])
-        best = max([t for t in (stored, batch_max) if t is not None], default=None)
-        if best is not None and best != stored:
-            tmp = path + ".tmp"
+                stored = {
+                    t: _dt.datetime.fromisoformat(v) for t, v in json.load(f).items()
+                }
+        merged = dict(stored)
+        for t, ts in batch_max.items():
+            if ts is not None and (t not in merged or ts > merged[t]):
+                merged[t] = ts
+        if merged != stored:
+            tmp = f"{path}.tmp-{os.getpid()}"
             with open(tmp, "w") as f:
-                _json.dump({"max_op_ts": best.isoformat()}, f)
+                json.dump({t: v.isoformat() for t, v in merged.items()}, f)
             os.replace(tmp, path)
-        return best
+        return merged
 
-    def _write_lineage(self, spark: SparkSession, epoch_id: int, rows: list) -> None:
-        """Per-partition lineage (north_rule).  Idempotent: epoch-keyed
-        overwrite, so a replayed epoch rewrites rather than duplicates."""
+    def _write_lineage(self, epoch_id: int, rows: list[dict]) -> None:
+        """Per-partition lineage (north_rule) as driver-written JSON
+        lines.  Idempotent: epoch-keyed atomic replace, so a replayed
+        epoch rewrites rather than duplicates — and committing lineage
+        costs no Spark job (round-1's coalesce(1) parquet write was a
+        fixed per-epoch job that capped scaling efficiency)."""
         if not rows:
             return
-        df = spark.createDataFrame(
-            rows,
-            "batch_id long, table string, partition_id int, offset_lo long, "
-            "offset_hi long, n_insert long, n_update long, n_delete long, "
-            "n_dropped_late long, apply_ms double",
-        ).withColumn("committed_at", F.current_timestamp())
-        df.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.lake_dir, "_lineage", f"epoch={epoch_id}")
-        )
+        d = os.path.join(self.lake_dir, "_lineage")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"epoch-{epoch_id:08d}.json")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.replace(tmp, path)
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.lake_dir, "_lineage", "epoch=*"))
+        return read_lineage(self.spark, self.lake_dir)
 
     # ---------- run ----------
 

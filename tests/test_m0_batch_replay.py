@@ -136,6 +136,34 @@ def test_compaction_preserves_state(spark, tmp_path, oplog):
     assert diff_counts(expected, actual)["equal"] == expected.count()
 
 
+def test_compaction_keeps_tombstones_against_late_arrivals(spark, tmp_path):
+    """Out-of-order epoch arrival across a compaction: a late pre-delete
+    upsert (lower op_seq committed after compact) must NOT resurrect a
+    deleted key — compaction retains tombstones by default.  With
+    min_live_seq (the feed's replay low-watermark) dead tombstones are
+    garbage-collected."""
+    tbl = LakeTable(spark, str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id string, op string, op_seq long, after struct<x:int>"
+    )
+    # epoch B (arrives first): delete k1 at seq 10, upsert k2 at seq 11
+    tbl.commit_delta(mk([("k1", "delete", 10, None), ("k2", "insert", 11, (2,))]), "eB")
+    tbl.compact()  # default: tombstone for k1 survives
+    # epoch A (late, lower seqs): the pre-delete upsert of k1
+    tbl.commit_delta(mk([("k1", "insert", 5, (1,))]), "eA")
+    state = {r["doc_id"]: r["x"] for r in tbl.read().collect()}
+    assert state == {"k2": 2}  # k1 stays dead
+    # GC: everything below seq 6 can never arrive again -> k1's tombstone
+    # (seq 10) is still live, so it must survive even this GC pass
+    tbl.compact(min_live_seq=6)
+    assert {r["doc_id"] for r in tbl.read().collect()} == {"k2"}
+    # ...but once the watermark passes it, the tombstone is collected
+    tbl.compact(min_live_seq=11)
+    snaps, kill = tbl._active_chain()
+    rows = tbl._materialize(snaps, keep_deleted=True, kill_seq=kill).collect()
+    assert {r["doc_id"] for r in rows} == {"k2"}
+
+
 def test_lineage_stats(oplog):
     stats = batch_stats(oplog.where("op != 'drop'"))
     agg = stats.agg(

@@ -22,11 +22,13 @@ Layout::
 - **compact**  materializes current state into fresh base files;
                bounds read amplification (like Iceberg compaction)
 
-Reads reconstruct current state with ONE hash aggregate:
-``groupBy(doc_id).agg(max_by(row, (_seq, _v)))`` then drop tombstones —
-map-side partial aggregation keeps hot keys cheap (same argument as the
-collapse operator).  Snapshot isolation: ``read(version=...)`` sees
-exactly the files of that snapshot chain.
+Reads reconstruct current state the narrow way: (_seq, chain-rank)
+packs into one BIGINT ``_ord``, a codegen'd HashAggregate takes the
+per-key max, and a join-back fetches the winning payload — map-side
+partial aggregation keeps hot keys cheap (same argument as the collapse
+operator), and no payload byte rides through an aggregation buffer.
+Snapshot isolation: ``read(version=...)`` sees exactly the files of
+that snapshot chain.
 
 Exactly-once: every commit records its ``batch_id``; committing an
 already-seen batch_id is a no-op (returns the existing version), so a
@@ -196,17 +198,36 @@ class LakeTable:
             return None
         return self._commit_manifest("truncate", batch_id, "", 0, None, trunc_seq=trunc_seq)
 
-    def compact(self, keep_tombstones: bool = False) -> int | None:
+    def compact(self, keep_tombstones: bool = True,
+                min_live_seq: int | None = None,
+                n_buckets: int | None = None) -> int | None:
         """Rewrite current state as a fresh base (bounds read amplification).
 
-        Tombstones are dropped by default: in-order delivery + batch-id
-        idempotence guarantee no *older* op for a key can arrive later,
-        so a tombstone older than the compaction is unreachable.
+        Tombstones are RETAINED by default: the table is order-free
+        under out-of-order epoch arrival everywhere else, and dropping a
+        tombstone lets a late pre-tombstone upsert (lower _seq committed
+        after compaction) resurrect a deleted key.  Pass ``min_live_seq``
+        (the feed's replay low-watermark — no event below it can ever
+        arrive again, cf. bookmarks.feed_min_offset) to garbage-collect
+        tombstones with _seq < min_live_seq; ``keep_tombstones=False``
+        drops them all (only safe under provably in-order delivery).
+
+        The base is range-clustered on doc_id (``n_buckets`` output
+        files, default spark.sql.shuffle.partitions): every file then
+        carries a tight doc_id min/max in its parquet footer, so point
+        lookups and downstream merge joins prune files.  (Hash bucketing
+        would need metastore bucket metadata to elide any shuffle, which
+        a from-scratch manifest table doesn't have — range clustering is
+        the layout that actually pays off file-skipping.)
         """
         snaps, kill_seq = self._active_chain()
         if not snaps:
             return None
         cur = self._materialize(snaps, keep_deleted=keep_tombstones, kill_seq=kill_seq)
+        if keep_tombstones and min_live_seq is not None:
+            cur = cur.where(~F.col(DELETED_COL) | (F.col(SEQ_COL) >= min_live_seq))
+        n_buckets = n_buckets or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        cur = cur.repartitionByRange(n_buckets, "doc_id").sortWithinPartitions("doc_id")
         rel, n = self._write_data(cur, self.latest_version() + 1)
         ddl = _ddl(cur.drop(SEQ_COL, DELETED_COL))
         return self._commit_manifest("compact", None, ddl, n, rel, trunc_seq=kill_seq)
@@ -235,31 +256,53 @@ class LakeTable:
         files = [s for s in active if s.files_dir is not None]
         return files, (max(kill_seqs) if kill_seqs else None)
 
+    #: bits reserved for the snapshot tiebreak inside the single BIGINT
+    #: read-side ordering key: _ord = _seq << 20 | rank-in-active-chain.
+    #: Caps the ACTIVE chain (snapshots since the last compaction) at
+    #: 2^20 files and _seq at 2^43 — both far above the 10^10-event
+    #: design point (compaction bounds the chain; op_seq is dense).
+    ORD_VERSION_BITS = 20
+
     def _materialize(self, snaps: list[Snapshot], keep_deleted: bool,
                      kill_seq: int | None = None) -> DataFrame:
-        """Union all active files, LWW per key on (_seq, _v)."""
+        """Union all active files, LWW per key on (_seq, _v).
+
+        The winner is picked the narrow way: (_seq, _v) packs into ONE
+        BIGINT ``_ord`` (strictly unique per (doc_id, row): _seq is
+        globally unique across deltas, and equal-_seq rows from snapshot
+        loads differ in _v), so the per-key max runs as a codegen'd
+        HashAggregate over an 8-byte buffer and the join-back returns
+        exactly one row.  A max(struct(...)) over the full row — round
+        1's shape — falls back to a non-codegen SortAggregate carrying
+        every payload byte through the sort."""
+        if len(snaps) >= (1 << self.ORD_VERSION_BITS):
+            raise RuntimeError(
+                f"active chain of {len(snaps)} snapshots exceeds the "
+                f"read-ordering tiebreak capacity (2^{self.ORD_VERSION_BITS}) "
+                "— run compact()"
+            )
         dfs = []
-        for s in snaps:
+        for i, s in enumerate(snaps):  # rank in version order == commit order
             df = self.spark.read.parquet(os.path.join(self.path, s.files_dir))
-            dfs.append(df.withColumn(VERSION_COL, F.lit(s.version)))
+            dfs.append(df.withColumn(VERSION_COL, F.lit(i)))
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)  # schema evolution
         if kill_seq is not None:
             # drop barrier: pre-barrier rows are dead in any snapshot
             out = out.where(F.col(SEQ_COL) >= kill_seq)
-        data_cols = [c for c in out.columns if c not in (SEQ_COL, DELETED_COL, VERSION_COL, "doc_id")]
-        lww = out.groupBy("doc_id").agg(
-            F.max(F.struct(SEQ_COL, VERSION_COL, DELETED_COL, *data_cols)).alias("m")
-        ).select(
-            "doc_id",
-            *[F.col(f"m.{c}").alias(c) for c in data_cols],
-            F.col(f"m.{SEQ_COL}").alias(SEQ_COL),
-            F.col(f"m.{DELETED_COL}").alias(DELETED_COL),
-        )
+        ord_col = (
+            F.col(SEQ_COL) * F.lit(1 << self.ORD_VERSION_BITS) + F.col(VERSION_COL)
+        ).alias("_ord")
+        out = out.withColumn("_ord", ord_col)
+        winners = out.groupBy("doc_id").agg(F.max("_ord").alias("_ord"))
+        lww = out.join(winners, ["doc_id", "_ord"]).drop("_ord", VERSION_COL)
         if not keep_deleted:
             lww = lww.where(~F.col(DELETED_COL))
-        return lww
+        # canonical column order (payload..., hidden) regardless of which
+        # snapshot contributed which column
+        data_cols = [c for c in lww.columns if c not in (SEQ_COL, DELETED_COL, "doc_id")]
+        return lww.select("doc_id", *data_cols, SEQ_COL, DELETED_COL)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Current (or time-travel) state, hidden columns removed."""

@@ -428,18 +428,26 @@ FROM documents GROUP BY 1
 def q_dedup_ngram_jaccard(spark, sf):
     from yadex_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, pct_threshold=2)
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, pct_threshold=2, max_df=100)
 
 
+# document-frequency cap (stop-shingles) mirrors the operator's scale
+# guard: a globally common trigram otherwise creates a quadratic bucket
 SQL_DEDUP_JACCARD = f"""
 WITH {_SH3},
-sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+df AS (SELECT sh AS g, count(*) n_df FROM sh GROUP BY 1),
+shc AS (SELECT doc_id, sh FROM sh JOIN df ON sh = g WHERE n_df <= 100),
+sizes AS (SELECT doc_id, count(*) n_sh FROM shc GROUP BY 1),
 inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_inter
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT doc_a, doc_b, n_inter, sa.n_sh + sb.n_sh - n_inter AS n_union
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE 50 * n_inter >= sa.n_sh + sb.n_sh - n_inter
 """
+
+# 60-bit md5 prefix as BIGINT: numeric min == string min over fixed-width
+# hex, but the BIGINT agg buffer keeps Spark in codegen HashAggregate
+_SIG = "min(CAST('0x' || substr(md5('{i}|' || sh), 1, 15) AS BIGINT)) AS sig{i}"
 
 
 def q_dedup_minhash(spark, sf):
@@ -450,7 +458,7 @@ def q_dedup_minhash(spark, sf):
 
 SQL_DEDUP_MINHASH = f"""
 WITH {_SH3}
-SELECT doc_id, {", ".join(f"min(md5('{i}|' || sh)) AS sig{i}" for i in range(8))}
+SELECT doc_id, {", ".join(_SIG.format(i=i) for i in range(8))}
 FROM sh GROUP BY doc_id
 """
 
@@ -463,7 +471,7 @@ def q_dedup_minhash_lsh(spark, sf):
 
 SQL_DEDUP_LSH = f"""
 WITH {_SH3},
-sigs AS (SELECT doc_id, {", ".join(f"min(md5('{i}|' || sh)) AS sig{i}" for i in range(8))}
+sigs AS (SELECT doc_id, {", ".join(_SIG.format(i=i) for i in range(8))}
          FROM sh GROUP BY doc_id),
 bands AS ({" UNION ALL ".join(f"SELECT doc_id, {i} AS band, sig{i} AS sig FROM sigs" for i in range(8))})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -477,14 +485,39 @@ def q_dedup_simhash(spark, sf):
     return simhash(_t(spark, sf, "documents"), bits=16)
 
 
-SQL_DEDUP_SIMHASH = f"""
-WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+_SIMHASH_CTE = f"""
+w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
 h AS (SELECT doc_id, md5(w) h FROM w),
 v AS (SELECT doc_id,
       {", ".join(f"sum(CASE WHEN instr('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS v{j}" for j in range(16))}
-      FROM h GROUP BY doc_id)
-SELECT doc_id, concat({", ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(16))}) AS simhash
-FROM v
+      FROM h GROUP BY doc_id),
+simh AS (SELECT doc_id, concat({", ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(16))}) AS simhash
+         FROM v)
+"""
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_id, simhash FROM simh
+"""
+
+
+def q_dedup_simhash_pairs(spark, sf):
+    from yadex_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf, "documents"), bits=16, bands=4, max_hamming=3)
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH {_SIMHASH_CTE},
+bands AS (SELECT doc_id, simhash, b AS band, substr(simhash, b*4 + 1, 4) AS chunk
+          FROM simh, unnest([0,1,2,3]) t(b)),
+cand AS (SELECT DISTINCT a.doc_id doc_a, a.simhash sh_a, b.doc_id doc_b, b.simhash sh_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST({" + ".join(f"CASE WHEN substr(sh_a,{j+1},1) <> substr(sh_b,{j+1},1) THEN 1 ELSE 0 END" for j in range(16))} AS BIGINT) AS hamming
+FROM cand
+WHERE {" + ".join(f"CASE WHEN substr(sh_a,{j+1},1) <> substr(sh_b,{j+1},1) THEN 1 ELSE 0 END" for j in range(16))} <= 3
 """
 
 
@@ -508,14 +541,19 @@ SELECT query_id, neighbor_id, rnk, cos FROM
 def q_embed_near_dup(spark, sf):
     from yadex_spark.operators.similarity import near_dup_pairs
 
-    return near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.45)
+    # grid-bucketed candidates (cell=250 over the first two quantized
+    # dims) — the scale path; round 1's all-pairs range join is retained
+    # only as near_dup_pairs_exact for small-N recall checks
+    return near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.45, cell=250)
 
 
 SQL_EMBED_NEAR_DUP = f"""
-WITH {_QVEC}
+WITH {_QVEC},
+c AS (SELECT vec_id, q, n2,
+             CAST(floor(q[1]/250) AS BIGINT) cx, CAST(floor(q[2]/250) AS BIGINT) cy FROM pn)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) AS cos
-FROM pn a JOIN pn b ON a.vec_id < b.vec_id
+FROM c a JOIN c b ON a.cx = b.cx AND a.cy = b.cy AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) >= 0.45
 """
 
@@ -705,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_near_dup": q_embed_near_dup,
         "embed_ann_grid": q_embed_ann_grid,
@@ -737,6 +776,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_minhash_lsh": SQL_DEDUP_LSH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
         "embed_cosine_topk": SQL_EMBED_TOPK,
         "embed_near_dup": SQL_EMBED_NEAR_DUP,
         "embed_ann_grid": SQL_EMBED_ANN_GRID,

@@ -36,7 +36,9 @@ HEADLINE = [
     "events_sessionize",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
     "embed_cosine_topk",
+    "embed_near_dup",
     "text_quality",
     "cdc_engine_replay",
 ]

@@ -114,13 +114,19 @@ def main() -> None:
         _gen(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], sys.argv[5])
         return
 
-    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--feed")]
+    reuse = next((a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--feed=")), None)
+    n_events = int(args[0]) if args else 2_000_000
+    n_docs = int(args[1]) if len(args) > 1 else 200_000
 
     work = tempfile.mkdtemp(prefix="scaling-")
-    feed = os.path.join(work, "oplog")
     warm_feed = os.path.join(work, "oplog-warm")
-    _child(["--gen", str(n_events), str(n_docs), feed, warm_feed], "gen")
+    if reuse:  # pre-generated feed (16 GB gens are slow on this box)
+        feed = reuse
+        _child(["--gen", "50000", "5000", os.path.join(work, "unused"), warm_feed], "gen")
+    else:
+        feed = os.path.join(work, "oplog")
+        _child(["--gen", str(n_events), str(n_docs), feed, warm_feed], "gen")
 
     # interleaved repetitions, min per config: the host shows heavy
     # run-to-run noise; min isolates the machine-capability number and

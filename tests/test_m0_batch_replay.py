@@ -136,6 +136,34 @@ def test_compaction_preserves_state(spark, tmp_path, oplog):
     assert diff_counts(expected, actual)["equal"] == expected.count()
 
 
+def test_field_diff_reports_what_changed(spark):
+    """V2: per-field change report (compare-dbs.go:327-380 — which
+    fields differ, arrays element-wise, float tolerance)."""
+    from yadex_spark.verify import field_diff
+
+    exp = spark.createDataFrame(
+        [("a", [1, 2], 0.5, "web"), ("b", [3], 0.25, "code"), ("c", [9], 1.0, "wiki")],
+        "doc_id string, tokens array<int>, score double, source string",
+    )
+    act = spark.createDataFrame(
+        [("a", [1, 2], 0.5, "web"),          # equal
+         ("b", [3, 4], 0.2500001, "books"),  # tokens + source changed; score within tol
+         ("d", [7], 0.1, "web")],            # added (not a field diff)
+        "doc_id string, tokens array<int>, score double, source string",
+    )
+    got = {
+        (r["doc_id"], r["field"]): (r["expected"], r["actual"])
+        for r in field_diff(exp, act, float_tolerance=1e-3).collect()
+    }
+    assert got == {
+        ("b", "tokens"): ("3", "3,4"),
+        ("b", "source"): ("code", "books"),
+    }
+    # without tolerance the float diff is reported too
+    strict = {r["field"] for r in field_diff(exp, act).collect()}
+    assert strict == {"tokens", "source", "score"}
+
+
 def test_compaction_keeps_tombstones_against_late_arrivals(spark, tmp_path):
     """Out-of-order epoch arrival across a compaction: a late pre-delete
     upsert (lower op_seq committed after compact) must NOT resurrect a

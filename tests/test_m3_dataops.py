@@ -59,8 +59,11 @@ def test_minhash_identical_docs_share_all_sigs(docs):
     sigs = {r["doc_id"]: [r[f"sig{i}"] for i in range(8)] for r in minhash_signatures(docs).collect()}
     assert sigs[0] == sigs[3]          # exact dups: identical signature
     assert sigs[0] != sigs[2]          # unrelated doc differs
-    # python crosscheck of one signature slot
-    exp = min(hashlib.md5(f"0|{s}".encode()).hexdigest() for s in _py_shingles(DOCS[0][1], 3))
+    # python crosscheck of one signature slot (60-bit md5 prefix as int)
+    exp = min(
+        int(hashlib.md5(f"0|{s}".encode()).hexdigest()[:15], 16)
+        for s in _py_shingles(DOCS[0][1], 3)
+    )
     assert sigs[0][0] == exp
     assert 4 not in sigs               # <3 words -> no shingles -> no signature
 
@@ -85,6 +88,53 @@ def test_simhash_shape(docs):
     unrelated_ham = sum(x != y for x, y in zip(rows[0], rows[2]))
     assert ham <= 6  # near-dup: one of nine words changed
     assert ham <= unrelated_ham + 2  # and no further than an unrelated doc
+
+
+def test_simhash_pairs_banding_is_exact(docs):
+    """bands=4 / max_hamming=3: pigeonhole guarantees every pair within
+    hamming 3 shares a chunk, so the band join loses nothing."""
+    from yadex_spark.operators.dedup import simhash, simhash_pairs
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    want = {
+        (a, b): sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if sum(x != y for x, y in zip(sigs[a], sigs[b])) <= 3
+    }
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(docs).collect()}
+    assert got == want
+    assert got[(0, 3)] == 0  # exact dup
+
+
+def test_near_dup_pairs_bucketed_vs_exact(spark):
+    """Grid-bucketed near-dup returns exactly the exact-variant pairs
+    that share a cell (the documented candidate-set restriction)."""
+    import numpy as np
+
+    from yadex_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_exact,
+        quantized,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 6).astype("float32") * 0.3
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cell = 250
+    exact = {(r["vec_a"], r["vec_b"]) for r in near_dup_pairs_exact(emb, 0.2).collect()}
+    got = {(r["vec_a"], r["vec_b"]) for r in near_dup_pairs(emb, 0.2, cell=cell).collect()}
+    q = np.round(vecs.astype("float64") * 1000)
+    same_cell = {
+        (a, b)
+        for a, b in itertools.combinations(range(40), 2)
+        if np.floor(q[a][0] / cell) == np.floor(q[b][0] / cell)
+        and np.floor(q[a][1] / cell) == np.floor(q[b][1] / cell)
+    }
+    assert got == (exact & same_cell)
+    assert got  # the fixture actually produces same-cell near-dups
 
 
 def test_cosine_topk_matches_numpy(spark):

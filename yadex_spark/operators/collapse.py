@@ -79,11 +79,21 @@ def split_drops(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     return live, truncates
 
 
-def collapse(events: DataFrame, impl: str = "narrow", n_salt: int = 16) -> DataFrame:
+def collapse(events: DataFrame, impl: str = "narrow", n_salt: int = 16,
+             broadcast_winners: bool = False) -> DataFrame:
     """Collapse to one terminal op per (table, doc_id).
 
     Input:  oplog rows (op != 'drop', doc_id non-null).
     Output: one row per key — (table, doc_id, op_ts, op_seq, op, after).
+
+    ``broadcast_winners`` (narrow impl): hint the winner set for a
+    broadcast join-back.  Catalyst's static size estimate for an
+    aggregate output routinely exceeds autoBroadcastJoinThreshold, so
+    without the hint the join-back becomes a SortMergeJoin that shuffles
+    AND sorts the full-width batch — measured 2.2× slower for the whole
+    epoch write at 2M events.  The pipeline sets this from a key-count
+    estimate (see CdcPipeline.broadcast_keys_max); callers who can't
+    bound the key count leave it False and get the shuffle join.
     """
     payload_cols = [c for c in events.columns if c not in ("table", "doc_id")]
     if impl == "narrow":
@@ -92,6 +102,8 @@ def collapse(events: DataFrame, impl: str = "narrow", n_salt: int = 16) -> DataF
         # scripts/explain_audit.py caught it); op_seq is unique so the
         # join-back returns exactly one row per key
         winners = events.groupBy("table", "doc_id").agg(F.max(ORDER_COL).alias("_w"))
+        if broadcast_winners:
+            winners = F.broadcast(winners)
         out = events.join(winners, ["table", "doc_id"]).where(F.col(ORDER_COL) == F.col("_w"))
         return out.select("table", "doc_id", *payload_cols)
     if impl == "agg":

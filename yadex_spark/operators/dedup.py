@@ -58,10 +58,24 @@ def exact_dups(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, pct_threshold: int = 2) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, pct_threshold: int = 2,
+                        max_df: int | None = None) -> DataFrame:
     """Candidate near-dup pairs with n-gram Jaccard >= pct_threshold %,
-    computed entirely in integer arithmetic (n_inter, n_union exact)."""
+    computed entirely in integer arithmetic (n_inter, n_union exact).
+
+    ``max_df`` caps shingle document frequency BEFORE the self-join
+    (stop-shingles): a globally common n-gram otherwise creates a
+    quadratic bucket — at corpus scale one ubiquitous trigram is an
+    O(n²) join explosion.  Jaccard is then computed over the surviving
+    (discriminative) shingle set on both sides of the comparison, which
+    keeps the measure consistent."""
     sh = doc_shingles(docs, n)
+    if max_df is not None:
+        df_counts = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        sh = (
+            sh.join(df_counts.where(F.col("_df") <= max_df), "sh")
+            .drop("_df")
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -82,10 +96,21 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, pct_threshold: int = 2) -> 
 
 
 def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3) -> DataFrame:
-    """k-permutation MinHash as k string-mins of seeded md5 over shingles."""
+    """k-permutation MinHash as k BIGINT-mins of seeded md5 over shingles.
+
+    The hash is the top 60 bits of md5 as an integer (15 hex chars —
+    fits a signed 64-bit in both engines; DuckDB mirrors it with
+    CAST('0x'||substr(md5(..),1,15) AS BIGINT)).  Numeric min over
+    fixed-width hex equals the string min, but a BIGINT agg buffer runs
+    as a codegen'd HashAggregate — the round-1 string min fell back to
+    SortAggregate (var-length buffers, no codegen)."""
     sh = doc_shingles(docs, n)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"sig{i}")
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh"))), 1, 15), 16, 10
+            ).cast("long")
+        ).alias(f"sig{i}")
         for i in range(k)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -136,3 +161,68 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
         *[F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)]
     )
     return agg.select("doc_id", bitstr.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, bits: int = 16, bands: int = 4,
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+
+    Scale shape: the signature is cut into ``bands`` chunks and
+    candidates are generated by a chunk EQUI-join (bucket-local, never
+    all-pairs), then exact-verified.  Pigeonhole: hamming <= bands-1
+    forces at least one identical chunk, so with the defaults
+    (bands=4, max_hamming=3) retrieval is EXACT, not approximate —
+    the same banding argument as MinHash-LSH.
+
+    The reference's analogous role is compare-dbs' "find the
+    near-equal rows" pass (/root/reference/cmd/compare-dbs.go:268-325),
+    done there by brute-force key iteration; the band join is the
+    distributed replacement.
+    """
+    assert max_hamming <= bands - 1, "banding only guarantees recall to bands-1"
+    sh = simhash(docs, bits)
+    w = bits // bands
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("simhash", b * w + 1, w).alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sh.select(
+        "doc_id", "simhash", F.explode(chunks).alias("bc")
+    ).select("doc_id", "simhash", "bc.band", "bc.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    # exact hamming as a char-compare sum: stays in codegen and is
+    # bit-portable to the DuckDB oracle (no engine-specific bit ops)
+    ham = sum(
+        (
+            F.when(
+                F.substring("sh_a", j + 1, 1) != F.substring("sh_b", j + 1, 1), 1
+            ).otherwise(0)
+            for j in range(bits)
+        ),
+        start=F.lit(0),
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -66,8 +66,41 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
     )
 
 
-def near_dup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
-    """All pairs with cosine >= threshold (embedding-cosine near-dup)."""
+def _with_cell(p: DataFrame, cell: int) -> DataFrame:
+    """Grid-cell assignment over the first two quantized dims — the
+    shared IVF/LSH-style candidate generator (bucket-local equi-joins
+    instead of all-pairs)."""
+    return p.withColumn("cx", F.floor(F.element_at("q", 1) / cell)).withColumn(
+        "cy", F.floor(F.element_at("q", 2) / cell)
+    )
+
+
+def near_dup_pairs(emb: DataFrame, threshold: float = 0.45, cell: int = 250) -> DataFrame:
+    """Embedding-cosine near-dup pairs, grid-bucketed candidates.
+
+    Candidates are vectors sharing a grid cell (equi-join Catalyst can
+    shuffle/broadcast; AQE splits hot cells), exact-verified by cosine.
+    Round 1 shipped an all-pairs range join here — O(n²) pair space,
+    impossible at 10^9 vectors; this is the LSH-bucket shape the
+    flagship dedup paths already use.  For small-N exactness checks use
+    :func:`near_dup_pairs_exact`."""
+    p = _with_cell(_prepared(emb), cell)
+    a = p.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
+        F.col("n2").alias("na2"), "cx", "cy",
+    )
+    b = p.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"), "cx", "cy",
+    )
+    pairs = a.join(b, ["cx", "cy"]).where(F.col("vec_a") < F.col("vec_b")).withColumn(
+        "cos", _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2"))
+    )
+    return pairs.where(F.col("cos") >= threshold).select("vec_a", "vec_b", "cos")
+
+
+def near_dup_pairs_exact(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """All-pairs variant — O(n²), for small-N recall verification only."""
     p = _prepared(emb)
     a = p.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("n2").alias("na2"))
     b = p.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("n2").alias("nb2"))
@@ -80,9 +113,7 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
 def ann_grid_topk(emb: DataFrame, n_queries: int = 8, k: int = 3, cell: int = 250) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's grid cell
     (first two quantized dims // cell) — the bucket-local scale path."""
-    p = _prepared(emb).withColumn(
-        "cx", F.floor(F.element_at("q", 1) / cell)
-    ).withColumn("cy", F.floor(F.element_at("q", 2) / cell))
+    p = _with_cell(_prepared(emb), cell)
     qs = p.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qa"),
         F.col("n2").alias("na2"), "cx", "cy",

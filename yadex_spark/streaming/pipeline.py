@@ -91,6 +91,12 @@ class CdcPipeline:
     # narrow = codegen'd HashAggregate on max(op_seq) + join-back; beats the
     # wide struct-max (SortAggregate, no codegen)
     collapse_impl: str = "narrow"
+    #: broadcast the collapse winner set when the epoch's estimated
+    #: distinct-key count is at or below this (≈50-100 B/key in the
+    #: broadcast hash relation → 2M keys ≈ 100-200 MB per executor);
+    #: above it, the join-back falls back to a shuffle join — the one
+    #: wide exchange the epoch budget allows
+    broadcast_keys_max: int = 2_000_000
     evolved: bool = False
 
     def table(self, name: str) -> LakeTable:
@@ -181,6 +187,7 @@ class CdcPipeline:
         inv = src.groupBy("table").agg(
             F.max(F.when(F.col("op") == "drop", F.col(ORDER_COL))).alias("bar"),
             F.max("op_ts").alias("max_ts"),
+            F.approx_count_distinct("doc_id").alias("nkeys"),
         ).collect()
         routed = {
             r["table"]: p for r in inv if (p := self.router.classify(r["table"]))
@@ -233,7 +240,12 @@ class CdcPipeline:
                 (F.col("table") != t) | (F.col(ORDER_COL) > F.lit(bar).cast("long"))
             )
 
-        collapsed = collapse(live, impl=self.collapse_impl)
+        est_keys = sum(r["nkeys"] or 0 for r in inv if r["table"] in routed)
+        collapsed = collapse(
+            live,
+            impl=self.collapse_impl,
+            broadcast_winners=est_keys <= self.broadcast_keys_max,
+        )
         stats_obs = Observation()
         metrics = []
         for i, t in enumerate(names):

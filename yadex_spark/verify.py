@@ -35,6 +35,58 @@ def diff(expected: DataFrame, actual: DataFrame, key: str = "doc_id") -> DataFra
     return j.select(key, status.alias("status"), "_l", "_r")
 
 
+def field_diff(expected: DataFrame, actual: DataFrame, key: str = "doc_id",
+               float_tolerance: float | None = None) -> DataFrame:
+    """V2: per-field change report for 'changed' keys — one row per
+    (key, field) whose value differs, the operational "WHAT changed"
+    view of /root/reference/cmd/compare-dbs.go:327-380 (which reports
+    per-field diffs, arrays element-wise).
+
+    ``float_tolerance``: floating-point fields compare within ±tol
+    (compare-dbs' float tolerance); everything else — including the
+    token arrays of the target payload — compares exactly.  Values are
+    stringified in the report (arrays comma-joined) so one frame carries
+    heterogeneous field types.
+    """
+    payload = [c for c in expected.columns if c != key]
+    d = diff(expected, actual, key).where(F.col("status") == "changed")
+
+    def as_str(side: str, c: str):
+        col = F.col(f"{side}.{c}")
+        dt = dict(zip(expected.columns, [f.dataType for f in expected.schema.fields]))[c]
+        if dt.typeName() == "array":
+            return F.array_join(col.cast("array<string>"), ",")
+        return col.cast("string")
+
+    def changed(c: str):
+        l, r = F.col(f"_l.{c}"), F.col(f"_r.{c}")
+        dt = dict(zip(expected.columns, [f.dataType for f in expected.schema.fields]))[c]
+        if float_tolerance is not None and dt.typeName() in ("float", "double"):
+            return ~(
+                l.eqNullSafe(r)
+                | ((l - r).between(-float_tolerance, float_tolerance))
+            )
+        return ~l.eqNullSafe(r)
+
+    per_field = F.array(
+        *[
+            F.when(
+                changed(c),
+                F.struct(
+                    F.lit(c).alias("field"),
+                    as_str("_l", c).alias("expected"),
+                    as_str("_r", c).alias("actual"),
+                ),
+            )
+            for c in payload
+        ]
+    )
+    return (
+        d.select(key, F.explode(F.filter(per_field, lambda x: x.isNotNull())).alias("f"))
+        .select(key, "f.field", "f.expected", "f.actual")
+    )
+
+
 def diff_counts(expected: DataFrame, actual: DataFrame, key: str = "doc_id") -> dict:
     """{'equal': n, 'changed': n, 'added': n, 'removed': n} — the
     verifier's summary line (compare-dbs' Added/Removed/Changed totals)."""

@@ -485,18 +485,27 @@ def q_dedup_simhash(spark, sf):
     return simhash(_t(spark, sf, "documents"), bits=16)
 
 
-_SIMHASH_CTE = f"""
+def _simhash_cte(bits: int) -> str:
+    """DuckDB mirror of dedup.simhash: bit j votes on nibble j%16 of the
+    seeded hash md5('<j//16>#' || word)."""
+    n_hashes = (bits + 15) // 16
+    hcols = ", ".join(f"md5('{k}#' || w) h{k}" for k in range(n_hashes))
+    votes = ", ".join(
+        f"sum(CASE WHEN instr('0123456789abcdef', substr(h{j // 16}, {j % 16 + 1}, 1)) - 1 >= 8 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    bitstr = ", ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(bits))
+    return f"""
 w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
-h AS (SELECT doc_id, md5(w) h FROM w),
-v AS (SELECT doc_id,
-      {", ".join(f"sum(CASE WHEN instr('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS v{j}" for j in range(16))}
-      FROM h GROUP BY doc_id),
-simh AS (SELECT doc_id, concat({", ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(16))}) AS simhash
-         FROM v)
+h AS (SELECT doc_id, {hcols} FROM w),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+simh AS (SELECT doc_id, concat({bitstr}) AS simhash FROM v)
 """
 
+
 SQL_DEDUP_SIMHASH = f"""
-WITH {_SIMHASH_CTE}
+WITH {_simhash_cte(16)}
 SELECT doc_id, simhash FROM simh
 """
 
@@ -504,20 +513,28 @@ SELECT doc_id, simhash FROM simh
 def q_dedup_simhash_pairs(spark, sf):
     from yadex_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf, "documents"), bits=16, bands=4, max_hamming=3)
+    # 64-bit / 16-bit chunks: exact to hamming<=3; a 16-bit signature's
+    # 4-bit chunks collide for ~22% of ALL pairs (quadratic blowup)
+    return simhash_pairs(_t(spark, sf, "documents"), bits=64, bands=4, max_hamming=3)
 
+
+_HAM64 = " + ".join(
+    f"CASE WHEN substr(sh_a,{j + 1},1) <> substr(sh_b,{j + 1},1) THEN 1 ELSE 0 END"
+    for j in range(64)
+)
 
 SQL_DEDUP_SIMHASH_PAIRS = f"""
-WITH {_SIMHASH_CTE},
-bands AS (SELECT doc_id, simhash, b AS band, substr(simhash, b*4 + 1, 4) AS chunk
-          FROM simh, unnest([0,1,2,3]) t(b)),
+WITH {_simhash_cte(64)},
+bands0 AS (SELECT doc_id, simhash, b AS band, substr(simhash, b*16 + 1, 16) AS chunk
+           FROM simh, unnest([0,1,2,3]) t(b)),
+bsz AS (SELECT band, chunk, count(*) n FROM bands0 GROUP BY 1, 2),
+bands AS (SELECT bands0.* FROM bands0 JOIN bsz USING (band, chunk) WHERE n <= 200),
 cand AS (SELECT DISTINCT a.doc_id doc_a, a.simhash sh_a, b.doc_id doc_b, b.simhash sh_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b,
-       CAST({" + ".join(f"CASE WHEN substr(sh_a,{j+1},1) <> substr(sh_b,{j+1},1) THEN 1 ELSE 0 END" for j in range(16))} AS BIGINT) AS hamming
-FROM cand
-WHERE {" + ".join(f"CASE WHEN substr(sh_a,{j+1},1) <> substr(sh_b,{j+1},1) THEN 1 ELSE 0 END" for j in range(16))} <= 3
+SELECT doc_a, doc_b, hamming FROM
+ (SELECT doc_a, doc_b, CAST({_HAM64} AS BIGINT) AS hamming FROM cand)
+WHERE hamming <= 3
 """
 
 

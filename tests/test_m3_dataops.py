@@ -95,7 +95,7 @@ def test_simhash_pairs_banding_is_exact(docs):
     hamming 3 shares a chunk, so the band join loses nothing."""
     from yadex_spark.operators.dedup import simhash, simhash_pairs
 
-    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=64).collect()}
     want = {
         (a, b): sum(x != y for x, y in zip(sigs[a], sigs[b]))
         for a, b in itertools.combinations(sorted(sigs), 2)

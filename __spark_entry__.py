@@ -53,7 +53,7 @@ def q_cdc_lww_collapse(spark, sf):
     e = _t(spark, sf, "events")
     w = e.groupBy("user_id").agg(F.max("event_id").alias("last_event_id"))
     return (
-        e.join(w, "user_id")
+        e.join(F.broadcast(w), "user_id")
         .where(F.col("event_id") == F.col("last_event_id"))
         .select(
             "user_id",
@@ -79,7 +79,7 @@ def q_cdc_final_state(spark, sf):
     e = _t(spark, sf, "events").withColumn("op", _op_col())
     w = e.groupBy("user_id").agg(F.max("event_id").alias("last_event_id"))
     return (
-        e.join(w, "user_id")
+        e.join(F.broadcast(w), "user_id")
         .where((F.col("event_id") == F.col("last_event_id")) & (F.col("op") != "delete"))
         .select(
             "user_id",
@@ -157,7 +157,7 @@ def q_cdc_full_outer_diff(spark, sf):
     def state(df):
         w = df.groupBy("user_id").agg(F.max("event_id").alias("last_event_id"))
         return (
-            df.join(w, "user_id")
+            df.join(F.broadcast(w), "user_id")
             .where((F.col("event_id") == F.col("last_event_id")) & (F.col("op") != "delete"))
             .select("user_id", "last_event_id")
         )

@@ -65,6 +65,37 @@ def test_snapshot_then_stream_handoff(spark, tmp_path):
     assert_equal_state(expected, tbl.read())
 
 
+def test_clone_with_handoff_orchestration(spark, tmp_path):
+    """I3: the orchestrator captures the pre-copy resume point, clones,
+    and re-checks feed retention; the stream replayed from the handoff
+    lands on the oracle state seeded with the snapshot."""
+    from yadex_spark.snapshot import clone_with_handoff
+
+    n_docs = 800
+    snap = gen_snapshot(spark, n_docs, seed=7)
+    oplog = gen_oplog(spark, 4_000, n_docs, seed=29)
+    path = str(tmp_path / "oplog")
+    write_oplog_chunks(oplog, path, n_chunks=2)
+
+    pipe = CdcPipeline(spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"))
+    tbl = pipe.table("seqs")
+    handoff = clone_with_handoff(snap, tbl, spark.read.parquet(path))
+    assert handoff == 3_999  # pre-copy resume point = feed max
+    assert tbl.read().count() == n_docs
+    pipe.run_available_now()
+
+    snap_pdf = snap.toPandas()
+    initial = {"seqs": {
+        r.doc_id: {"tokens": list(map(int, r.tokens)), "n_tok": int(r.n_tok), "source": r.source}
+        for r in snap_pdf.itertuples(index=False)
+    }}
+    expected = spark.createDataFrame(
+        state_to_pdf(replay(oplog.toPandas(), initial=initial), "seqs"),
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    assert_equal_state(expected, tbl.read())
+
+
 def test_schema_evolution_mid_stream(spark, tmp_path):
     """Feed part 1 with the base schema, then redeploy the pipeline with
     the evolved schema (added source_meta) on feed part 2 — same lake,

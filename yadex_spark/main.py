@@ -25,6 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--oplog", required=True, help="change-feed parquet dir")
     p.add_argument("--lake", required=True, help="lake root dir")
     p.add_argument("--checkpoint", required=True)
+    p.add_argument("--config", default=None,
+                   help="JSON config file, hot-reloaded between drain rounds "
+                        "(config/watch.go analogue; overrides pattern flags)")
     p.add_argument("--pattern", action="append", default=None,
                    help="ST (lossless) table include regex (repeatable, first match wins)")
     p.add_argument("--rt-pattern", action="append", default=[],
@@ -45,6 +48,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
+    if args.config:
+        from yadex_spark.config import run_with_reload
+
+        spark = get_spark("yadex-spark-cdc", cpus=args.cpus)
+        rounds = run_with_reload(
+            spark, args.config, args.oplog, args.lake, args.checkpoint,
+            max_rounds=1 if args.drain else None, sighup=True,
+        )
+        print(json.dumps({"rounds": rounds}))
+        return
     if args.expires_ms is not None and args.expires_ms <= 0:
         raise SystemExit("--expires-ms must be positive (config.go:100-112 validation)")
     rt = tuple(

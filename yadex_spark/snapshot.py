@@ -43,6 +43,32 @@ def clone_snapshot(source: DataFrame, target: LakeTable, batch_id: str = "clone"
     return target.commit_append(missing, batch_id=batch_id)
 
 
+def clone_with_handoff(source: DataFrame, target: LakeTable, oplog: DataFrame,
+                       batch_id: str = "clone", max_rounds: int = 3) -> int:
+    """I3: full clone orchestration — capture the pre-copy resume point,
+    anti-join copy, then re-check that the feed can still serve the
+    handoff (the bookmark-purge race, /root/reference/msync/
+    syncst.go:137-145: if bookmarks were purged mid-clone the reference
+    loops another clone pass).  With a retained feed the race shows as
+    the feed's oldest offset advancing past the captured handoff; each
+    extra round re-captures and copies only the missing delta (the
+    anti-join makes re-passes cheap).
+
+    Returns the handoff op_seq the stream must resume at or before.
+    """
+    for i in range(max_rounds):
+        handoff = capture_handoff_offset(oplog)
+        clone_snapshot(source, target, batch_id=f"{batch_id}-r{i}")
+        row = oplog.agg(F.min("op_seq")).first()
+        feed_min = row[0]
+        if feed_min is None or int(feed_min) <= handoff + 1:
+            return handoff
+    raise RuntimeError(
+        f"feed retention outran the clone {max_rounds} times "
+        "(reference behavior: keep looping clone passes)"
+    )
+
+
 def capture_handoff_offset(oplog: DataFrame) -> int:
     """The pre-copy resume point: stream replay must start at or before
     this op_seq.  With a file/lake feed the analogue of the reference's

@@ -60,9 +60,22 @@ def bench_cdc_replay(spark) -> dict:
         oplog = gen_oplog(spark, CDC_EVENTS, CDC_DOCS, seed=42)
         write_oplog_chunks(oplog, feed, n_chunks=4, bounds=(0, CDC_EVENTS - 1))
 
+        # JIT/codegen warm-up on a small throwaway feed: 10^10-event
+        # ingest runs at steady state, which is what the metric models
+        # (same protocol as scripts/scaling_bench.py)
+        warm_feed = os.path.join(work, "oplog-warm")
+        write_oplog_chunks(gen_oplog(spark, 50_000, 5_000, seed=7), warm_feed,
+                           n_chunks=1, bounds=(0, 49_999))
+        warm = CdcPipeline(
+            spark, warm_feed, os.path.join(work, "warm-lake"),
+            os.path.join(work, "warm-ckpt"), max_files_per_trigger=256,
+        )
+        warm.run_available_now(timeout_s=600)
+        warm.table("seqs").read().count()
+
         pipe = CdcPipeline(
             spark, feed, os.path.join(work, "lake"), os.path.join(work, "ckpt"),
-            max_files_per_trigger=64,
+            max_files_per_trigger=256,
         )
         t0 = time.monotonic()
         pipe.run_available_now(timeout_s=3600)

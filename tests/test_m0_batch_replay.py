@@ -192,6 +192,50 @@ def test_compaction_keeps_tombstones_against_late_arrivals(spark, tmp_path):
     assert {r["doc_id"] for r in rows} == {"k2"}
 
 
+def test_vacuum_expires_precompact_snapshots(spark, tmp_path, oplog):
+    """vacuum() removes data files unreachable from the active chain;
+    current reads survive, pre-compaction time travel expires."""
+    live, _ = split_drops(oplog)
+    live = live.where("table = 'seqs'")
+    tbl = LakeTable(spark, str(tmp_path / "v"))
+    tbl.commit_delta(collapse(live.where("op_seq < 5000")).drop("table"), "e0")
+    tbl.commit_delta(collapse(live.where("op_seq >= 5000")).drop("table"), "e1")
+    before = tbl.read().count()
+    tbl.compact()
+    removed = tbl.vacuum()
+    assert len(removed) == 2  # both pre-compact deltas collected
+    assert tbl.read().count() == before  # current state intact
+    with pytest.raises(Exception):
+        tbl.read(version=1).collect()  # expired time travel
+
+
+def test_concurrent_writers_cannot_claim_one_version(spark, tmp_path):
+    """Optimistic concurrency (manifest O_EXCL): two interleaved writers
+    race the version counter; every commit lands on a distinct version
+    and no batch is lost (Iceberg-style commit protocol)."""
+    import threading
+
+    path = str(tmp_path / "race")
+    a, b = LakeTable(spark, path), LakeTable(spark, path)
+    df = spark.createDataFrame(
+        [("k1", "insert", 1, (1,))],
+        "doc_id string, op string, op_seq long, after struct<x:int>",
+    )
+    results = {}
+
+    def commit(tbl, tag):
+        for i in range(4):
+            results[f"{tag}{i}"] = tbl.commit_delta(df, batch_id=f"{tag}-{i}")
+
+    t1 = threading.Thread(target=commit, args=(a, "a"))
+    t2 = threading.Thread(target=commit, args=(b, "b"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    versions = [v for v in results.values() if v is not None]
+    assert sorted(versions) == list(range(1, 9))  # 8 distinct versions
+    ids = [s.batch_id for s in a.snapshots() if s.batch_id]
+    assert len(ids) == len(set(ids)) == 8
+
+
 def test_lineage_stats(oplog):
     stats = batch_stats(oplog.where("op != 'drop'"))
     agg = stats.agg(

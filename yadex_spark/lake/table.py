@@ -232,6 +232,30 @@ class LakeTable:
         ddl = _ddl(cur.drop(SEQ_COL, DELETED_COL))
         return self._commit_manifest("compact", None, ddl, n, rel, trunc_seq=kill_seq)
 
+    def vacuum(self) -> list[str]:
+        """Delete data directories no longer reachable from the CURRENT
+        active chain (Iceberg's expire-snapshots + remove-orphans
+        maintenance).  Time travel to versions before the last
+        compaction stops working — their manifests remain as history,
+        but their files are gone.  Returns the removed dirs.
+
+        Safe against the shared staging layout: a delta committed via
+        ``commit_delta_dir`` points at its own ``table=<t>`` subdir, so
+        vacuuming one table never touches a sibling table's staging
+        data."""
+        import shutil
+
+        active, _ = self._active_chain()
+        keep = {s.files_dir for s in active}
+        removed = []
+        for s in self.snapshots():
+            if s.files_dir and s.files_dir not in keep:
+                full = os.path.join(self.path, s.files_dir)
+                if os.path.isdir(full):
+                    shutil.rmtree(full)
+                    removed.append(s.files_dir)
+        return removed
+
     # ---------- read paths ----------
 
     def _active_chain(self, version: int | None = None) -> tuple[list[Snapshot], int | None]:

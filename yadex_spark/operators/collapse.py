@@ -43,8 +43,6 @@ truncate watermark the sink applies *before* merging the batch.
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

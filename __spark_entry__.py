@@ -283,6 +283,18 @@ FROM events, b WHERE event_id > m GROUP BY event_type
 # Classic SQL surface (agg / join / window / sort)
 # ---------------------------------------------------------------------------
 
+def _exact4(sum_col):
+    """Exact-decimal aggregate -> double, portably: the source values
+    carry <=4 decimal places, so sum*10^4 is an exact integer (< 2^53);
+    int->double and one division are IEEE-correctly-rounded in every
+    engine.  A direct decimal->double CAST is NOT: DuckDB's int128-
+    scaled conversion lands 1 ULP off (sf0.001 tpch_q1 regression)."""
+    return (sum_col * 10000).cast("long").cast("double") / F.lit(10000.0)
+
+
+_SQL_EXACT4 = "CAST(CAST({x} * 10000 AS BIGINT) AS DOUBLE) / 10000"
+
+
 def q_tpch_q1(spark, sf):
     l = _t(spark, sf, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,6)")
@@ -290,21 +302,21 @@ def q_tpch_q1(spark, sf):
         l.where(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount")))
-            .cast("double")
-            .alias("sum_disc_price"),
+            _exact4(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            _exact4(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            _exact4(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount")))
+            ).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
 
 
-SQL_Q1 = """
+SQL_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+       {_SQL_EXACT4.format(x="sum(CAST(l_quantity AS DECIMAL(18,6)))")} AS sum_qty,
+       {_SQL_EXACT4.format(x="sum(CAST(l_extendedprice AS DECIMAL(18,6)))")} AS sum_base_price,
+       {_SQL_EXACT4.format(x="sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))")} AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01'
 GROUP BY l_returnflag, l_linestatus
@@ -326,17 +338,17 @@ def q_tpch_q3(spark, sf):
     return (
         j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            _exact4(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount")))
+            ).alias("revenue")
         )
     )
 
 
-SQL_Q3 = """
+SQL_Q3 = f"""
 WITH seg AS (SELECT min(c_mktsegment) s FROM customer)
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+       {_SQL_EXACT4.format(x="sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))")} AS revenue
 FROM customer, orders, lineitem, seg
 WHERE c_mktsegment = s AND c_custkey = o_custkey AND o_orderkey = l_orderkey
   AND o_orderdate < TIMESTAMP '1998-01-01'

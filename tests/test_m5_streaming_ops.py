@@ -71,7 +71,8 @@ def test_sessionize_stream_matches_oracle(spark, user_feed):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(600), "stream did not drain (ambient load?)"
+    assert q.exception() is None
     rows = spark.table("sess").collect()
     # update-mode emissions: the final fact per (user, session) is the
     # row with the highest n_events (counts only grow across batches)
@@ -104,7 +105,8 @@ def test_windowed_counts_matches_batch(spark, user_feed):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(600), "stream did not drain (ambient load?)"
+    assert q.exception() is None
     got = {
         (r["window_start"], r["event_type"]): r["n_events"]
         for r in spark.table("wc").collect()

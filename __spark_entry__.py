@@ -656,8 +656,30 @@ def q_text_token_count(spark, sf):
 
 SQL_TEXT_TOKENS = """
 SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_re_tokens,
        CAST(floor((length(text) + 3) / 4) AS BIGINT) AS n_tok_est
 FROM documents
+"""
+
+
+def q_text_winnow(spark, sf):
+    from yadex_spark.operators.text import winnow_fingerprint
+
+    return winnow_fingerprint(_t(spark, sf, "documents"), k=3, w=4)
+
+
+SQL_TEXT_WINNOW = """
+WITH g AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+h AS (SELECT doc_id,
+             list_transform(range(1, len(ws)-1),
+                            i -> CAST('0x' || substr(md5(array_to_string(ws[i:i+2],' ')), 1, 15) AS BIGINT)) AS hs
+      FROM g WHERE len(ws) >= 3),
+wins AS (SELECT doc_id,
+                list_distinct(list_transform(range(1, len(hs)-2), i -> list_min(hs[i:i+3]))) AS fps
+         FROM h WHERE len(hs) >= 4),
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins)
+SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max
+FROM fp GROUP BY doc_id
 """
 
 
@@ -780,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_token_count": q_text_token_count,
         "text_fingerprint": q_text_fingerprint,
+        "text_winnow": q_text_winnow,
         "multimodal_decode": q_multimodal_decode,
     }
 
@@ -813,5 +836,6 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": SQL_TEXT_LANGID,
         "text_token_count": SQL_TEXT_TOKENS,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "text_winnow": SQL_TEXT_WINNOW,
         "multimodal_decode": SQL_MULTIMODAL,
     }

@@ -63,12 +63,19 @@ def langid(docs: DataFrame) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum —
+#: the GPT-2-style split shape, restricted to constructs RE2 (DuckDB)
+#: and Java regex (Spark) interpret identically
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def token_count(docs: DataFrame) -> DataFrame:
-    """Whitespace token count + a BPE-ish chars/4 estimate."""
+    """Whitespace tokens, BPE-ish regex tokens, and a chars/4 estimate."""
     w = words_col(F.col("text"))
     return docs.select(
         "doc_id",
         F.size(w).cast("long").alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_RE}', 0)")).cast("long").alias("n_re_tokens"),
         F.floor((F.length("text") + 3) / 4).alias("n_tok_est"),
     )
 
@@ -83,4 +90,29 @@ def fingerprint(docs: DataFrame, n: int = 5) -> DataFrame:
         F.min(F.md5("sh")).alias("fp_min"),
         F.max(F.md5("sh")).alias("fp_max"),
         F.count("*").alias("n_shingles"),
+    )
+
+
+def winnow_fingerprint(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing (Schleimer et al.): hash every word k-gram, slide a
+    w-hash window, keep each window's MIN hash — the classic
+    position-robust document fingerprint (an insertion shifts positions
+    but local minima survive).  Emits the distinct selected-hash summary
+    per doc; all per-row HOF expressions, no shuffle beyond the final
+    agg.  Hashes are 60-bit md5 prefixes as BIGINT (portable to the
+    DuckDB oracle, codegen-friendly aggregation buffers)."""
+    grams = shingles(words_col(F.col("text")), k)
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    d = docs.select("doc_id", hashes.alias("h")).where(F.size("h") >= w)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("h") - (w - 1)),
+        lambda i: F.array_min(F.slice("h", i, w)),
+    )
+    fp = d.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+    return fp.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
     )

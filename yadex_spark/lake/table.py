@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass
 
@@ -120,7 +121,13 @@ class LakeTable:
                 schema_ddl=schema_ddl, n_rows=n_rows, files_dir=files_dir,
                 committed_at=time.time(), trunc_seq=trunc_seq,
             )
-            tmp = os.path.join(meta_dir, f".tmp-v{version:08d}-{os.getpid()}.json")
+            # unique per pid AND thread: same-process writers (two streams
+            # in one driver) racing a version would otherwise interleave
+            # writes into one shared tmp file and link corrupt JSON
+            tmp = os.path.join(
+                meta_dir,
+                f".tmp-v{version:08d}-{os.getpid()}-{threading.get_ident()}.json",
+            )
             final = os.path.join(meta_dir, f"v{version:08d}.json")
             with open(tmp, "w") as f:
                 json.dump(manifest, f)

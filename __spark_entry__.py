@@ -52,8 +52,12 @@ def q_cdc_lww_collapse(spark, sf):
     SortAggregate with no codegen (round-1 plan audit)."""
     e = _t(spark, sf, "events")
     w = e.groupBy("user_id").agg(F.max("event_id").alias("last_event_id"))
+    # no broadcast hint: at 100× the winner set is every distinct key —
+    # an unconditional hint is OOM-by-construction.  AQE picks broadcast
+    # from the RUNTIME size of the aggregate (small here), which is the
+    # same key-count gating the engine does via broadcast_keys_max.
     return (
-        e.join(F.broadcast(w), "user_id")
+        e.join(w, "user_id")
         .where(F.col("event_id") == F.col("last_event_id"))
         .select(
             "user_id",
@@ -78,8 +82,9 @@ def q_cdc_final_state(spark, sf):
     arrival order), deletes removed.  Narrow HashAggregate + join-back."""
     e = _t(spark, sf, "events").withColumn("op", _op_col())
     w = e.groupBy("user_id").agg(F.max("event_id").alias("last_event_id"))
+    # un-hinted: AQE broadcasts from runtime size (see q_cdc_lww_collapse)
     return (
-        e.join(F.broadcast(w), "user_id")
+        e.join(w, "user_id")
         .where((F.col("event_id") == F.col("last_event_id")) & (F.col("op") != "delete"))
         .select(
             "user_id",
@@ -156,8 +161,9 @@ def q_cdc_full_outer_diff(spark, sf):
 
     def state(df):
         w = df.groupBy("user_id").agg(F.max("event_id").alias("last_event_id"))
+        # un-hinted: AQE broadcasts from runtime size (see q_cdc_lww_collapse)
         return (
-            df.join(F.broadcast(w), "user_id")
+            df.join(w, "user_id")
             .where((F.col("event_id") == F.col("last_event_id")) & (F.col("op") != "delete"))
             .select("user_id", "last_event_id")
         )
@@ -579,10 +585,12 @@ def q_embed_near_dup(spark, sf):
 SQL_EMBED_NEAR_DUP = f"""
 WITH {_QVEC},
 c AS (SELECT vec_id, q, n2,
-             CAST(floor(q[1]/250) AS BIGINT) cx, CAST(floor(q[2]/250) AS BIGINT) cy FROM pn)
+             CAST(floor(q[1]/250) AS BIGINT) cx, CAST(floor(q[2]/250) AS BIGINT) cy FROM pn),
+ap AS (SELECT vec_id, q, n2, cx + dx AS cx, cy + dy AS cy
+       FROM c, unnest([-1,0,1]) tx(dx), unnest([-1,0,1]) ty(dy))
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) AS cos
-FROM c a JOIN c b ON a.cx = b.cx AND a.cy = b.cy AND a.vec_id < b.vec_id
+FROM ap a JOIN c b ON a.cx = b.cx AND a.cy = b.cy AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) >= 0.45
 """
 
@@ -597,9 +605,11 @@ SQL_EMBED_ANN_GRID = f"""
 WITH {_QVEC},
 c AS (SELECT vec_id, q, n2,
              CAST(floor(q[1]/250) AS BIGINT) cx, CAST(floor(q[2]/250) AS BIGINT) cy FROM pn),
+qp AS (SELECT vec_id, q, n2, cx + dx AS cx, cy + dy AS cy
+       FROM c, unnest([-1,0,1]) tx(dx), unnest([-1,0,1]) ty(dy) WHERE vec_id < 8),
 scored AS (SELECT a.vec_id query_id, b.vec_id neighbor_id,
                   list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) cos
-           FROM c a JOIN c b ON a.cx = b.cx AND a.cy = b.cy AND a.vec_id < 8 AND b.vec_id >= 8)
+           FROM qp a JOIN c b ON a.cx = b.cx AND a.cy = b.cy AND b.vec_id >= 8)
 SELECT query_id, neighbor_id, rnk, cos FROM
  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
   FROM scored) WHERE rnk <= 3

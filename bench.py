@@ -82,12 +82,18 @@ def bench_cdc_replay(spark) -> dict:
         # make the committed state real: force a full state read
         n_state = pipe.table("seqs").read().count()
         dt = time.monotonic() - t0
+        from yadex_spark.streaming.pipeline import rolling_events_per_sec
+
+        rolling = rolling_events_per_sec(spark, os.path.join(work, "lake"))
         return {
             "n_events": CDC_EVENTS,
             "n_docs": CDC_DOCS,
             "final_rows": n_state,
             "sec": round(dt, 2),
             "events_per_sec": round(CDC_EVENTS / dt, 1),
+            # M1 rolling view from the engine's own lineage (apply time
+            # only, excludes stream-source overhead + final state read)
+            "events_per_sec_rolling": round(rolling, 1) if rolling else None,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -164,6 +164,25 @@ def test_field_diff_reports_what_changed(spark):
     assert strict == {"tokens", "source", "score"}
 
 
+def test_field_diff_null_transitions_with_tolerance(spark):
+    """A null<->non-null change on a float field must be reported even
+    with float_tolerance set: (l - r) with a null side is NULL, and the
+    old ~(false | NULL) silently dropped the diff row."""
+    from yadex_spark.verify import field_diff
+
+    exp = spark.createDataFrame(
+        [("a", 0.5), ("b", None), ("c", None)], "doc_id string, score double"
+    )
+    act = spark.createDataFrame(
+        [("a", None), ("b", 0.25), ("c", None)], "doc_id string, score double"
+    )
+    got = {
+        (r["doc_id"], r["field"])
+        for r in field_diff(exp, act, float_tolerance=1e-3).collect()
+    }
+    assert got == {("a", "score"), ("b", "score")}  # c (null==null) not reported
+
+
 def test_compaction_keeps_tombstones_against_late_arrivals(spark, tmp_path):
     """Out-of-order epoch arrival across a compaction: a late pre-delete
     upsert (lower op_seq committed after compact) must NOT resurrect a

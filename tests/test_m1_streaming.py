@@ -143,6 +143,211 @@ def test_multi_table_routing_and_exclude(spark, tmp_path):
     )
 
 
+def _committed_files(pipe, tables=("seqs",)) -> dict[str, list[str]]:
+    """{files_dir: sorted file names} for every committed snapshot."""
+    out = {}
+    for t in tables:
+        tbl = pipe.table(t)
+        for s in tbl.snapshots():
+            if s.files_dir is None:
+                continue
+            full = os.path.join(tbl.path, s.files_dir)
+            out[full] = sorted(
+                f for f in os.listdir(full) if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_replay_never_touches_committed_staging(spark, tmp_path, feed):
+    """The round-2 crash-consistency hole: a replayed epoch must NEVER
+    rewrite a staging directory a committed manifest references (a crash
+    mid-rewrite would leave committed manifests at missing/partial
+    data).  Simulate the worst crash: checkpoint commit AND lineage
+    marker gone (epoch re-applies for real), plus a partial attempt dir
+    left by a crashed writer.  Every previously committed file must
+    survive byte-for-byte in place."""
+    oplog, path = feed
+    pipe = _pipe(spark, tmp_path, path)
+    pipe.run_available_now()
+    before = _committed_files(pipe)
+    assert before  # staged dirs are committed and on disk
+
+    ckpt = str(tmp_path / "ckpt")
+    commits = sorted(
+        f for f in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if not f.endswith(".tmp") and not os.path.basename(f).startswith(".")
+    )
+    # last epoch that actually applied data (AvailableNow may commit a
+    # trailing empty epoch, which writes no lineage marker)
+    applied = [
+        c for c in commits if os.path.exists(pipe._lineage_path(int(os.path.basename(c))))
+    ]
+    last_epoch = int(os.path.basename(applied[-1]))
+    for c in commits[commits.index(applied[-1]):]:
+        os.remove(c)
+    # lineage marker gone too -> the replay cannot take the skip path
+    os.remove(pipe._lineage_path(last_epoch))
+    # a crashed attempt left partial garbage in staging
+    orphan = os.path.join(
+        str(tmp_path / "lake"), "_staging", pipe._scope(), "e99999999-adeadbeef"
+    )
+    os.makedirs(os.path.join(orphan, "table=seqs"))
+    with open(os.path.join(orphan, "table=seqs", "part-partial.parquet"), "w") as f:
+        f.write("partial")
+
+    pipe2 = _pipe(spark, tmp_path, path)
+    pipe2.run_available_now()
+    after = _committed_files(pipe2)
+    for d, files in before.items():
+        assert os.path.isdir(d), f"committed dir deleted by replay: {d}"
+        assert sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        ) == files, f"committed dir rewritten by replay: {d}"
+    assert_equal_state(_expected(spark, oplog), pipe2.table("seqs").read())
+    ids = [s.batch_id for s in pipe2.table("seqs").snapshots() if s.batch_id]
+    assert len(ids) == len(set(ids))  # replay did not double-commit
+    # maintenance collects the orphan + any superseded attempt dirs,
+    # and never a referenced one
+    removed = pipe2.vacuum_staging()
+    assert orphan in removed
+    for d in _committed_files(pipe2):
+        assert os.path.isdir(d)
+    assert_equal_state(_expected(spark, oplog), pipe2.table("seqs").read())
+
+
+def test_fully_applied_replay_skips_work(spark, tmp_path, feed):
+    """Crash between the lineage write (the epoch's last step) and the
+    checkpoint commit: the replayed epoch must take the marker short-cut
+    — zero Spark work, no new attempt dir, state unchanged."""
+    oplog, path = feed
+    pipe = _pipe(spark, tmp_path, path)
+    pipe.run_available_now()
+    versions_before = pipe.table("seqs").latest_version()
+
+    ckpt = str(tmp_path / "ckpt")
+    commits = sorted(
+        f for f in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if not f.endswith(".tmp") and not os.path.basename(f).startswith(".")
+    )
+    # forget the commit of the last epoch that applied data (trailing
+    # empty AvailableNow epochs carry no marker — not the replay under test)
+    with_marker = [
+        c for c in commits if os.path.exists(pipe._lineage_path(int(os.path.basename(c))))
+    ]
+    last_epoch = int(os.path.basename(with_marker[-1]))
+    for c in commits[commits.index(with_marker[-1]):]:
+        os.remove(c)
+
+    pipe2 = _pipe(spark, tmp_path, path)
+    replayed_epochs = []
+    orig = pipe2._apply
+    pipe2._apply = lambda spark_, src, eid, t0: (replayed_epochs.append(eid), orig(spark_, src, eid, t0))
+    pipe2.run_available_now()
+    assert last_epoch not in replayed_epochs  # marker short-circuited it
+    assert pipe2.table("seqs").latest_version() == versions_before
+    assert_equal_state(_expected(spark, oplog), pipe2.table("seqs").read())
+
+
+def test_fresh_checkpoint_over_existing_lake(spark, tmp_path, feed):
+    """The ADVICE scenario: a NEW checkpoint over an EXISTING lake
+    restarts epochs at 0.  Scope-namespaced staging + batch ids mean the
+    new run's epoch 0 cannot overwrite or skip the old run's — committed
+    data survives and the final state is still oracle-equal (replays are
+    LWW-idempotent)."""
+    oplog, path = feed
+    pipe = _pipe(spark, tmp_path, path)
+    pipe.run_available_now()
+    before = _committed_files(pipe)
+
+    pipe2 = CdcPipeline(
+        spark, oplog_dir=path, lake_dir=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt-fresh"),
+    )
+    pipe2.run_available_now()
+    for d, files in before.items():
+        assert os.path.isdir(d), f"old run's committed dir destroyed: {d}"
+        assert sorted(f for f in os.listdir(d) if f.endswith(".parquet")) == files
+    assert pipe2._scope() != pipe._scope()
+    assert_equal_state(_expected(spark, oplog), pipe2.table("seqs").read())
+
+
+def test_maintain_compacts_and_collects(spark, tmp_path, feed):
+    """Out-of-band maintenance: compaction + vacuum + staging GC keep
+    state identical, garbage-collect dead tombstones past the replay
+    low-watermark, and remove superseded staging dirs — all with the
+    stream stopped (never on the epoch path)."""
+    from yadex_spark.lake.table import DELETED_COL
+
+    oplog, path = feed
+    pipe = _pipe(spark, tmp_path, path)
+    pipe.run_available_now()
+    expected = _expected(spark, oplog)
+    report = pipe.maintain(min_live_seq=N_EVENTS)  # feed fully applied
+    assert report["tables"]["seqs"]["compacted_version"] is not None
+    assert_equal_state(expected, pipe.table("seqs").read())
+    # all tombstones are below the watermark -> GC'd from the base
+    tbl = pipe.table("seqs")
+    snaps, kill = tbl._active_chain()
+    n_tomb = (
+        tbl._materialize(snaps, keep_deleted=True, kill_seq=kill)
+        .where(F.col(DELETED_COL))
+        .count()
+    )
+    assert n_tomb == 0
+    # staging fully superseded by the compacted base -> collected
+    staging_root = os.path.join(str(tmp_path / "lake"), "_staging")
+    leftovers = glob.glob(os.path.join(staging_root, "*", "*"))
+    assert leftovers == []
+
+
+def test_byte_bounded_feed_drops(spark, tmp_path):
+    """B1 byte flush rule (input.go:132-135, 256 KB default): every feed
+    drop is one file within the byte budget (+ rounding slack), so
+    maxFilesPerTrigger=1 triggers never exceed the budget by more than
+    one file — and no event is lost or duplicated."""
+    from yadex_spark.sources.genlog import write_oplog_bytes
+
+    n = 20_000
+    oplog = gen_oplog(spark, n, 2_000, seed=29)
+    path = str(tmp_path / "feed")
+    budget = 64_000
+    n_files = write_oplog_bytes(oplog, path, chunk_bytes=budget, bounds=(0, n - 1))
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert len(files) == n_files > 3
+    sizes = [os.path.getsize(os.path.join(path, f)) for f in files]
+    # every drop within budget + slack (parquet footer/dictionary variance);
+    # the final drop may be a small remainder
+    assert all(s <= budget * 1.5 for s in sizes)
+    assert sorted(sizes)[len(sizes) // 2] >= budget * 0.5  # not degenerate
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert back.select("op_seq").distinct().count() == n  # no dup/loss
+
+
+def test_rolling_events_per_sec(spark, tmp_path):
+    """M1 parity: rolling events/sec over the last N epochs from
+    lineage (reference: bytes/sec ring over last 256 bulk writes,
+    msync/debug.go:17-31)."""
+    from yadex_spark.streaming.pipeline import rolling_events_per_sec
+
+    lake = str(tmp_path / "lake")
+    pipe = CdcPipeline(spark, str(tmp_path / "feed"), lake, str(tmp_path / "ckpt"))
+    assert rolling_events_per_sec(spark, lake) is None  # no epochs yet
+    for e in range(4):
+        pipe._write_lineage(e, [dict(
+            batch_id=e, table="seqs", partition_id=0,
+            offset_lo=e * 100, offset_hi=e * 100 + 99,
+            n_insert=60, n_update=30, n_delete=10,
+            n_dropped_late=0, apply_ms=500.0, committed_at=1000.0 + e,
+        )])
+    # 4 epochs x 100 events / 4 x 0.5 s = 200 ev/s
+    assert rolling_events_per_sec(spark, lake) == pytest.approx(200.0)
+    # window_n=2 sees only the last 2 epochs -> same uniform rate
+    assert rolling_events_per_sec(spark, lake, window_n=2) == pytest.approx(200.0)
+
+
 def test_multi_table_drop_barriers(spark, tmp_path):
     """B1 rule (c) across tables: drop events land on concrete tables in
     multi-table feeds, and each table's barrier kills only ITS history

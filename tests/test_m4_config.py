@@ -34,10 +34,21 @@ def test_load_config_defaults_and_repair(tmp_path):
     cfg = load_config(p)
     rt = cfg.patterns[0]
     assert rt.tier == "RT" and rt.expires_ms == 5_000
-    assert cfg.patterns[-1].regex == ".*"  # default ST catch-all filled in
+    # RT-only config: NO silent ST catch-all — in the reference a
+    # collection matching no configured pattern is not synced
+    # (msync/match.go findEntry -> nil); round-2 advice flagged the old
+    # catch-all fill-in as a lossless sync of every non-RT table
+    assert len(cfg.patterns) == 1
+    r = cfg.router()
+    assert r.classify("rt_x") is not None and r.classify("rt_x").tier == "RT"
+    assert r.classify("seqs") is None  # unmatched -> not synced
 
     _write_cfg(p, rt_patterns=[{"regex": "rt_.*", "expires_ms": 50}], delay_ms=100)
     assert load_config(p).patterns[0].expires_ms > 100  # repaired, not failed
+
+    # neither key present -> the catch-all default still applies
+    _write_cfg(p, delay_ms=100)
+    assert load_config(p).router().classify("anything").tier == "ST"
 
 
 def test_config_watcher_detects_change(tmp_path):

@@ -91,6 +91,65 @@ def test_sessionize_stream_matches_oracle(spark, user_feed):
     assert any(k[1] > 0 for k in want)     # and actually splits sessions
 
 
+def test_sessionize_group_spanning_arrow_chunks(spark, tmp_path):
+    """One hot user whose micro-batch group spans MANY Arrow chunks,
+    with timestamps shuffled so disorder crosses chunk boundaries: the
+    sessionizer must sort the CONCATENATED group, not each chunk
+    (round-2 advice: per-chunk sorting produced spurious session
+    splits; the multi-user fixture never spanned chunks)."""
+    from yadex_spark.streaming.stateful import sessionize_stream
+
+    n = 240
+    base = pd.Timestamp("2026-01-01")
+    # 6 bursts of 40 events (each burst 39 s wide), bursts 2 h apart
+    # -> exactly 6 sessions under a 1 h gap
+    ts = [base + pd.Timedelta(seconds=(i // 40) * 7200 + (i % 40)) for i in range(n)]
+    perm = sorted(range(n), key=lambda i: (i * 7919) % n)  # deterministic shuffle
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "user_id": [1] * n,
+            "ts": [ts[j] for j in perm],
+            "event_type": ["click"] * n,
+        }
+    )
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(path)
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        ).parquet(path)
+        q = (
+            sessionize_stream(stream, gap="1 hour")
+            .writeStream.format("memory").queryName("sess_chunks")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), "stream did not drain (ambient load?)"
+        assert q.exception() is None
+        rows = spark.table("sess_chunks").collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    final = {}
+    for r in rows:
+        k = (r["user_id"], r["session_id"])
+        if k not in final or r["n_events"] > final[k]["n_events"]:
+            final[k] = r
+    got = sorted(
+        (r["session_id"], r["n_events"], r["session_start"], r["session_end"])
+        for r in final.values()
+    )
+    want = sorted(
+        (s, 40, base + pd.Timedelta(seconds=s * 7200),
+         base + pd.Timedelta(seconds=s * 7200 + 39))
+        for s in range(6)
+    )
+    assert got == want
+
+
 def test_windowed_counts_matches_batch(spark, user_feed):
     from yadex_spark.streaming.stateful import windowed_counts
 

@@ -41,7 +41,7 @@ DEFAULT_EXPIRES_MS = 5_000  # config.go:19
 class PipelineConfig:
     patterns: tuple[RoutePattern, ...]
     max_files_per_trigger: int = 8
-    compact_every: int = 0
+    compact_every: int = 0  # maintenance cadence in drain ROUNDS (0 = never)
     delay_ms: int = 1_000  # poll cadence between drain rounds (Delay)
 
     def router(self) -> Router:
@@ -63,7 +63,12 @@ def load_config(path: str) -> PipelineConfig:
             RoutePattern(p["regex"], RT, exclude=tuple(p.get("exclude", ())),
                          expires_ms=expires)
         )
-    for p in raw.get("patterns", [{"regex": ".*"}]):
+    # catch-all default ONLY when no pattern key is present at all: an
+    # RT-only config must not silently sync every non-RT table losslessly
+    # — in the reference, collections matching no configured pattern are
+    # not synced (msync/match.go findEntry returns nil)
+    default_st = [{"regex": ".*"}] if ("patterns" not in raw and "rt_patterns" not in raw) else []
+    for p in raw.get("patterns", default_st):
         pats.append(RoutePattern(p["regex"], ST, exclude=tuple(p.get("exclude", ()))))
     return PipelineConfig(
         patterns=tuple(pats),
@@ -134,6 +139,11 @@ def run_with_reload(
             )
         pipe.run_available_now(timeout_s=timeout_s)
         rounds += 1
+        if cfg.compact_every and rounds % cfg.compact_every == 0:
+            # out-of-band maintenance between drain rounds: the stream
+            # is stopped here, so compact/vacuum never stall an epoch
+            # (the reference never blocks its apply path on maintenance)
+            pipe.maintain()
         if max_rounds is None or rounds < max_rounds:
             _sleep_between_rounds(cfg)
     return rounds

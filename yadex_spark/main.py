@@ -39,15 +39,30 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-table watermark (applies to RT patterns only — "
                         "ST is lossless, msync/bulkwrite.go runBulkWriteRT)")
     p.add_argument("--max-files-per-trigger", type=int, default=8)
-    p.add_argument("--compact-every", type=int, default=16)
+    p.add_argument("--compact-every", type=int, default=16,
+                   help="maintenance cadence in drain rounds under --config "
+                        "(compaction runs out-of-band, never on the epoch path)")
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--drain", action="store_true",
                    help="Trigger.AvailableNow: drain the feed and exit")
+    p.add_argument("--maintain", action="store_true",
+                   help="run out-of-band maintenance (compact + vacuum + "
+                        "staging GC, tombstone watermark from the feed) "
+                        "instead of streaming — the Iceberg maintenance-job "
+                        "analogue; must not run concurrently with ingest")
     return p
 
 
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
+    if args.maintain:
+        spark = get_spark("yadex-spark-maintain", cpus=args.cpus)
+        pipe = CdcPipeline(
+            spark, oplog_dir=args.oplog, lake_dir=args.lake,
+            checkpoint_dir=args.checkpoint,
+        )
+        print(json.dumps(pipe.maintain()))
+        return
     if args.config:
         from yadex_spark.config import run_with_reload
 

@@ -217,33 +217,52 @@ def simhash_pairs(docs: DataFrame, bits: int = 64, bands: int = 4,
     banded = sh.select(
         "doc_id", "simhash", F.explode(chunks).alias("bc")
     ).select("doc_id", "simhash", "bc.band", "bc.chunk")
-    # one explicit exchange on the join key that the bucket-size agg and
-    # BOTH self-join sides then reuse: without it each consumer recomputes
-    # the signature aggregation upstream (3× the dominant cost — measured
-    # 28.9s → 10.9s at sf0.1)
-    banded = banded.repartition("band", "chunk")
     if max_bucket is not None:
-        sizes = banded.groupBy("band", "chunk").agg(F.count("*").alias("_n"))
-        banded = (
-            banded.join(sizes.where(F.col("_n") <= max_bucket), ["band", "chunk"])
-            .drop("_n")
+        # bucket-LOCAL pair generation: gather each (band, chunk) bucket
+        # into one bounded array (<= max_bucket members, ~100 B each)
+        # and explode the pairs map-side.  This consumes the expensive
+        # signature subtree exactly ONCE by construction — the previous
+        # self-join shape had THREE consumers (bucket-size agg + both
+        # join sides) and recomputed the signature aggregation per
+        # consumer whenever ReusedExchange failed to kick in (measured
+        # 28.3 s of a 66.9 s bench at sf0.1, round-2 verdict #3).  One
+        # shuffle on (band, chunk), skew bounded by the cap: the right
+        # shape at 10^9 docs, not just here.
+        members = banded.groupBy("band", "chunk").agg(
+            F.collect_list(F.struct("doc_id", "simhash")).alias("ms")
         )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        cand = (
+            members.where(F.size("ms") <= max_bucket)
+            .select(F.explode("ms").alias("a"), "ms")
+            .select("a", F.explode("ms").alias("b"))
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("b.simhash").alias("sh_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.simhash").alias("sh_b"),
+    else:
+        # uncapped buckets can be arbitrarily large — fall back to the
+        # band equi-join rather than collect an unbounded array
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("b.simhash").alias("sh_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
     # exact hamming as a char-compare sum: stays in codegen and is
     # bit-portable to the DuckDB oracle (no engine-specific bit ops)
     ham = sum(

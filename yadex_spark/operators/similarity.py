@@ -75,20 +75,53 @@ def _with_cell(p: DataFrame, cell: int) -> DataFrame:
     )
 
 
-def near_dup_pairs(emb: DataFrame, threshold: float = 0.45, cell: int = 250) -> DataFrame:
+def _probe_cells(df: DataFrame) -> DataFrame:
+    """3x3 adjacent-cell probing: explode one join side to its neighbor
+    cells so two vectors within one cell pitch of each other remain
+    candidates even across a cell boundary (round 2's single-cell
+    candidates made boundary neighbors invisible).  Keeps the equi-join
+    shape — 9x the probed side's rows, still bucket-local; the standard
+    IVF nprobe>1 trade."""
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    keep = [c for c in df.columns if c not in ("cx", "cy")]
+    return (
+        df.select(*keep, "cx", "cy", F.explode(offs).alias("_o"))
+        .select(
+            *keep,
+            (F.col("cx") + F.col("_o.dx")).alias("cx"),
+            (F.col("cy") + F.col("_o.dy")).alias("cy"),
+        )
+    )
+
+
+def near_dup_pairs(emb: DataFrame, threshold: float = 0.45, cell: int = 250,
+                   probe: bool = True) -> DataFrame:
     """Embedding-cosine near-dup pairs, grid-bucketed candidates.
 
     Candidates are vectors sharing a grid cell (equi-join Catalyst can
     shuffle/broadcast; AQE splits hot cells), exact-verified by cosine.
     Round 1 shipped an all-pairs range join here — O(n²) pair space,
     impossible at 10^9 vectors; this is the LSH-bucket shape the
-    flagship dedup paths already use.  For small-N exactness checks use
-    :func:`near_dup_pairs_exact`."""
+    flagship dedup paths already use.
+
+    ``probe`` explodes side A to its 3x3 neighbor cells, so pairs that
+    straddle a cell boundary (invisible to same-cell candidates) are
+    found too.  Each pair still appears at most once: B keeps its single
+    true cell, and B's cell occurs once in A's distinct probe set.  For
+    small-N exactness checks use :func:`near_dup_pairs_exact`."""
     p = _with_cell(_prepared(emb), cell)
     a = p.select(
         F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
         F.col("n2").alias("na2"), "cx", "cy",
     )
+    if probe:
+        a = _probe_cells(a)
     b = p.select(
         F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
         F.col("n2").alias("nb2"), "cx", "cy",
@@ -110,14 +143,20 @@ def near_dup_pairs_exact(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     return pairs.where(F.col("cos") >= threshold).select("vec_a", "vec_b", "cos")
 
 
-def ann_grid_topk(emb: DataFrame, n_queries: int = 8, k: int = 3, cell: int = 250) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's grid cell
-    (first two quantized dims // cell) — the bucket-local scale path."""
+def ann_grid_topk(emb: DataFrame, n_queries: int = 8, k: int = 3, cell: int = 250,
+                  probe: bool = True) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's grid
+    neighborhood (first two quantized dims // cell) — the bucket-local
+    scale path.  ``probe`` widens the query side to its 3x3 neighbor
+    cells (IVF nprobe=9): strictly better recall than single-cell at 9x
+    the (tiny) query side's rows, still an equi-join."""
     p = _with_cell(_prepared(emb), cell)
     qs = p.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qa"),
         F.col("n2").alias("na2"), "cx", "cy",
     )
+    if probe:
+        qs = _probe_cells(qs)
     cand = p.where(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"),
         F.col("n2").alias("nb2"), "cx", "cy",

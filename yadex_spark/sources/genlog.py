@@ -23,6 +23,8 @@ so the split only matters for lineage stats.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -193,3 +195,66 @@ def write_oplog_chunks(
             (F.col("op_seq") >= mn + i * span) & (F.col("op_seq") < mn + (i + 1) * span)
         )
         chunk.write.mode("append" if i else "overwrite").parquet(path)
+
+
+def _dir_parquet_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
+def write_oplog_bytes(
+    df: DataFrame,
+    path: str,
+    chunk_bytes: int,
+    bounds: tuple[int, int] | None = None,
+    pilot_rows: int = 4_096,
+) -> int:
+    """Byte-bounded feed drops — B1's size flush rule (the reference
+    flushes a batch at ``Batch`` bytes, /root/reference/msync/input.go:
+    132-135, default 256 KB config/config.go:18).  Spark's parquet file
+    source has no maxBytesPerTrigger, so the byte budget is enforced at
+    the FEED layer: each sequential drop is ONE parquet file of
+    ~``chunk_bytes``, sized from a measured pilot drop (on-disk bytes
+    per row include the real encoding + compression, which no analytic
+    estimate gets right).  ``maxFilesPerTrigger=1`` then gives triggers
+    that never exceed the budget by more than one file's rounding —
+    Spark's own documented sizing rule for file-source byte budgets.
+    Returns the number of files written."""
+    import shutil
+
+    if bounds is None:
+        r = df.agg(F.min("op_seq"), F.max("op_seq")).first()
+        bounds = (r[0], r[1])
+    mn, mx = bounds
+
+    def write_span(lo: int, hi: int, dest: str, first: bool) -> None:
+        # repartition(1): one file per drop WITHOUT collapsing the
+        # generating stage's parallelism (coalesce(1) would)
+        df.where((F.col("op_seq") >= lo) & (F.col("op_seq") < hi)).repartition(
+            1
+        ).write.mode("overwrite" if first else "append").parquet(dest)
+
+    # pilots go to a throwaway dir: they only measure bytes/row, so the
+    # REAL feed's every file (including the first) respects the budget.
+    # TWO passes: per-row on-disk cost is strongly size-dependent (a
+    # 200-row file amortizes encoding/dictionary/footer overhead far
+    # worse than a 4096-row one — measured ~1.8x), so the second pilot
+    # re-measures AT the estimated chunk size and converges on it.
+    pilot_dir = f"{path}.pilot-{os.getpid()}"
+    rows = min(pilot_rows, mx + 1 - mn)
+    for _ in range(2):
+        write_span(mn, mn + rows, pilot_dir, first=True)
+        bytes_per_row = max(1.0, _dir_parquet_bytes(pilot_dir) / rows)
+        rows = max(1, min(int(chunk_bytes / bytes_per_row), mx + 1 - mn))
+    shutil.rmtree(pilot_dir)
+    rows_per_chunk = rows
+    cur = mn
+    n_files = 0
+    while cur <= mx:
+        write_span(cur, cur + rows_per_chunk, path, first=(n_files == 0))
+        cur += rows_per_chunk
+        n_files += 1
+    return n_files

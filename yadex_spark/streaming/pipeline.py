@@ -46,8 +46,9 @@ Scale notes (100 TB / 1000 executors):
   (8-byte op_seq buffers, map-side partial agg → skew-safe); the
   join-back broadcasts when the winner set is small.
 - apply cost is O(batch) (merge-on-read delta), never O(table);
-  compaction runs every ``compact_every`` epochs to bound read
-  amplification, exactly like Iceberg maintenance.
+  compaction/vacuum run OUT-OF-BAND via ``maintain()`` (between drain
+  rounds or as a separate job) to bound read amplification without ever
+  stalling the apply path — exactly like Iceberg maintenance.
 """
 
 from __future__ import annotations
@@ -70,8 +71,40 @@ from yadex_spark.schema import LINEAGE_SCHEMA, oplog_schema
 def read_lineage(spark: SparkSession, lake_dir: str) -> DataFrame:
     """Per-epoch, per-table lineage rows (north_rule's per-partition
     lineage + metrics).  Stored as driver-written JSON lines — a commit
-    of lineage must not cost a Spark job."""
-    return spark.read.schema(LINEAGE_SCHEMA).json(os.path.join(lake_dir, "_lineage"))
+    of lineage must not cost a Spark job.  Empty (typed) before any
+    epoch has committed."""
+    d = os.path.join(lake_dir, "_lineage")
+    if not os.path.isdir(d):
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    return spark.read.schema(LINEAGE_SCHEMA).json(d)
+
+
+def rolling_events_per_sec(
+    spark: SparkSession, lake_dir: str, window_n: int = 256
+) -> float | None:
+    """Rolling ingest rate (events/sec) over the last ``window_n``
+    committed epochs — the reference's live bytes/sec view over a ring
+    of the last 256 bulk writes (/root/reference/msync/debug.go:17-31,
+    ring msync/msync.go:26).  Events and apply durations come from the
+    engine's own lineage; epochs are windowed by commit time so the view
+    is correct across checkpoint scopes (epoch ids restart at 0 under a
+    fresh checkpoint).  Returns None before any epoch has committed."""
+    lin = read_lineage(spark, lake_dir)
+    per_epoch = (
+        lin.groupBy("committed_at", "batch_id")
+        .agg(
+            F.max("apply_ms").alias("ms"),
+            F.sum(
+                F.col("n_insert") + F.col("n_update") + F.col("n_delete")
+            ).alias("n"),
+        )
+        .orderBy(F.desc("committed_at"))
+        .limit(window_n)
+    )
+    row = per_epoch.agg(F.sum("n"), F.sum("ms")).first()
+    if row is None or not row[1]:
+        return None
+    return float(row[0]) / (float(row[1]) / 1000.0)
 
 
 @dataclass
@@ -87,7 +120,13 @@ class CdcPipeline:
     #: Expires only in runBulkWriteRT, msync/bulkwrite.go:60-63; a global
     #: filter would silently lose ST data)
     expiry_ms: int | None = None
-    compact_every: int = 0         # 0 = never
+    #: maintenance cadence in DRAIN ROUNDS for run_with_reload (0 =
+    #: never).  Compaction no longer runs inline on the epoch path: an
+    #: inline O(table) rewrite stalls ingest 4-12× per maintenance epoch
+    #: (round-2 sustained-ingest evidence) and at 100 TB stalls it for
+    #: hours — the reference never blocks its apply path on maintenance.
+    #: Call maintain() out-of-band instead (or let run_with_reload).
+    compact_every: int = 0
     # narrow = codegen'd HashAggregate on max(op_seq) + join-back; beats the
     # wide struct-max (SortAggregate, no codegen)
     collapse_impl: str = "narrow"
@@ -173,6 +212,14 @@ class CdcPipeline:
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         t0 = time.monotonic()
+        if os.path.exists(self._lineage_path(epoch_id)):
+            # the lineage file is the LAST step of an epoch (atomic
+            # rename, scope-namespaced): its existence proves every
+            # table's manifest committed.  A replayed epoch (crash
+            # between lineage write and checkpoint commit) skips all
+            # work — and, critically, never rewrites staging data that
+            # committed manifests already reference.
+            return
         spark = batch.sparkSession
         src, cached = self._epoch_frame(spark, batch, epoch_id)
         try:
@@ -261,11 +308,19 @@ class CdcPipeline:
         collapsed = collapsed.observe(stats_obs, *metrics)
 
         stored = prepare_delta(collapsed, keep_table=True)
-        staging = os.path.join(self.lake_dir, "_staging", f"e{epoch_id:08d}")
-        # idempotent on replay: the overwrite regenerates byte-equivalent
-        # content (deterministic collapse), and already-committed tables
-        # skip their manifest by batch_id — their files_dir still points
-        # at the regenerated, row-identical subdir
+        # scope-namespaced AND attempt-unique: a fresh checkpoint over an
+        # existing lake restarts epochs at 0, and a crash-replay re-runs
+        # an epoch whose earlier attempt some tables already committed —
+        # in both cases committed manifests point into older staging
+        # dirs, which a rewrite of a shared epoch-keyed dir would DELETE
+        # (crash mid-overwrite then leaves committed manifests at
+        # missing/partial data).  Every attempt writes a brand-new dir;
+        # superseded attempt dirs are garbage, collected by maintenance
+        # (vacuum_staging), never rewritten in place.
+        staging = os.path.join(
+            self.lake_dir, "_staging", self._scope(),
+            f"e{epoch_id:08d}-a{uuid.uuid4().hex[:8]}",
+        )
         stored.write.mode("overwrite").partitionBy("table").parquet(staging)
 
         lates = late_obs.get
@@ -287,8 +342,6 @@ class CdcPipeline:
                     n_rows=int(n),
                     schema_ddl=ddl,
                 )
-            if self.compact_every and (epoch_id + 1) % self.compact_every == 0:
-                tbl.compact()
             lineage_rows.append(
                 dict(
                     batch_id=epoch_id,
@@ -332,17 +385,26 @@ class CdcPipeline:
             os.replace(tmp, path)
         return merged
 
+    def _lineage_path(self, epoch_id: int) -> str:
+        """Scope-namespaced so a fresh checkpoint's epoch 0 cannot
+        clobber a previous run's epoch-0 lineage.  Doubles as the
+        epoch's fully-applied marker (see apply_batch)."""
+        return os.path.join(
+            self.lake_dir, "_lineage", f"epoch-{self._scope()}-{epoch_id:08d}.json"
+        )
+
     def _write_lineage(self, epoch_id: int, rows: list[dict]) -> None:
         """Per-partition lineage (north_rule) as driver-written JSON
         lines.  Idempotent: epoch-keyed atomic replace, so a replayed
         epoch rewrites rather than duplicates — and committing lineage
         costs no Spark job (round-1's coalesce(1) parquet write was a
-        fixed per-epoch job that capped scaling efficiency)."""
+        fixed per-epoch job that capped scaling efficiency).  Written
+        LAST in the epoch: its atomic appearance marks the epoch fully
+        applied."""
         if not rows:
             return
-        d = os.path.join(self.lake_dir, "_lineage")
-        os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, f"epoch-{epoch_id:08d}.json")
+        path = self._lineage_path(epoch_id)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp-{os.getpid()}"
         with open(tmp, "w") as f:
             for r in rows:
@@ -351,6 +413,92 @@ class CdcPipeline:
 
     def lineage(self) -> DataFrame:
         return read_lineage(self.spark, self.lake_dir)
+
+    # ---------- out-of-band maintenance ----------
+
+    def tables(self) -> list[str]:
+        """Names of tables materialized in the lake."""
+        if not os.path.isdir(self.lake_dir):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.lake_dir)
+            if not d.startswith("_")
+            and os.path.isdir(os.path.join(self.lake_dir, d, "_meta"))
+        )
+
+    def maintain(self, min_live_seq: int | str | None = "auto",
+                 vacuum: bool = True) -> dict:
+        """Compact + vacuum every table, then collect superseded staging
+        attempt dirs — the Iceberg rewrite-data-files / expire-snapshots
+        maintenance job, decoupled from the apply path (the reference
+        never blocks ingest on maintenance; round-2 measured inline
+        compaction epochs at 4-12× the normal epoch cost).
+
+        MUST NOT run concurrently with an applying stream (run between
+        drain rounds, as run_with_reload does, or as a separate
+        maintenance window): compaction rewrites bases and vacuum
+        deletes files a racing reader could hold.
+
+        ``min_live_seq``: the feed's replay low-watermark — tombstones
+        below it can never be contradicted by a late arrival and are
+        garbage-collected (without it, state size grows unboundedly with
+        cumulative deletes at the 10^10-event design point).  "auto"
+        reads it from the feed (bookmarks.feed_min_offset); None keeps
+        every tombstone."""
+        from yadex_spark.streaming.bookmarks import feed_min_offset
+
+        t0 = time.monotonic()
+        if min_live_seq == "auto":
+            min_live_seq = feed_min_offset(self.spark, self.oplog_dir)
+        per_table = {}
+        for t in self.tables():
+            tbl = self.table(t)
+            v = tbl.compact(min_live_seq=min_live_seq)
+            removed = tbl.vacuum() if vacuum else []
+            per_table[t] = {"compacted_version": v, "data_dirs_removed": len(removed)}
+        staging_removed = self.vacuum_staging() if vacuum else []
+        return {
+            "tables": per_table,
+            "min_live_seq": min_live_seq,
+            "staging_dirs_removed": len(staging_removed),
+            "ms": round((time.monotonic() - t0) * 1000, 1),
+        }
+
+    def vacuum_staging(self) -> list[str]:
+        """Remove staging attempt dirs no committed manifest references
+        (superseded replay attempts and crash leftovers).  Attempt dirs
+        are never rewritten in place — this is the only place they are
+        deleted, and only when provably unreachable."""
+        import shutil
+
+        staging_root = os.path.join(self.lake_dir, "_staging")
+        if not os.path.isdir(staging_root):
+            return []
+        referenced = set()
+        for t in self.tables():
+            tbl = self.table(t)
+            # ACTIVE chain only (same keep-set as LakeTable.vacuum):
+            # manifests superseded by a compaction stay as history but
+            # their staging data is garbage
+            active, _ = tbl._active_chain()
+            for s in active:
+                if s.files_dir:
+                    referenced.add(os.path.normpath(os.path.join(tbl.path, s.files_dir)))
+        removed = []
+        for scope in sorted(os.listdir(staging_root)):
+            sdir = os.path.join(staging_root, scope)
+            if not os.path.isdir(sdir):
+                continue
+            for attempt in sorted(os.listdir(sdir)):
+                adir = os.path.normpath(os.path.join(sdir, attempt))
+                if not os.path.isdir(adir):
+                    continue
+                live = any(r == adir or r.startswith(adir + os.sep) for r in referenced)
+                if not live:
+                    shutil.rmtree(adir)
+                    removed.append(adir)
+        return removed
 
     # ---------- run ----------
 

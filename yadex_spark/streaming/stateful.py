@@ -60,18 +60,25 @@ def _sessionize_fn(gap_us: int):
         else:
             session_id, start_us, last_us, n = 0, None, None, 0
         out: list[tuple[Any, ...]] = []
-        for pdf in pdfs:
-            # vectorized per batch: sort once, walk the gap boundaries
-            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").sort_values()
-            for t in ts_us:          # touches session BOUNDARIES only
-                if last_us is not None and t - last_us > gap_us:
-                    out.append((user_id, session_id, start_us, last_us, n, False))
-                    session_id += 1
-                    start_us, n = t, 0
-                if start_us is None:
-                    start_us = t
-                last_us = t
-                n += 1
+        # a group large enough to span multiple Arrow chunks in one
+        # micro-batch can present out-of-order timestamps ACROSS chunk
+        # boundaries — concatenate first, sort the combined series once,
+        # then walk (sorting per chunk produced spurious session splits)
+        frames = [pdf["ts"] for pdf in pdfs]
+        ts_us = (
+            pd.concat(frames).astype("datetime64[us]").astype("int64").sort_values()
+            if frames
+            else pd.Series([], dtype="int64")
+        )
+        for t in ts_us:              # touches session BOUNDARIES only
+            if last_us is not None and t - last_us > gap_us:
+                out.append((user_id, session_id, start_us, last_us, n, False))
+                session_id += 1
+                start_us, n = t, 0
+            if start_us is None:
+                start_us = t
+            last_us = t
+            n += 1
         state.update((session_id, int(start_us), int(last_us), int(n)))
         out.append((user_id, session_id, start_us, last_us, n, True))  # open snapshot
         res = pd.DataFrame(

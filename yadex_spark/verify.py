@@ -62,10 +62,14 @@ def field_diff(expected: DataFrame, actual: DataFrame, key: str = "doc_id",
         l, r = F.col(f"_l.{c}"), F.col(f"_r.{c}")
         dt = dict(zip(expected.columns, [f.dataType for f in expected.schema.fields]))[c]
         if float_tolerance is not None and dt.typeName() in ("float", "double"):
-            return ~(
-                l.eqNullSafe(r)
-                | ((l - r).between(-float_tolerance, float_tolerance))
-            )
+            # the tolerance test only applies when BOTH sides are
+            # non-null: (l - r) with a null side is NULL, and
+            # ~(false | NULL) is NULL — a null<->non-null change would
+            # silently vanish from the report
+            return F.when(
+                l.isNotNull() & r.isNotNull(),
+                ~(l - r).between(-float_tolerance, float_tolerance),
+            ).otherwise(~l.eqNullSafe(r))
         return ~l.eqNullSafe(r)
 
     per_field = F.array(

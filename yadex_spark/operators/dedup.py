@@ -39,11 +39,27 @@ def shingles(words: Column, n: int) -> Column:
     )
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Pin the downstream stage's parallelism to the cluster's cores.
+
+    The hash work that follows (seeded md5s per shingle/word row) is
+    CPU-bound but tiny by BYTES, and AQE sizes shuffle stages by bytes —
+    locally it coalesces a 2M-row/40MB exchange to ONE partition and the
+    whole signature computation runs serial (measured: every stage of
+    dedup_simhash_pairs at sf0.1 ran as a single task).  An explicit
+    numPartitions disables coalescing for exactly this exchange;
+    defaultParallelism scales with the cluster, so the fix is the same
+    statement at 1000 executors."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)
+
+
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sh) — distinct word n-grams per document."""
-    return (
+    return _spread(
         docs.select("doc_id", F.explode(shingles(words_col(F.col("text")), n)).alias("sh"))
-        .distinct()
+        .distinct(),
+        "doc_id",
     )
 
 
@@ -147,7 +163,10 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     md5 per 16-bit block makes the signature width independent of a
     single digest's 16 nibbles."""
     n_hashes = (bits + 15) // 16
-    w = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("w")).distinct()
+    w = _spread(
+        docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("w")).distinct(),
+        "doc_id",
+    )
     for k in range(n_hashes):
         # nibbles 1..15 as one 60-bit integer + nibble 16 separately:
         # integer shift/mask per bit beats 16 substr+instr string ops per
@@ -231,8 +250,11 @@ def simhash_pairs(docs: DataFrame, bits: int = 64, bands: int = 4,
         members = banded.groupBy("band", "chunk").agg(
             F.collect_list(F.struct("doc_id", "simhash")).alias("ms")
         )
+        # spread the bucket rows BEFORE the pair explosion: the explode +
+        # hamming verify is the CPU-heavy part and would otherwise run in
+        # whatever single partition AQE coalesced the tiny agg output to
         cand = (
-            members.where(F.size("ms") <= max_bucket)
+            _spread(members.where(F.size("ms") <= max_bucket))
             .select(F.explode("ms").alias("a"), "ms")
             .select("a", F.explode("ms").alias("b"))
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -242,6 +264,16 @@ def simhash_pairs(docs: DataFrame, bits: int = 64, bands: int = 4,
                 F.col("b.doc_id").alias("doc_b"),
                 F.col("b.simhash").alias("sh_b"),
             )
+        )
+        # exact hamming BEFORE the dedup: it is a pure per-row function,
+        # so filter-then-distinct ≡ distinct-then-filter — but this way
+        # the 64-char compare runs in the parallel explode stage and the
+        # distinct exchange only carries the few surviving pairs
+        ham = _hamming(bits)
+        return (
+            cand.withColumn("hamming", ham.cast("long"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming")
             .distinct()
         )
     else:
@@ -263,9 +295,18 @@ def simhash_pairs(docs: DataFrame, bits: int = 64, bands: int = 4,
             )
             .distinct()
         )
-    # exact hamming as a char-compare sum: stays in codegen and is
-    # bit-portable to the DuckDB oracle (no engine-specific bit ops)
-    ham = sum(
+    return (
+        cand.withColumn("hamming", _hamming(bits).cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _hamming(bits: int):
+    """Exact hamming as a char-compare sum over the bit strings: stays
+    in codegen and is bit-portable to the DuckDB oracle (no
+    engine-specific bit ops)."""
+    return sum(
         (
             F.when(
                 F.substring("sh_a", j + 1, 1) != F.substring("sh_b", j + 1, 1), 1
@@ -273,9 +314,4 @@ def simhash_pairs(docs: DataFrame, bits: int = 64, bands: int = 4,
             for j in range(bits)
         ),
         start=F.lit(0),
-    )
-    return (
-        cand.withColumn("hamming", ham.cast("long"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )

@@ -43,6 +43,16 @@ def _prepared(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", q.alias("q")).withColumn("n2", _dot(F.col("q"), F.col("q")))
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Pin downstream parallelism to the cluster's cores: the per-pair
+    dot products are CPU-bound but tiny by BYTES, and AQE (sizing by
+    bytes) coalesces the exchanges feeding them to one partition —
+    serializing the whole verify stage locally.  Same rationale as
+    dedup._spread; defaultParallelism scales with the cluster."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)
+
+
 def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
     """Exact top-k neighbors (by cosine) for each query vector
     (vec_id < n_queries) over the rest of the corpus."""
@@ -122,6 +132,7 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.45, cell: int = 250,
     )
     if probe:
         a = _probe_cells(a)
+    a = _spread(a, "cx", "cy")
     b = p.select(
         F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
         F.col("n2").alias("nb2"), "cx", "cy",
@@ -157,9 +168,12 @@ def ann_grid_topk(emb: DataFrame, n_queries: int = 8, k: int = 3, cell: int = 25
     )
     if probe:
         qs = _probe_cells(qs)
-    cand = p.where(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"),
-        F.col("n2").alias("nb2"), "cx", "cy",
+    cand = _spread(
+        p.where(F.col("vec_id") >= n_queries).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"),
+            F.col("n2").alias("nb2"), "cx", "cy",
+        ),
+        "cx", "cy",
     )
     scored = qs.join(cand, ["cx", "cy"]).withColumn(
         "cos", _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2"))

@@ -90,13 +90,15 @@ def rolling_events_per_sec(
     is correct across checkpoint scopes (epoch ids restart at 0 under a
     fresh checkpoint).  Returns None before any epoch has committed."""
     lin = read_lineage(spark, lake_dir)
+    # raw feed events per epoch = the epoch's offset SPAN (offsets are
+    # global op_seqs shared across a multi-table epoch) — NOT the sum of
+    # per-table applied-row counts, which is post-collapse and would
+    # understate the rate the headline metric (events/sec) reports
     per_epoch = (
         lin.groupBy("committed_at", "batch_id")
         .agg(
             F.max("apply_ms").alias("ms"),
-            F.sum(
-                F.col("n_insert") + F.col("n_update") + F.col("n_delete")
-            ).alias("n"),
+            (F.max("offset_hi") - F.min("offset_lo") + 1).alias("n"),
         )
         .orderBy(F.desc("committed_at"))
         .limit(window_n)

@@ -725,6 +725,44 @@ FROM documents
 """
 
 
+def q_pack_sequences(spark, sf):
+    from yadex_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), budget=2048, n_shards=16)
+
+
+SQL_PACK = """
+WITH d AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS BIGINT) % 16 AS shard,
+                  CAST(floor((length(text)+3)/4) AS BIGINT) AS n_tok
+           FROM documents),
+c AS (SELECT doc_id, shard, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      FROM d)
+SELECT doc_id, shard, n_tok,
+       CAST(floor(pre/2048) AS BIGINT) AS bin,
+       CAST(pre % 2048 AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
+def q_train_val_split(spark, sf):
+    from yadex_spark.operators.packing import train_val_split
+
+    return train_val_split(_t(spark, sf, "documents"), val_pct=10)
+
+
+SQL_SPLIT = """
+WITH b AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 100 AS bucket
+           FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 10 THEN 'val' ELSE 'train' END AS split
+FROM b
+"""
+
+
 def q_cdc_engine_replay(spark, sf):
     """The REAL engine end-to-end under the correctness gate: derive an
     oplog from events (op_seq=event_id, doc_id='u'||user_id, payload
@@ -814,6 +852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
         "multimodal_decode": q_multimodal_decode,
+        "pack_sequences": q_pack_sequences,
+        "train_val_split": q_train_val_split,
     }
 
 
@@ -848,4 +888,6 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "text_winnow": SQL_TEXT_WINNOW,
         "multimodal_decode": SQL_MULTIMODAL,
+        "pack_sequences": SQL_PACK,
+        "train_val_split": SQL_SPLIT,
     }

@@ -236,3 +236,58 @@ def test_bookmarks_and_catchup(spark, tmp_path):
     assert catchup_filter(oplog, rp).count() == 0
     more = gen_oplog(spark, 2_500, 400, seed=17).where("op_seq >= 2000")
     assert catchup_filter(more, rp).count() == 500
+
+
+def test_pack_sequences_invariants(spark):
+    """Sequence packing: deterministic (shard, doc_id) order, bin =
+    floor(preceding-token-total / budget), offsets bounded by the
+    budget, every doc assigned exactly once — verified against a
+    direct pandas replay of the same rule."""
+    import hashlib
+
+    from yadex_spark.operators.packing import pack_sequences
+
+    rows = [(f"d{i:03d}", "word " * (7 + (i * 13) % 90)) for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    budget, n_shards = 256, 4
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tok"], r["bin"], r["bin_offset"])
+        for r in pack_sequences(docs, budget=budget, n_shards=n_shards).collect()
+    }
+    assert len(got) == 120  # every doc assigned exactly once
+
+    # pandas replay of the packing rule
+    def shard(doc_id):
+        return int(hashlib.md5(doc_id.encode()).hexdigest()[:4], 16) % n_shards
+
+    by_shard: dict[int, list] = {}
+    for doc_id, text in rows:
+        by_shard.setdefault(shard(doc_id), []).append((doc_id, (len(text) + 3) // 4))
+    want = {}
+    for s, members in by_shard.items():
+        cum = 0
+        for doc_id, n_tok in sorted(members):
+            want[doc_id] = (s, n_tok, cum // budget, cum % budget)
+            cum += n_tok
+    assert got == want
+    assert any(v[2] > 0 for v in got.values())  # fixture actually overflows bins
+    assert all(0 <= v[3] < budget for v in got.values())
+
+
+def test_train_val_split_stable_under_growth(spark):
+    """Hash-of-key split: a doc's split never changes when the corpus
+    grows (the property random sampling lacks), and val fraction is in
+    the right ballpark."""
+    from yadex_spark.operators.packing import train_val_split
+
+    small = spark.createDataFrame(
+        [(f"d{i}",) for i in range(200)], "doc_id string"
+    ).withColumn("text", F.lit("x"))
+    big = spark.createDataFrame(
+        [(f"d{i}",) for i in range(400)], "doc_id string"
+    ).withColumn("text", F.lit("x"))
+    s1 = {r["doc_id"]: r["split"] for r in train_val_split(small, 10).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in train_val_split(big, 10).collect()}
+    assert all(s2[k] == v for k, v in s1.items())  # stable under growth
+    frac = sum(1 for v in s2.values() if v == "val") / len(s2)
+    assert 0.03 < frac < 0.20  # ~10% of a 400-doc sample

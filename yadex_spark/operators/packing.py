@@ -1,0 +1,85 @@
+"""Corpus assembly operators: sequence packing + deterministic splits.
+
+The last mile of a training-data pipeline: documents become fixed-size
+context windows ("bins") for the trainer, and the corpus is split
+train/val by a content-stable hash.  Both are pure Spark SQL
+expressions with exact DuckDB oracles.
+
+Scale shape (100 TB): packing needs a running total, and a single
+global ``ORDER BY`` window is a one-partition bottleneck — so the
+corpus is SHARDED by a hash of doc_id and packed independently within
+each shard, exactly how a multi-worker writer packs in production
+(each worker owns a shard; bins never span shards).  The window then
+runs per shard — parallel, skew-free (hash shards are uniform).  The
+reference has no analogue (yadex moves documents, it never assembles
+corpora); these are target-added operators in the spirit of
+SURVEY.md's training-data suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _shard(doc_id, n_shards: int):
+    """Deterministic, engine-portable shard id: first 4 hex chars of
+    md5(string(doc_id)) mod n_shards (DuckDB mirrors it exactly;
+    xxhash64 would be Spark-only; the string cast keys the hash on the
+    id's canonical text form whatever its storage type)."""
+    h = F.md5(doc_id.cast("string"))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_shards)
+
+
+def token_estimate(text):
+    """chars/4 token estimate (the text.token_count ``n_tok_est``
+    convention) — cheap, deterministic, engine-portable."""
+    return F.floor((F.length(text) + 3) / 4).cast("long")
+
+
+def pack_sequences(docs: DataFrame, budget: int = 2048, n_shards: int = 16) -> DataFrame:
+    """Assign each document to a fixed-token-budget training bin.
+
+    Sequential packing in deterministic (shard, doc_id) order: a doc
+    goes to the bin in which its first token falls, i.e.
+    ``bin = floor(cumsum_before / budget)`` where ``cumsum_before`` is
+    the running token total of all earlier docs in the shard.  Docs may
+    straddle a bin boundary (the trainer's writer splits them); the
+    assignment is exact, order-stable, and a pure window expression —
+    no driver loop, no UDF.
+
+    Output: (doc_id, shard, n_tok, bin, bin_offset) where bin_offset is
+    the doc's start position inside its bin.
+    """
+    n_tok = token_estimate(F.col("text"))
+    d = docs.select("doc_id", _shard(F.col("doc_id"), n_shards).alias("shard"),
+                    n_tok.alias("n_tok"))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    before = F.coalesce(
+        F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        F.floor(before / budget).cast("long").alias("bin"),
+        (before % budget).cast("long").alias("bin_offset"),
+    )
+
+
+def train_val_split(docs: DataFrame, val_pct: int = 10) -> DataFrame:
+    """Deterministic content-stable split: md5(doc_id) mod 100 <
+    val_pct -> 'val', else 'train'.  Hash-of-key (not random) so the
+    split survives re-runs, re-partitioning, and incremental ingest —
+    a doc never migrates between train and val as the corpus grows.
+
+    Output: (doc_id, bucket, split)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < val_pct, "val").otherwise("train").alias("split"),
+    )

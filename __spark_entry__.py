@@ -556,6 +556,38 @@ WHERE hamming <= 3
 """
 
 
+def q_dedup_clusters(spark, sf):
+    from yadex_spark.operators.dedup import dedup_clusters, simhash_pairs
+
+    pairs = simhash_pairs(_t(spark, sf, "documents"), bits=64, bands=4, max_hamming=3)
+    return dedup_clusters(pairs)
+
+
+# iterative min-label propagation on Spark; DuckDB mirrors the fixpoint
+# with a recursive CTE (transitive reachability -> min reachable id) —
+# fine at oracle scale, where closure size is tiny
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_simhash_cte(64).strip().rstrip(",")}
+,bands0 AS (SELECT doc_id, simhash, b AS band, substr(simhash, b*16 + 1, 16) AS chunk
+           FROM simh, unnest([0,1,2,3]) t(b)),
+bsz AS (SELECT band, chunk, count(*) n FROM bands0 GROUP BY 1, 2),
+bands AS (SELECT bands0.* FROM bands0 JOIN bsz USING (band, chunk) WHERE n <= 200),
+cand AS (SELECT DISTINCT a.doc_id doc_a, a.simhash sh_a, b.doc_id doc_b, b.simhash sh_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+pairs AS (SELECT doc_a, doc_b FROM
+           (SELECT doc_a, doc_b, CAST({_HAM64} AS BIGINT) AS hamming FROM cand)
+          WHERE hamming <= 3),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS doc FROM edges),
+reach AS (SELECT doc, doc AS r FROM nodes
+          UNION
+          SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.doc)
+SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc
+"""
+
+
 def q_embed_cosine_topk(spark, sf):
     from yadex_spark.operators.similarity import cosine_topk
 
@@ -854,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "pack_sequences": q_pack_sequences,
         "train_val_split": q_train_val_split,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -890,4 +923,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": SQL_MULTIMODAL,
         "pack_sequences": SQL_PACK,
         "train_val_split": SQL_SPLIT,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
     }

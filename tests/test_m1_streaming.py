@@ -300,6 +300,32 @@ def test_maintain_compacts_and_collects(spark, tmp_path, feed):
     assert leftovers == []
 
 
+def test_maintenance_lease_excludes_concurrent_runs(spark, tmp_path):
+    """Two maintenance runs must not interleave (a cron'd --maintain
+    racing a manual one could vacuum the other's fresh base): a live
+    lease refuses, a stale one (crashed holder) is stolen, and the
+    lease is released afterwards."""
+    import json as _json
+    import time as _time
+
+    import pytest as _pytest
+
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "feed"), str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    )
+    lock = tmp_path / "lake" / "_maintenance.lock"
+    os.makedirs(str(tmp_path / "lake"), exist_ok=True)
+    with open(lock, "w") as f:
+        _json.dump({"pid": 1, "at": _time.time()}, f)
+    with _pytest.raises(RuntimeError, match="already running"):
+        pipe.maintain(min_live_seq=None)
+    with open(lock, "w") as f:  # stale (>1h old) -> stolen
+        _json.dump({"pid": 1, "at": _time.time() - 7200}, f)
+    rep = pipe.maintain(min_live_seq=None)
+    assert rep["tables"] == {}  # empty lake, but the run completed
+    assert not os.path.exists(lock)  # lease released
+
+
 def test_byte_bounded_feed_drops(spark, tmp_path):
     """B1 byte flush rule (input.go:132-135, 256 KB default): every feed
     drop is one file within the byte budget (+ rounding slack), so

@@ -291,3 +291,31 @@ def test_train_val_split_stable_under_growth(spark):
     assert all(s2[k] == v for k, v in s1.items())  # stable under growth
     frac = sum(1 for v in s2.values() if v == "val") / len(s2)
     assert 0.03 < frac < 0.20  # ~10% of a 400-doc sample
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Connected components by min-label propagation == python
+    union-find, including transitive merges (a~b, b~c, no a~c pair)."""
+    from yadex_spark.operators.dedup import dedup_clusters
+
+    edges = [(1, 2), (2, 3), (5, 6), (8, 9), (3, 9), (20, 21)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = {x for e in edges for x in e}
+    roots = {x: find(x) for x in nodes}
+    want = {x: min(y for y in nodes if roots[y] == roots[x]) for x in nodes}
+    assert got == want
+    # the transitive chain 1-2-3-9-8 is ONE cluster rooted at 1
+    assert got[8] == got[1] == 1

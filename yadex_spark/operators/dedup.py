@@ -302,6 +302,86 @@ def simhash_pairs(docs: DataFrame, bits: int = 64, bands: int = 4,
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components over near-dup pairs: every doc that appears
+    in a pair gets its component's MIN doc id as ``cluster_id`` — the
+    canonical-representative assignment a real dedup pass needs (pair
+    lists alone over-delete: a~b and b~c must collapse to ONE cluster
+    even when a~c was never a candidate pair).
+
+    Iterative min-label propagation with POINTER JUMPING: each round (a)
+    every node takes the min label over itself and its neighbors, then
+    (b) contracts via label-of-label (labels are node ids, so a second
+    self-join jumps each pointer to its target's label).  The jump makes
+    convergence O(log diameter) instead of O(diameter) — a chain of
+    10^4 near-dups converges in ~14 rounds, not 10^4 (the plain
+    propagation variant measurably crawled on chain components even at
+    oracle scale).  Each round is two equi-joins + one HashAggregate,
+    fully distributed; the driver only checks the converged flag (a
+    count), never touches rows.  The reference has no analogue
+    (compare-dbs only pairs rows); DuckDB oracles the fixpoint with a
+    recursive CTE, so even this iterative operator is gate-checked
+    end-to-end."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc")).distinct()
+        .withColumn("label", F.col("doc"))
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(F.col("doc").alias("dst"), F.col("label").alias("nl")),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("nl").alias("nbr_min"))
+            )
+            stepped = (
+                labels.join(nbr_min, labels.doc == nbr_min.src, "left")
+                .select(
+                    labels.doc.alias("doc"),
+                    F.least(
+                        labels.label, F.coalesce(F.col("nbr_min"), labels.label)
+                    ).alias("label"),
+                )
+            )
+            # pointer jump: label <- label(label).  Labels only ever
+            # decrease and are always node ids, so the looked-up value
+            # exists and is <= the current label.  (Distinct column
+            # names on the lookup side: a USING self-join on a column
+            # that aliases the other side's attribute is ambiguous.)
+            lut = stepped.select(
+                F.col("doc").alias("_lk"), F.col("label").alias("_jmp")
+            )
+            new = (
+                stepped.join(lut, F.col("label") == F.col("_lk"), "left")
+                .select("doc", F.coalesce("_jmp", "label").alias("label"))
+                # truncate the logical plan each round (and materialize):
+                # without it iteration i carries an i-deep lineage and
+                # Catalyst re-analysis alone grows quadratically
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.select("doc", F.col("label").alias("_nl"))
+                .join(labels, "doc")
+                .where(F.col("_nl") != F.col("label"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                return labels.select(
+                    F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+                )
+        raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")
+    finally:
+        edges.unpersist()
+
+
 def _hamming(bits: int):
     """Exact hamming as a char-compare sum over the bit strings: stays
     in codegen and is bit-portable to the DuckDB oracle (no

@@ -429,6 +429,43 @@ class CdcPipeline:
             and os.path.isdir(os.path.join(self.lake_dir, d, "_meta"))
         )
 
+    def _maintenance_lease(self):
+        """O_EXCL lease at the lake root: two concurrent maintain() runs
+        (e.g. a cron'd --maintain racing an operator's manual one) would
+        interleave compact/vacuum and could delete each other's fresh
+        bases.  Stale leases (crashed holder) expire after an hour."""
+        import contextlib
+
+        path = os.path.join(self.lake_dir, "_maintenance.lock")
+
+        @contextlib.contextmanager
+        def lease():
+            os.makedirs(self.lake_dir, exist_ok=True)
+            tmp = f"{path}.tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({"pid": os.getpid(), "at": time.time()}, f)
+            try:
+                try:
+                    os.link(tmp, path)
+                except FileExistsError:
+                    with open(path) as f:
+                        holder = json.load(f)
+                    if time.time() - holder.get("at", 0) < 3600:
+                        raise RuntimeError(
+                            f"maintenance already running (pid {holder.get('pid')}); "
+                            "stale leases expire after 1h"
+                        )
+                    os.replace(tmp, path)  # steal the stale lease
+                    tmp = None
+                yield
+            finally:
+                if tmp and os.path.exists(tmp):
+                    os.unlink(tmp)
+                if os.path.exists(path):
+                    os.unlink(path)
+
+        return lease()
+
     def maintain(self, min_live_seq: int | str | None = "auto",
                  vacuum: bool = True) -> dict:
         """Compact + vacuum every table, then collect superseded staging
@@ -451,15 +488,16 @@ class CdcPipeline:
         from yadex_spark.streaming.bookmarks import feed_min_offset
 
         t0 = time.monotonic()
-        if min_live_seq == "auto":
-            min_live_seq = feed_min_offset(self.spark, self.oplog_dir)
-        per_table = {}
-        for t in self.tables():
-            tbl = self.table(t)
-            v = tbl.compact(min_live_seq=min_live_seq)
-            removed = tbl.vacuum() if vacuum else []
-            per_table[t] = {"compacted_version": v, "data_dirs_removed": len(removed)}
-        staging_removed = self.vacuum_staging() if vacuum else []
+        with self._maintenance_lease():
+            if min_live_seq == "auto":
+                min_live_seq = feed_min_offset(self.spark, self.oplog_dir)
+            per_table = {}
+            for t in self.tables():
+                tbl = self.table(t)
+                v = tbl.compact(min_live_seq=min_live_seq)
+                removed = tbl.vacuum() if vacuum else []
+                per_table[t] = {"compacted_version": v, "data_dirs_removed": len(removed)}
+            staging_removed = self.vacuum_staging() if vacuum else []
         return {
             "tables": per_table,
             "min_live_seq": min_live_seq,

@@ -40,6 +40,8 @@ HEADLINE = [
     "embed_cosine_topk",
     "embed_near_dup",
     "text_quality",
+    "pack_sequences",
+    "train_val_split",
     "cdc_engine_replay",
 ]
 

@@ -31,10 +31,34 @@ def user_feed(spark, tmp_path):
     )
     path = str(tmp_path / "events")
     n = 4_000
+    # the sessionizer is ORDER-SENSITIVE (unlike the LWW tests, which
+    # are order-free by construction): the file source replays files in
+    # mtime order, so every FILE gets a strictly increasing RECENT
+    # mtime in id order (coalesce preserves partition order, so
+    # part-00000 holds lower event_ids than part-00001).  The observed
+    # flake: two same-mtime files of one append could split across
+    # 2-file triggers in either half order whenever an append produced
+    # an odd file count — batch N+1 then carried timestamps EARLIER
+    # than batch N's max and the stream legitimately split sessions the
+    # global-order batch oracle doesn't.  (Recent stamps matter too:
+    # past-epoch stamps fall outside the source's maxFileAge window and
+    # files get re-listed.)
+    import os as _os
+    import time as _time
+
+    base = _time.time() - 600
+    stamped: set[str] = set()
+    seq = 0
     for i in range(3):
         ev.where(
             (F.col("event_id") >= i * n // 3) & (F.col("event_id") < (i + 1) * n // 3)
         ).coalesce(2).write.mode("append").parquet(path)
+        for f in sorted(_os.listdir(path)):  # part-00000 < part-00001
+            fp = _os.path.join(path, f)
+            if f.endswith(".parquet") and fp not in stamped:
+                _os.utime(fp, (base + seq, base + seq))
+                stamped.add(fp)
+                seq += 1
     return ev, path
 
 

@@ -182,6 +182,29 @@ def test_field_diff_null_transitions_with_tolerance(spark):
     }
     assert got == {("a", "score"), ("b", "score")}  # c (null==null) not reported
 
+    # equal NaN / equal Inf reproduced by both sides must NOT be
+    # reported as a score diff (NaN - NaN is NaN, so the tolerance test
+    # alone says "changed"; Spark's null-safe equality treats NaN<=>NaN
+    # as equal).  The rows differ in `src` so they reach the per-field
+    # expressions as status='changed'.
+    nan, inf = float("nan"), float("inf")
+    exp2 = spark.createDataFrame(
+        [("a", nan, "x"), ("b", inf, "x"), ("c", nan, "x")],
+        "doc_id string, score double, src string",
+    )
+    act2 = spark.createDataFrame(
+        [("a", nan, "y"), ("b", inf, "y"), ("c", 1.0, "y")],
+        "doc_id string, score double, src string",
+    )
+    got2 = {
+        (r["doc_id"], r["field"])
+        for r in field_diff(exp2, act2, float_tolerance=1e-3).collect()
+    }
+    assert got2 == {
+        ("a", "src"), ("b", "src"), ("c", "src"),
+        ("c", "score"),  # the one real float change (NaN -> 1.0)
+    }
+
 
 def test_compaction_keeps_tombstones_against_late_arrivals(spark, tmp_path):
     """Out-of-order epoch arrival across a compaction: a late pre-delete

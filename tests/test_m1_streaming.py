@@ -55,8 +55,9 @@ def _pipe(spark, tmp_path, path, **kw) -> CdcPipeline:
 
 def test_streamed_replay_matches_oracle(spark, tmp_path, feed):
     oplog, path = feed
-    pipe = _pipe(spark, tmp_path, path, compact_every=3)
+    pipe = _pipe(spark, tmp_path, path)
     pipe.run_available_now()
+    pipe.maintain()  # production shape: maintenance after the drain
     actual = pipe.table("seqs").read()
     assert_equal_state(_expected(spark, oplog), actual)
     # lineage exists and covers the whole offset range
@@ -319,6 +320,11 @@ def test_maintenance_lease_excludes_concurrent_runs(spark, tmp_path):
         _json.dump({"pid": 1, "at": _time.time()}, f)
     with _pytest.raises(RuntimeError, match="already running"):
         pipe.maintain(min_live_seq=None)
+    # the refused contender must NOT delete the live holder's lock (a
+    # retry would otherwise run concurrently with the holder)
+    assert os.path.exists(lock)
+    with _pytest.raises(RuntimeError, match="already running"):
+        pipe.maintain(min_live_seq=None)  # still held -> still refused
     with open(lock, "w") as f:  # stale (>1h old) -> stolen
         _json.dump({"pid": 1, "at": _time.time() - 7200}, f)
     rep = pipe.maintain(min_live_seq=None)
@@ -372,6 +378,18 @@ def test_rolling_events_per_sec(spark, tmp_path):
     assert rolling_events_per_sec(spark, lake) == pytest.approx(200.0)
     # window_n=2 sees only the last 2 epochs -> same uniform rate
     assert rolling_events_per_sec(spark, lake, window_n=2) == pytest.approx(200.0)
+    # a MULTI-TABLE epoch (two rows sharing committed_at/batch_id with
+    # interleaved global offsets and cumulative apply_ms) must count as
+    # ONE epoch: 100 events / 0.5 s, not double
+    pipe._write_lineage(4, [
+        dict(batch_id=4, table="seqs", partition_id=0,
+             offset_lo=400, offset_hi=449, n_insert=30, n_update=15, n_delete=5,
+             n_dropped_late=0, apply_ms=450.0, committed_at=1004.0),
+        dict(batch_id=4, table="aux", partition_id=0,
+             offset_lo=450, offset_hi=499, n_insert=30, n_update=15, n_delete=5,
+             n_dropped_late=0, apply_ms=500.0, committed_at=1004.0),
+    ])
+    assert rolling_events_per_sec(spark, lake) == pytest.approx(200.0)
 
 
 def test_multi_table_drop_barriers(spark, tmp_path):

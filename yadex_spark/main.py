@@ -99,6 +99,12 @@ def main(argv: list[str] | None = None) -> None:
         compact_every=args.compact_every,
     )
     pipe.run_available_now(timeout_s=24 * 3600)
+    if args.compact_every:
+        # direct (single-drain) path: maintenance runs after the drain
+        # with the stream stopped — compaction is never inline with
+        # ingest, but a drain that skips it entirely would let delta
+        # manifests and tombstones accumulate unboundedly across drains
+        pipe.maintain()
     try:
         lineage = pipe.lineage()
         summary = lineage.groupBy("table").count().collect()

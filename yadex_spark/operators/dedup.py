@@ -19,8 +19,10 @@ bucket-local candidates.  AQE's skew-join splitting covers hot buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from yadex_spark.operators.common import spread as _spread
 
 HEX = "0123456789abcdef"
 
@@ -37,21 +39,6 @@ def shingles(words: Column, n: int) -> Column:
     return F.when(F.size(words) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
-
-
-def _spread(df: DataFrame, *cols: str) -> DataFrame:
-    """Pin the downstream stage's parallelism to the cluster's cores.
-
-    The hash work that follows (seeded md5s per shingle/word row) is
-    CPU-bound but tiny by BYTES, and AQE sizes shuffle stages by bytes —
-    locally it coalesces a 2M-row/40MB exchange to ONE partition and the
-    whole signature computation runs serial (measured: every stage of
-    dedup_simhash_pairs at sf0.1 ran as a single task).  An explicit
-    numPartitions disables coalescing for exactly this exchange;
-    defaultParallelism scales with the cluster, so the fix is the same
-    statement at 1000 executors."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, *cols)
 
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -247,14 +234,26 @@ def simhash_pairs(docs: DataFrame, bits: int = 64, bands: int = 4,
         # 28.3 s of a 66.9 s bench at sf0.1, round-2 verdict #3).  One
         # shuffle on (band, chunk), skew bounded by the cap: the right
         # shape at 10^9 docs, not just here.
-        members = banded.groupBy("band", "chunk").agg(
+        #
+        # The cap is enforced with a WINDOW count BEFORE collect_list:
+        # a degenerate hot bucket (millions of near-identical short
+        # docs sharing a chunk) must never materialize in one
+        # aggregation buffer — the window spills row-wise and shares
+        # the (band, chunk) exchange with the groupBy that follows.
+        bw = Window.partitionBy("band", "chunk")
+        capped = (
+            banded.withColumn("_n", F.count("*").over(bw))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+        members = capped.groupBy("band", "chunk").agg(
             F.collect_list(F.struct("doc_id", "simhash")).alias("ms")
         )
         # spread the bucket rows BEFORE the pair explosion: the explode +
         # hamming verify is the CPU-heavy part and would otherwise run in
         # whatever single partition AQE coalesced the tiny agg output to
         cand = (
-            _spread(members.where(F.size("ms") <= max_bucket))
+            _spread(members)
             .select(F.explode("ms").alias("a"), "ms")
             .select("a", F.explode("ms").alias("b"))
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -331,6 +330,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         edges.select(F.col("src").alias("doc")).distinct()
         .withColumn("label", F.col("doc"))
     ).persist()
+    initial = labels  # unpersisted once round 1 has replaced it
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -372,6 +372,12 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
                 .where(F.col("_nl") != F.col("label"))
                 .count()
             )
+            if initial is not None:
+                initial.unpersist()
+                initial = None
+            # (each round's localCheckpoint blocks are released by
+            # context GC once unreferenced — ~log(diameter) small label
+            # tables per call, bounded)
             labels = new
             if changed == 0:
                 return labels.select(

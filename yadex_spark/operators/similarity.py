@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from yadex_spark.operators.common import spread as _spread
+
 
 def quantized(embedding: Column) -> Column:
     """array<float> -> array<long> on a 1/1000 grid.  The cast to double
@@ -43,14 +45,6 @@ def _prepared(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", q.alias("q")).withColumn("n2", _dot(F.col("q"), F.col("q")))
 
 
-def _spread(df: DataFrame, *cols: str) -> DataFrame:
-    """Pin downstream parallelism to the cluster's cores: the per-pair
-    dot products are CPU-bound but tiny by BYTES, and AQE (sizing by
-    bytes) coalesces the exchanges feeding them to one partition —
-    serializing the whole verify stage locally.  Same rationale as
-    dedup._spread; defaultParallelism scales with the cluster."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, *cols)
 
 
 def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:

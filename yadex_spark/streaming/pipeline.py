@@ -328,6 +328,11 @@ class CdcPipeline:
         lates = late_obs.get
         st = stats_obs.get
         scope = self._scope()
+        # ONE timestamp per epoch: rolling_events_per_sec groups lineage
+        # rows into epochs by (committed_at, batch_id) — per-row stamps
+        # would split a multi-table epoch into per-table groups and
+        # double-count both its offset span and its cumulative apply_ms
+        committed_at = time.time()
         ddl = _ddl(stored.drop("table", SEQ_COL, DELETED_COL))
         lineage_rows = []
         for i, t in enumerate(names):
@@ -356,7 +361,7 @@ class CdcPipeline:
                     n_delete=int(st[f"nd_{i}"] or 0),
                     n_dropped_late=int(lates[f"late_{i}"] or 0),
                     apply_ms=(time.monotonic() - t0) * 1000.0,
-                    committed_at=time.time(),
+                    committed_at=committed_at,
                 )
             )
         self._write_lineage(epoch_id, lineage_rows)
@@ -435,33 +440,39 @@ class CdcPipeline:
         interleave compact/vacuum and could delete each other's fresh
         bases.  Stale leases (crashed holder) expire after an hour."""
         import contextlib
+        import threading
 
         path = os.path.join(self.lake_dir, "_maintenance.lock")
 
         @contextlib.contextmanager
         def lease():
             os.makedirs(self.lake_dir, exist_ok=True)
-            tmp = f"{path}.tmp-{os.getpid()}"
+            tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
             with open(tmp, "w") as f:
                 json.dump({"pid": os.getpid(), "at": time.time()}, f)
+            acquired = False
             try:
                 try:
                     os.link(tmp, path)
+                    acquired = True
                 except FileExistsError:
                     with open(path) as f:
                         holder = json.load(f)
                     if time.time() - holder.get("at", 0) < 3600:
+                        # NOT acquired: the finally must leave the live
+                        # holder's lock alone (deleting it would let a
+                        # retry run concurrently with the holder)
                         raise RuntimeError(
                             f"maintenance already running (pid {holder.get('pid')}); "
                             "stale leases expire after 1h"
                         )
                     os.replace(tmp, path)  # steal the stale lease
-                    tmp = None
+                    acquired = True
                 yield
             finally:
-                if tmp and os.path.exists(tmp):
+                if os.path.exists(tmp):
                     os.unlink(tmp)
-                if os.path.exists(path):
+                if acquired and os.path.exists(path):
                     os.unlink(path)
 
         return lease()
@@ -515,6 +526,10 @@ class CdcPipeline:
         staging_root = os.path.join(self.lake_dir, "_staging")
         if not os.path.isdir(staging_root):
             return []
+        # realpath both sides: manifests may reference staging via a
+        # different spelling of the lake path (relative vs absolute,
+        # or through a symlink) — a string mismatch here would classify
+        # LIVE committed data as garbage and delete it
         referenced = set()
         for t in self.tables():
             tbl = self.table(t)
@@ -524,14 +539,14 @@ class CdcPipeline:
             active, _ = tbl._active_chain()
             for s in active:
                 if s.files_dir:
-                    referenced.add(os.path.normpath(os.path.join(tbl.path, s.files_dir)))
+                    referenced.add(os.path.realpath(os.path.join(tbl.path, s.files_dir)))
         removed = []
         for scope in sorted(os.listdir(staging_root)):
             sdir = os.path.join(staging_root, scope)
             if not os.path.isdir(sdir):
                 continue
             for attempt in sorted(os.listdir(sdir)):
-                adir = os.path.normpath(os.path.join(sdir, attempt))
+                adir = os.path.realpath(os.path.join(sdir, attempt))
                 if not os.path.isdir(adir):
                     continue
                 live = any(r == adir or r.startswith(adir + os.sep) for r in referenced)

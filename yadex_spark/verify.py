@@ -65,10 +65,14 @@ def field_diff(expected: DataFrame, actual: DataFrame, key: str = "doc_id",
             # the tolerance test only applies when BOTH sides are
             # non-null: (l - r) with a null side is NULL, and
             # ~(false | NULL) is NULL — a null<->non-null change would
-            # silently vanish from the report
+            # silently vanish from the report.  The eqNullSafe term
+            # stays inside the both-non-null branch too: NaN<=>NaN is
+            # TRUE under Spark's null-safe equality but NaN - NaN is
+            # NaN (between() false), so without it equal NaNs (and an
+            # exactly-reproduced Inf) would be reported as diffs
             return F.when(
                 l.isNotNull() & r.isNotNull(),
-                ~(l - r).between(-float_tolerance, float_tolerance),
+                ~(l.eqNullSafe(r) | (l - r).between(-float_tolerance, float_tolerance)),
             ).otherwise(~l.eqNullSafe(r))
         return ~l.eqNullSafe(r)
 

@@ -1,0 +1,109 @@
+"""M6 — streaming dedup-on-ingest (CDC machinery x dedup suite).
+
+First-arrival-wins exact dedup of a document stream: accepted set must
+equal the global batch oracle (min ingest_seq per content hash), state
+must stay duplicate-free, and a crash-replayed epoch must not
+double-accept (the same exactly-once bar as the CDC engine,
+/root/reference/msync/syncst_test.go:40-94 restart analogue).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from yadex_spark.streaming.dedup_ingest import DedupIngest
+
+N_DOCS = 600
+N_TEXTS = 200  # ~3 arrivals per text; ~184 distinct actually drawn
+
+
+def _docs(spark):
+    """Deterministic duplicate-heavy document stream."""
+    return spark.range(N_DOCS).select(
+        F.col("id").alias("ingest_seq"),
+        F.format_string("doc%05d", F.col("id")).alias("doc_id"),
+        F.format_string(
+            "text body number %d repeated content",
+            F.pmod(F.xxhash64("id"), F.lit(N_TEXTS)),
+        ).alias("text"),
+    )
+
+
+@pytest.fixture()
+def feed(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "docs")
+    # ordered single-file drops with explicit increasing mtimes: epoch
+    # order must equal arrival order for first-wins to be well-defined
+    base = time.time() - 600
+    span = N_DOCS // 3
+    for i in range(3):
+        docs.where(
+            (F.col("ingest_seq") >= i * span) & (F.col("ingest_seq") < (i + 1) * span)
+        ).repartition(1).write.mode("append").parquet(path)
+        for f in os.listdir(path):
+            fp = os.path.join(path, f)
+            if f.endswith(".parquet") and os.path.getmtime(fp) > base + 10:
+                os.utime(fp, (base + i, base + i))
+    return docs, path
+
+
+def _want(docs):
+    """Global first-arrival-wins oracle."""
+    w = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min(F.struct("ingest_seq", "doc_id")).alias("w")
+    )
+    return {(r["w"]["doc_id"], r["w"]["ingest_seq"]) for r in w.collect()}
+
+
+def test_streamed_dedup_matches_global_oracle(spark, tmp_path, feed):
+    docs, path = feed
+    ing = DedupIngest(
+        spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    ing.run_available_now()
+    got = {
+        (r["doc_id"], r["ingest_seq"]) for r in ing.accepted().collect()
+    }
+    want = _want(docs)
+    assert got == want
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert len(got) == n_distinct < N_DOCS  # dedup actually removed arrivals
+    # the seen table is duplicate-free
+    seen = ing.seen.read()
+    assert seen.count() == seen.select("doc_id").distinct().count() == n_distinct
+
+
+def test_crash_replay_does_not_double_accept(spark, tmp_path, feed):
+    docs, path = feed
+    ckpt = str(tmp_path / "ckpt")
+    ing = DedupIngest(spark, path, str(tmp_path / "lake"), ckpt,
+                      max_files_per_trigger=1)
+    ing.run_available_now()
+    n_versions = ing.seen.latest_version()
+
+    commits = sorted(
+        f for f in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if not f.endswith(".tmp") and not os.path.basename(f).startswith(".")
+    )
+    os.remove(commits[-1])  # crash between lake commit and checkpoint commit
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    ing2 = DedupIngest(spark, path, str(tmp_path / "lake"), ckpt,
+                       max_files_per_trigger=1)
+    ing2.run_available_now()
+    assert ing2.seen.latest_version() == n_versions  # no double-commit
+    got = {(r["doc_id"], r["ingest_seq"]) for r in ing2.accepted().collect()}
+    assert got == _want(docs)
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    seen = ing2.seen.read()
+    assert seen.count() == seen.select("doc_id").distinct().count() == n_distinct

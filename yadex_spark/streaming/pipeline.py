@@ -109,6 +109,25 @@ def rolling_events_per_sec(
     return float(row[0]) / (float(row[1]) / 1000.0)
 
 
+def checkpoint_scope(checkpoint_dir: str) -> str:
+    """Read-or-create the checkpoint's stable scope id (O_EXCL: one
+    winner under concurrent creation).  Shared by every checkpointed
+    pipeline that namespaces batch ids (CdcPipeline, DedupIngest)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, "_yadex_scope.json")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"scope": uuid.uuid4().hex[:12]}, f)
+        try:
+            os.link(tmp, path)  # O_EXCL: one winner under races
+        except FileExistsError:
+            pass
+        os.unlink(tmp)
+    with open(path) as f:
+        return json.load(f)["scope"]
+
+
 @dataclass
 class CdcPipeline:
     spark: SparkSession
@@ -194,19 +213,7 @@ class CdcPipeline:
         cached = getattr(self, "_scope_cache", None)
         if cached:
             return cached
-        os.makedirs(self.checkpoint_dir, exist_ok=True)
-        path = os.path.join(self.checkpoint_dir, "_yadex_scope.json")
-        if not os.path.exists(path):
-            tmp = f"{path}.tmp-{os.getpid()}"
-            with open(tmp, "w") as f:
-                json.dump({"scope": uuid.uuid4().hex[:12]}, f)
-            try:
-                os.link(tmp, path)  # O_EXCL: one winner under races
-            except FileExistsError:
-                pass
-            os.unlink(tmp)
-        with open(path) as f:
-            scope = json.load(f)["scope"]
+        scope = checkpoint_scope(self.checkpoint_dir)
         self._scope_cache = scope
         return scope
 

@@ -83,6 +83,19 @@ AUDITS = {
         ("broadcast of the query side", lambda p: "Broadcast" in p),
         ("top-k window", lambda p: "Window" in p or "WindowGroupLimit" in p),
     ],
+    "pack_sequences": [
+        ("per-shard running-total window (no global single-partition sort)",
+         lambda p: "Window" in p and "SinglePartition" not in p),
+        ("column-pruned scan (text read only for lengths)", lambda p: "ReadSchema" in p),
+    ],
+    "train_val_split": [
+        ("pure projection, no shuffle",
+         lambda p: "Exchange" not in p and "ReadSchema" in p),
+    ],
+    "embed_ann_grid": [
+        ("probed candidates still an equi-join, no nested loop",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+    ],
 }
 
 

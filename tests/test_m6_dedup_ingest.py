@@ -78,6 +78,13 @@ def test_streamed_dedup_matches_global_oracle(spark, tmp_path, feed):
     # the seen table is duplicate-free
     seen = ing.seen.read()
     assert seen.count() == seen.select("doc_id").distinct().count() == n_distinct
+    # out-of-band maintenance preserves the state and the accepted set
+    rep = ing.maintain()
+    assert rep["compacted_version"] is not None and rep["data_dirs_removed"] >= 1
+    assert ing.seen.read().count() == n_distinct
+    assert {
+        (r["doc_id"], r["ingest_seq"]) for r in ing.accepted().collect()
+    } == want
 
 
 def test_crash_replay_does_not_double_accept(spark, tmp_path, feed):

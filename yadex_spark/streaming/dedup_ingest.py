@@ -125,6 +125,15 @@ class DedupIngest:
         if q.exception() is not None:
             raise q.exception()
 
+    def maintain(self) -> dict:
+        """Compact the seen-hash table and vacuum superseded snapshots —
+        the same out-of-band maintenance discipline as the CDC lake
+        (run with the stream stopped; at scale, Iceberg
+        rewrite_data_files + expire_snapshots)."""
+        v = self.seen.compact()
+        removed = self.seen.vacuum()
+        return {"compacted_version": v, "data_dirs_removed": len(removed)}
+
     def accepted(self) -> DataFrame:
         """All accepted (first-arrival) documents so far."""
         return self.spark.read.schema(

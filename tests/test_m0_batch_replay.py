@@ -305,3 +305,105 @@ def test_lineage_stats(oplog):
     ).collect()[0]
     assert agg[0] + agg[1] + agg[2] == N_EVENTS
     assert agg[3] == 0 and agg[4] == N_EVENTS - 1
+
+
+def test_typed_empty_read_after_truncate(spark, tmp_path):
+    """A truncated (or fully-deleted) table reads back EMPTY but TYPED —
+    the latest manifest's recorded schema — so verify.diff against an
+    expected frame reports all-removed instead of raising on missing
+    columns."""
+    from yadex_spark.verify import diff
+
+    tbl = LakeTable(spark, str(tmp_path / "t"))
+    batch = spark.createDataFrame(
+        [("d1", "insert", 1, ([1, 2], 2, "web"))],
+        "doc_id string, op string, op_seq long, "
+        "after struct<tokens:array<int>,n_tok:int,source:string>",
+    )
+    tbl.commit_delta(batch, batch_id="b0")
+    assert tbl.read().columns == ["doc_id", "tokens", "n_tok", "source"]
+    tbl.commit_truncate(batch_id="b1-trunc")
+    empty = tbl.read()
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "tokens", "n_tok", "source"]
+    expected = spark.createDataFrame(
+        [("d1", [1, 2], 2, "web")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    d = diff(expected, empty)
+    assert [(r["doc_id"], r["status"]) for r in d.collect()] == [("d1", "removed")]
+    # a never-written table still falls back to the bare key schema
+    fresh = LakeTable(spark, str(tmp_path / "fresh"))
+    assert fresh.read().columns == ["doc_id"]
+
+
+def test_empty_delta_commits_nothing(spark, tmp_path):
+    """An all-filtered (0-row) delta must not chain an empty parquet
+    snapshot (no readable schema) nor burn a version."""
+    tbl = LakeTable(spark, str(tmp_path / "t"))
+    batch = spark.createDataFrame(
+        [("d1", "insert", 1, ([1], 1, "web"))],
+        "doc_id string, op string, op_seq long, "
+        "after struct<tokens:array<int>,n_tok:int,source:string>",
+    )
+    tbl.commit_delta(batch, batch_id="b0")
+    v = tbl.latest_version()
+    assert tbl.commit_delta(batch.where("op_seq < 0"), batch_id="b1") is None
+    assert tbl.latest_version() == v
+    assert tbl.read().count() == 1  # chain still readable
+
+
+def test_read_keys_fast_path_matches_read(spark, tmp_path):
+    """Insert-only fast path: read_keys == read()'s key set, with no
+    LWW aggregation in the plan."""
+    tbl = LakeTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        batch = spark.createDataFrame(
+            [(f"h{i}-{j}", "insert", i * 10 + j, (f"doc{j}",)) for j in range(4)],
+            "doc_id string, op string, op_seq long, after struct<canonical:string>",
+        )
+        tbl.commit_delta(batch, batch_id=f"b{i}")
+    keys = {r["doc_id"] for r in tbl.read_keys().collect()}
+    assert keys == {r["doc_id"] for r in tbl.read().select("doc_id").collect()}
+    assert len(keys) == 12
+    plan = tbl.read_keys()._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" not in plan and "Join" not in plan
+
+
+def test_maintenance_lease_steal_and_release_guards(tmp_path):
+    """Lease hygiene (ADVICE r3): a fresh lease blocks; a stale lease is
+    stolen with nonce confirmation; a holder never releases a lock that
+    was legitimately re-stolen from it (overrun past the staleness
+    window)."""
+    import json
+    import os
+    import time
+
+    from yadex_spark.lake.lease import maintenance_lease
+
+    root = str(tmp_path)
+    path = os.path.join(root, "_maintenance.lock")
+
+    # fresh holder -> refused
+    with open(path, "w") as f:
+        json.dump({"pid": 1, "nonce": "x", "at": time.time()}, f)
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="already running"):
+        with maintenance_lease(root):
+            pass
+    assert os.path.exists(path)  # refusal must not delete the live lock
+
+    # stale holder -> stolen, lock removed on clean exit
+    with open(path, "w") as f:
+        json.dump({"pid": 1, "nonce": "x", "at": time.time() - 7200}, f)
+    with maintenance_lease(root):
+        assert json.load(open(path))["pid"] == os.getpid()
+    assert not os.path.exists(path)
+
+    # overrun holder: lock re-stolen mid-run -> holder must NOT release
+    with maintenance_lease(root):
+        with open(path, "w") as f:
+            json.dump({"pid": 2, "nonce": "thief", "at": time.time()}, f)
+    assert os.path.exists(path)
+    assert json.load(open(path))["nonce"] == "thief"
+    os.unlink(path)

@@ -390,6 +390,19 @@ def test_rolling_events_per_sec(spark, tmp_path):
              n_dropped_late=0, apply_ms=500.0, committed_at=1004.0),
     ])
     assert rolling_events_per_sec(spark, lake) == pytest.approx(200.0)
+    # LEGACY multi-table epoch: rows written before the one-stamp-per-
+    # epoch change carry per-table committed_at — they must STILL group
+    # into one epoch (grouping by timestamp split them, summing the
+    # shared offset span once per table and overstating the rate)
+    pipe._write_lineage(5, [
+        dict(batch_id=5, table="seqs", partition_id=0,
+             offset_lo=500, offset_hi=549, n_insert=30, n_update=15, n_delete=5,
+             n_dropped_late=0, apply_ms=450.0, committed_at=1005.000),
+        dict(batch_id=5, table="aux", partition_id=0,
+             offset_lo=550, offset_hi=599, n_insert=30, n_update=15, n_delete=5,
+             n_dropped_late=0, apply_ms=500.0, committed_at=1005.004),
+    ])
+    assert rolling_events_per_sec(spark, lake) == pytest.approx(200.0)
 
 
 def test_multi_table_drop_barriers(spark, tmp_path):

@@ -319,3 +319,66 @@ def test_dedup_clusters_matches_union_find(spark):
     assert got == want
     # the transitive chain 1-2-3-9-8 is ONE cluster rooted at 1
     assert got[8] == got[1] == 1
+
+
+def test_dedup_clusters_emits_singletons(spark):
+    """all_docs labels pair-less docs as their own cluster — a real
+    dedup pass needs EVERY doc labeled."""
+    from yadex_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, all_docs=docs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
+
+
+def test_dedup_clusters_chain_converges_logarithmically(spark):
+    """Pointer-jumping stress: a 10^4-node PATH (diameter 10^4) must
+    converge in O(log diameter) rounds — plain min-label propagation
+    would need ~10^4 rounds and max_iter=30 would raise.  Pins the
+    claim the docstring argues."""
+    from yadex_spark.operators.dedup import dedup_clusters
+
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    stats: dict = {}
+    out = dedup_clusters(pairs, stats=stats)
+    assert stats["rounds"] <= 16, stats
+    agg = out.agg(
+        F.count("*").alias("n"), F.countDistinct("cluster_id").alias("c"),
+        F.max("cluster_id").alias("mx"),
+    ).first()
+    assert (agg["n"], agg["c"], agg["mx"]) == (n, 1, 0)  # one cluster, min id
+
+
+def test_pack_sequences_shard_count_scales(spark):
+    """Packing invariants hold at n_shards=64, and the default shard
+    count derives from the cluster (defaultParallelism) instead of a
+    fixed constant that would cap window parallelism at scale."""
+    from yadex_spark.operators.packing import pack_sequences
+
+    rows = [(f"d{i:03d}", "word " * (7 + (i * 13) % 90)) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = pack_sequences(docs, budget=128, n_shards=64).collect()
+    assert len(out) == 300
+    assert {r["shard"] for r in out} <= set(range(64))
+    assert all(0 <= r["bin_offset"] < 128 for r in out)
+    # per-shard: bins fill sequentially in doc_id order
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for members in by_shard.values():
+        cum = 0
+        for r in members:
+            assert (r["bin"], r["bin_offset"]) == (cum // 128, cum % 128)
+            cum += r["n_tok"]
+    # default n_shards == cluster parallelism
+    dflt = pack_sequences(docs, budget=128)
+    n_par = spark.sparkContext.defaultParallelism
+    assert dflt.agg(F.countDistinct("shard")).first()[0] <= n_par
+    assert dflt.agg(F.max("shard")).first()[0] < n_par

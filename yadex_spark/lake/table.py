@@ -180,6 +180,14 @@ class LakeTable:
             return None
         stored = prepare_delta(collapsed)
         rel, n = self._write_data(stored, self.latest_version() + 1, n_rows)
+        if n == 0:
+            # an empty delta is a no-op: committing it would chain an
+            # empty parquet snapshot (no readable schema) and burn a
+            # version; replaying the epoch later is naturally idempotent
+            import shutil
+
+            shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+            return None
         ddl = _ddl(stored.drop(SEQ_COL, DELETED_COL))
         return self._commit_manifest("delta", batch_id, ddl, n, rel)
 
@@ -335,14 +343,57 @@ class LakeTable:
         data_cols = [c for c in lww.columns if c not in (SEQ_COL, DELETED_COL, "doc_id")]
         return lww.select("doc_id", *data_cols, SEQ_COL, DELETED_COL)
 
+    def _empty(self, version: int | None = None) -> DataFrame:
+        """Typed empty frame: the LATEST manifest's recorded schema (a
+        truncated table still knows its shape — ``verify.diff`` against
+        it then reports all-removed instead of raising on missing
+        columns), falling back to the bare key when the table has never
+        committed data."""
+        from pyspark.sql import types as T
+
+        for s in reversed(self.snapshots()):
+            if version is not None and s.version > version:
+                continue
+            if s.schema_ddl:
+                dt = T.DataType.fromDDL(s.schema_ddl)
+                if isinstance(dt, T.StructType):
+                    clean = T.StructType(
+                        [f for f in dt.fields if f.name not in (SEQ_COL, DELETED_COL)]
+                    )
+                    return self.spark.createDataFrame([], clean)
+        return self.spark.createDataFrame([], "doc_id string")
+
     def read(self, version: int | None = None) -> DataFrame:
         """Current (or time-travel) state, hidden columns removed."""
         snaps, kill_seq = self._active_chain(version)
         if not snaps:
-            return self.spark.createDataFrame([], "doc_id string")
+            return self._empty(version)
         return self._materialize(snaps, keep_deleted=False, kill_seq=kill_seq).drop(
             SEQ_COL, DELETED_COL
         )
+
+    def read_keys(self, *cols: str) -> DataFrame:
+        """Narrow fast-path read for INSERT-ONLY tables (each key
+        committed at most once, never updated or deleted — e.g. the
+        dedup seen-hash registry).  Skips the LWW materialization
+        entirely: no per-key aggregate, no join-back, no shuffle — just
+        a column-pruned union of the active files.  On a table that DOES
+        receive updates this returns duplicate keys; callers own that
+        invariant.  Drop barriers (seq-scoped truncates) still apply."""
+        cols = cols or ("doc_id",)
+        snaps, kill_seq = self._active_chain()
+        if not snaps:
+            return self._empty().select(*cols)
+        dfs = [
+            self.spark.read.parquet(os.path.join(self.path, s.files_dir))
+            for s in snaps
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        if kill_seq is not None:
+            out = out.where(F.col(SEQ_COL) >= kill_seq)
+        return out.where(~F.col(DELETED_COL)).select(*cols)
 
 
 def prepare_delta(collapsed: DataFrame, keep_table: bool = False) -> DataFrame:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 from yadex_spark.operators.route import RoutePattern, Router
 from yadex_spark.session import get_spark
@@ -40,8 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "ST is lossless, msync/bulkwrite.go runBulkWriteRT)")
     p.add_argument("--max-files-per-trigger", type=int, default=8)
     p.add_argument("--compact-every", type=int, default=16,
-                   help="maintenance cadence in drain rounds under --config "
-                        "(compaction runs out-of-band, never on the epoch path)")
+                   help="maintenance cadence: drain ROUNDS under --config, "
+                        "committed EPOCHS on the direct path (compaction "
+                        "runs out-of-band, never on the epoch path; 0 = never)")
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--drain", action="store_true",
                    help="Trigger.AvailableNow: drain the feed and exit")
@@ -98,12 +100,26 @@ def main(argv: list[str] | None = None) -> None:
         expiry_ms=args.expires_ms,
         compact_every=args.compact_every,
     )
+    def _epochs_committed() -> int:
+        d = os.path.join(args.checkpoint, "commits")
+        if not os.path.isdir(d):
+            return 0
+        return sum(
+            1 for f in os.listdir(d)
+            if not f.startswith(".") and not f.endswith(".tmp")
+        )
+
+    before = _epochs_committed()
     pipe.run_available_now(timeout_s=24 * 3600)
-    if args.compact_every:
-        # direct (single-drain) path: maintenance runs after the drain
-        # with the stream stopped — compaction is never inline with
-        # ingest, but a drain that skips it entirely would let delta
-        # manifests and tombstones accumulate unboundedly across drains
+    if args.compact_every and (
+        _epochs_committed() // args.compact_every > before // args.compact_every
+    ):
+        # direct (single-drain) path: same cadence SEMANTICS as the
+        # --config loop — maintenance every compact_every epochs, not
+        # unconditionally per drain — measured against the checkpoint's
+        # cumulative epoch-commit count so repeated small drains don't
+        # each pay a full compact+vacuum.  Always post-drain with the
+        # stream stopped: compaction is never inline with ingest
         pipe.maintain()
     try:
         lineage = pipe.lineage()

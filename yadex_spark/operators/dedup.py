@@ -301,7 +301,9 @@ def simhash_pairs(docs: DataFrame, bits: int = 64, bands: int = 4,
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
+                   all_docs: DataFrame | None = None,
+                   stats: dict | None = None) -> DataFrame:
     """Connected components over near-dup pairs: every doc that appears
     in a pair gets its component's MIN doc id as ``cluster_id`` — the
     canonical-representative assignment a real dedup pass needs (pair
@@ -320,7 +322,15 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     count), never touches rows.  The reference has no analogue
     (compare-dbs only pairs rows); DuckDB oracles the fixpoint with a
     recursive CTE, so even this iterative operator is gate-checked
-    end-to-end."""
+    end-to-end.
+
+    ``all_docs`` (optional, a frame with ``doc_id``): docs absent from
+    every pair are emitted as singleton clusters (cluster_id = own id)
+    — a real dedup pass needs EVERY doc labeled, not only the paired
+    ones; the anti-join is one narrow pass over the corpus.
+
+    ``stats`` (optional dict): filled with ``{"rounds": n}`` on
+    convergence — lets tests pin the O(log diameter) claim."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -332,7 +342,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     ).persist()
     initial = labels  # unpersisted once round 1 has replaced it
     try:
-        for _ in range(max_iter):
+        for round_no in range(1, max_iter + 1):
             nbr_min = (
                 edges.join(
                     labels.select(F.col("doc").alias("dst"), F.col("label").alias("nl")),
@@ -380,9 +390,19 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             # tables per call, bounded)
             labels = new
             if changed == 0:
-                return labels.select(
+                if stats is not None:
+                    stats["rounds"] = round_no
+                out = labels.select(
                     F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
                 )
+                if all_docs is not None:
+                    singles = (
+                        all_docs.select("doc_id").distinct()
+                        .join(out.select("doc_id"), "doc_id", "left_anti")
+                        .withColumn("cluster_id", F.col("doc_id"))
+                    )
+                    out = out.unionByName(singles)
+                return out
         raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")
     finally:
         edges.unpersist()

@@ -37,7 +37,8 @@ def token_estimate(text):
     return F.floor((F.length(text) + 3) / 4).cast("long")
 
 
-def pack_sequences(docs: DataFrame, budget: int = 2048, n_shards: int = 16) -> DataFrame:
+def pack_sequences(docs: DataFrame, budget: int = 2048,
+                   n_shards: int | None = None) -> DataFrame:
     """Assign each document to a fixed-token-budget training bin.
 
     Sequential packing in deterministic (shard, doc_id) order: a doc
@@ -48,9 +49,20 @@ def pack_sequences(docs: DataFrame, budget: int = 2048, n_shards: int = 16) -> D
     assignment is exact, order-stable, and a pure window expression —
     no driver loop, no UDF.
 
+    ``n_shards`` defaults to the cluster's ``defaultParallelism`` so the
+    per-shard window stage scales with the cluster (a fixed default
+    would cap the sort at that many partitions regardless of cluster
+    size — at 100 TB a 16-shard default means ~6 TB per shard sort).
+    Callers needing a reproducible assignment across cluster sizes (the
+    correctness gate, cross-engine oracles) pin it explicitly: the
+    shard hash is deterministic, so any fixed n_shards is
+    engine-portable.
+
     Output: (doc_id, shard, n_tok, bin, bin_offset) where bin_offset is
     the doc's start position inside its bin.
     """
+    if n_shards is None:
+        n_shards = docs.sparkSession.sparkContext.defaultParallelism
     n_tok = token_estimate(F.col("text"))
     d = docs.select("doc_id", _shard(F.col("doc_id"), n_shards).alias("shard"),
                     n_tok.alias("n_tok"))

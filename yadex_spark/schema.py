@@ -86,5 +86,9 @@ LINEAGE_SCHEMA = T.StructType(
         # epoch seconds: lineage is driver-written JSON (no Spark job per
         # epoch), so the stamp is a plain double
         T.StructField("committed_at", T.DoubleType(), False),
+        # checkpoint scope (nullable: legacy rows predate it) — epoch
+        # ids restart at 0 under a fresh checkpoint, so (scope,
+        # batch_id) is the true epoch identity across runs
+        T.StructField("scope", T.StringType(), True),
     ]
 )

@@ -229,6 +229,8 @@ def write_oplog_bytes(
         r = df.agg(F.min("op_seq"), F.max("op_seq")).first()
         bounds = (r[0], r[1])
     mn, mx = bounds
+    if mn is None or mx is None:
+        return 0  # empty feed: nothing to drop
 
     def write_span(lo: int, hi: int, dest: str, first: bool) -> None:
         # repartition(1): one file per drop WITHOUT collapsing the
@@ -245,11 +247,15 @@ def write_oplog_bytes(
     # re-measures AT the estimated chunk size and converges on it.
     pilot_dir = f"{path}.pilot-{os.getpid()}"
     rows = min(pilot_rows, mx + 1 - mn)
-    for _ in range(2):
-        write_span(mn, mn + rows, pilot_dir, first=True)
-        bytes_per_row = max(1.0, _dir_parquet_bytes(pilot_dir) / rows)
-        rows = max(1, min(int(chunk_bytes / bytes_per_row), mx + 1 - mn))
-    shutil.rmtree(pilot_dir)
+    try:
+        for _ in range(2):
+            write_span(mn, mn + rows, pilot_dir, first=True)
+            bytes_per_row = max(1.0, _dir_parquet_bytes(pilot_dir) / rows)
+            rows = max(1, min(int(chunk_bytes / bytes_per_row), mx + 1 - mn))
+    finally:
+        # the pilot dir is pure measurement scratch — never leave it
+        # behind for a feed reader to mistake for a drop
+        shutil.rmtree(pilot_dir, ignore_errors=True)
     rows_per_chunk = rows
     cur = mn
     n_files = 0

@@ -93,10 +93,16 @@ def rolling_events_per_sec(
     # raw feed events per epoch = the epoch's offset SPAN (offsets are
     # global op_seqs shared across a multi-table epoch) — NOT the sum of
     # per-table applied-row counts, which is post-collapse and would
-    # understate the rate the headline metric (events/sec) reports
+    # understate the rate the headline metric (events/sec) reports.
+    # Epoch identity is (scope, batch_id): epoch ids restart at 0 under
+    # a fresh checkpoint, and grouping by committed_at would split
+    # LEGACY multi-table epochs (rows written before the one-stamp-per-
+    # epoch change carry per-table timestamps) into per-table groups,
+    # summing their shared offset span once per table
     per_epoch = (
-        lin.groupBy("committed_at", "batch_id")
+        lin.groupBy(F.coalesce("scope", F.lit("")).alias("_s"), "batch_id")
         .agg(
+            F.max("committed_at").alias("committed_at"),
             F.max("apply_ms").alias("ms"),
             (F.max("offset_hi") - F.min("offset_lo") + 1).alias("n"),
         )
@@ -369,6 +375,7 @@ class CdcPipeline:
                     n_dropped_late=int(lates[f"late_{i}"] or 0),
                     apply_ms=(time.monotonic() - t0) * 1000.0,
                     committed_at=committed_at,
+                    scope=scope,
                 )
             )
         self._write_lineage(epoch_id, lineage_rows)
@@ -445,44 +452,11 @@ class CdcPipeline:
         """O_EXCL lease at the lake root: two concurrent maintain() runs
         (e.g. a cron'd --maintain racing an operator's manual one) would
         interleave compact/vacuum and could delete each other's fresh
-        bases.  Stale leases (crashed holder) expire after an hour."""
-        import contextlib
-        import threading
+        bases.  Stale-steal and release races are handled by the shared
+        nonce-confirmed lease (lake/lease.py)."""
+        from yadex_spark.lake.lease import maintenance_lease
 
-        path = os.path.join(self.lake_dir, "_maintenance.lock")
-
-        @contextlib.contextmanager
-        def lease():
-            os.makedirs(self.lake_dir, exist_ok=True)
-            tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
-            with open(tmp, "w") as f:
-                json.dump({"pid": os.getpid(), "at": time.time()}, f)
-            acquired = False
-            try:
-                try:
-                    os.link(tmp, path)
-                    acquired = True
-                except FileExistsError:
-                    with open(path) as f:
-                        holder = json.load(f)
-                    if time.time() - holder.get("at", 0) < 3600:
-                        # NOT acquired: the finally must leave the live
-                        # holder's lock alone (deleting it would let a
-                        # retry run concurrently with the holder)
-                        raise RuntimeError(
-                            f"maintenance already running (pid {holder.get('pid')}); "
-                            "stale leases expire after 1h"
-                        )
-                    os.replace(tmp, path)  # steal the stale lease
-                    acquired = True
-                yield
-            finally:
-                if os.path.exists(tmp):
-                    os.unlink(tmp)
-                if acquired and os.path.exists(path):
-                    os.unlink(path)
-
-        return lease()
+        return maintenance_lease(self.lake_dir)
 
     def maintain(self, min_live_seq: int | str | None = "auto",
                  vacuum: bool = True) -> dict:

@@ -1,0 +1,179 @@
+"""Dedup-ingest scale evidence: per-epoch cost must be INDEPENDENT of
+the seen-hash registry size — the round-4 hardening claim (round 3's
+per-epoch anti-join materialized the full LWW registry: O(corpus) read
++ shuffle per micro-batch, forever).
+
+Protocol (two interleaved arms, same synthetic duplicate-heavy feed):
+
+  A. fresh lake — registry grows 0 → ~n_unique over the run
+  B. lake PRE-SEEDED with ``seed_hashes`` registry entries (compacted),
+     ~100x arm A's final registry — registry grows seed → seed+n_unique
+
+If the per-epoch cost carried an O(registry) shuffle/aggregate term,
+arm B's epochs would be ~100x arm A's.  With the broadcast-semi
+pre-filter + insert-only narrow scan they should be ≈equal (B pays only
+the narrow single-column scan of the larger registry — the term Iceberg
+metadata/Bloom skipping removes in production, DEPLOY.md).
+
+Arms are interleaved A,B,A,B (reps) in one JVM, fresh dirs per rep,
+median-of-epochs per arm then min across reps (the noisy-box protocol:
+single inline comparisons are confounded; min-of-reps + interleaving is
+the house discipline).
+
+Usage: python scripts/dedup_ingest_bench.py [n_files] [rows_per_file] [seed_hashes] [reps]
+Appends a section to BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    rows_per_file = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000
+    seed_hashes = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+
+    from pyspark.sql import functions as F
+
+    from yadex_spark.session import get_spark
+    from yadex_spark.streaming.dedup_ingest import DedupIngest
+
+    spark = get_spark(
+        "dedup-ingest-bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    )
+    work = tempfile.mkdtemp(prefix="dedup-ingest-bench-")
+    n_rows = n_files * rows_per_file
+    try:
+        # duplicate-heavy feed: ~50% of arrivals repeat an earlier text
+        feed = os.path.join(work, "feed")
+        docs = spark.range(n_rows).select(
+            F.col("id").alias("ingest_seq"),
+            F.format_string("doc%08d", "id").alias("doc_id"),
+            F.format_string(
+                "document body %d with shared repeated content padding",
+                F.pmod(F.xxhash64("id"), F.lit(n_rows // 2)),
+            ).alias("text"),
+        )
+        base = time.time() - 3600
+        for i in range(n_files):
+            docs.where(
+                (F.col("ingest_seq") >= i * rows_per_file)
+                & (F.col("ingest_seq") < (i + 1) * rows_per_file)
+            ).repartition(1).write.mode("append").parquet(feed)
+            for f in os.listdir(feed):
+                fp = os.path.join(feed, f)
+                if f.endswith(".parquet") and os.path.getmtime(fp) > base + n_files:
+                    os.utime(fp, (base + i, base + i))
+
+        def run_arm(tag: str, preseed: int) -> dict:
+            lake = os.path.join(work, f"lake-{tag}")
+            ckpt = os.path.join(work, f"ckpt-{tag}")
+            ing = DedupIngest(spark, feed, lake, ckpt, max_files_per_trigger=1)
+            if preseed:
+                # synthetic registry entries in a disjoint key domain
+                # (never collide with feed md5s), compacted as
+                # maintenance would leave them
+                pre = spark.range(preseed).select(
+                    F.format_string("seed%012d", "id").alias("doc_id"),
+                    F.lit("insert").alias("op"),
+                    (F.col("id") - preseed).alias("op_seq"),
+                    F.struct(
+                        F.format_string("pre%08d", "id").alias("canonical_doc_id"),
+                        (F.col("id") - preseed).alias("first_seen_seq"),
+                    ).alias("after"),
+                )
+                ing.seen.commit_delta(pre, batch_id="preseed")
+                ing.seen.compact()
+                ing.seen.vacuum()
+            times: list[float] = []
+            orig = ing.apply_batch
+
+            def timed(batch, eid):
+                t0 = time.monotonic()
+                orig(batch, eid)
+                times.append(time.monotonic() - t0)
+
+            ing.apply_batch = timed
+            t0 = time.monotonic()
+            ing.run_available_now(timeout_s=3600)
+            wall = time.monotonic() - t0
+            n_reg = ing.seen.read_keys().count()
+            n_acc = ing.accepted().count()
+            shutil.rmtree(lake, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+            # skip epoch 0 (JIT/codegen warm-up)
+            return {
+                "median_epoch_s": round(statistics.median(times[1:]), 3),
+                "max_epoch_s": round(max(times[1:]), 3),
+                "epochs": len(times),
+                "wall_s": round(wall, 2),
+                "final_registry_rows": n_reg,
+                "accepted_rows": n_acc,
+            }
+
+        arms: dict[str, list[dict]] = {"fresh": [], "preseeded": []}
+        for _ in range(reps):
+            arms["fresh"].append(run_arm("a", 0))
+            arms["preseeded"].append(run_arm("b", seed_hashes))
+        best = {
+            k: min(v, key=lambda r: r["median_epoch_s"]) for k, v in arms.items()
+        }
+        ratio = (
+            best["preseeded"]["median_epoch_s"] / best["fresh"]["median_epoch_s"]
+        )
+        out = {
+            "metric": "dedup_ingest_epoch_cost_vs_registry_size",
+            "n_rows": n_rows,
+            "n_files": n_files,
+            "seed_hashes": seed_hashes,
+            "reps": reps,
+            "fresh": best["fresh"],
+            "preseeded": best["preseeded"],
+            "preseeded_over_fresh": round(ratio, 3),
+            "all_reps": arms,
+        }
+        print(json.dumps(out))
+        reg_ratio = (
+            best["preseeded"]["final_registry_rows"]
+            / best["fresh"]["final_registry_rows"]
+        )
+        lines = [
+            "\n## Dedup-on-ingest: epoch cost vs registry size (round 4)\n",
+            f"Same {n_rows:,}-arrival duplicate-heavy feed streamed twice "
+            f"(maxFilesPerTrigger=1, {best['fresh']['epochs']} epochs, "
+            f"interleaved x{reps}, min-of-reps): fresh registry vs pre-seeded "
+            f"with {seed_hashes:,} hashes ({reg_ratio:.0f}x the fresh run's "
+            "final registry).\n",
+            f"- fresh: median epoch {best['fresh']['median_epoch_s']} s "
+            f"(max {best['fresh']['max_epoch_s']} s), final registry "
+            f"{best['fresh']['final_registry_rows']:,}",
+            f"- pre-seeded: median epoch {best['preseeded']['median_epoch_s']} s "
+            f"(max {best['preseeded']['max_epoch_s']} s), final registry "
+            f"{best['preseeded']['final_registry_rows']:,}",
+            f"- **pre-seeded / fresh = {ratio:.2f}** (≈1 ⇒ per-epoch cost "
+            "independent of registry size; an O(registry) shuffle/LWW term — "
+            f"the round-3 shape — would put this near {reg_ratio:.0f}x). "
+            "Remaining registry term: one narrow single-column scan, no "
+            "exchange (pinned by test_registry_is_never_shuffled_or_"
+            "aggregated).",
+        ]
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write("\n".join(lines) + "\n")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -79,8 +79,12 @@ def test_streamed_dedup_matches_global_oracle(spark, tmp_path, feed):
     seen = ing.seen.read()
     assert seen.count() == seen.select("doc_id").distinct().count() == n_distinct
     # out-of-band maintenance preserves the state and the accepted set
+    # — and now covers BOTH tables (accepted/ no longer accretes one
+    # directory per epoch forever)
     rep = ing.maintain()
-    assert rep["compacted_version"] is not None and rep["data_dirs_removed"] >= 1
+    for t in ("seen", "accepted"):
+        assert rep[t]["compacted_version"] is not None
+        assert rep[t]["data_dirs_removed"] >= 1
     assert ing.seen.read().count() == n_distinct
     assert {
         (r["doc_id"], r["ingest_seq"]) for r in ing.accepted().collect()
@@ -114,3 +118,29 @@ def test_crash_replay_does_not_double_accept(spark, tmp_path, feed):
     n_distinct = docs.select(F.md5("text")).distinct().count()
     seen = ing2.seen.read()
     assert seen.count() == seen.select("doc_id").distinct().count() == n_distinct
+
+
+def test_registry_is_never_shuffled_or_aggregated(spark, tmp_path, feed):
+    """Scale shape (round-4 hardening): the per-epoch cross-epoch dedup
+    must not shuffle or LWW-aggregate the seen-hash registry — the
+    registry contributes ONLY a narrow column-pruned scan probed by a
+    broadcast of the batch's keys.  Pins the O(batch)-shuffle cost
+    model against regressions (a SortMergeJoin or registry-side
+    aggregate here is the 10^9-doc killer round 3 flagged)."""
+    docs, path = feed
+    ing = DedupIngest(spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"))
+    ing.run_available_now()
+    assert ing.seen.latest_version() >= 1  # registry is populated
+    first = ing._first_arrivals(docs.where("ingest_seq < 50"))
+    plan = (
+        ing._not_seen(first, ing.seen)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan          # no corpus shuffle join
+    assert "LeftSemi, BuildRight" in plan       # registry probed by broadcast batch keys
+    assert "LeftAnti, BuildRight" in plan       # matched set broadcast into the anti-join
+    assert "SortAggregate" not in plan          # winners agg stays codegen HashAggregate
+    # the registry scan is narrow: no registry FileScan materializes text
+    for line in plan.splitlines():
+        if "FileScan" in line and "_seen_hashes" in line:
+            assert "text" not in line.split("FileScan")[1].split("]")[0]

@@ -8,26 +8,47 @@ the dedup suite's content hashing.  Each epoch:
 2. collapse the batch to its FIRST arrival per hash (min ingest_seq —
    the dedup analogue of the CDC LWW collapse, with first-wins instead
    of last-wins),
-3. anti-join against the persistent seen-hash table (the initial-clone
+3. drop hashes the corpus has already seen — a PRE-FILTERED anti-join
+   against the persistent seen-hash registry (the initial-clone
    existing-key anti-join, /root/reference/msync/syncst.go:11-28,
    applied to content hashes), and
-4. commit the newly-seen hashes to the seen table + append the accepted
-   documents — both idempotent by scoped batch id, so a crash-replayed
-   epoch cannot double-accept.
+4. commit the accepted documents, then the newly-seen hashes — both
+   idempotent by scoped batch id, so a crash-replayed epoch cannot
+   double-accept.
 
 First-arrival-wins holds across epochs by construction: an epoch only
-accepts hashes absent from the seen table, and epochs apply in feed
+accepts hashes absent from the seen registry, and epochs apply in feed
 order.
 
-Scale notes (10^9+ docs): the anti-join's right side is the seen table
-— Catalyst broadcasts it while small and falls back to a shuffled join;
-the seen table stores ONLY (hash, canonical doc, seq) (~50 B/doc, 50 GB
-at 10^9 — a join, not a problem).  Production on Iceberg swaps step 3+4
-for one MERGE ... WHEN NOT MATCHED INSERT (same plan shape) and can
-bolt a Bloom-filter pre-filter in front to skip the join for
-definitely-new hashes; the per-epoch cost is O(batch + matched state),
-never O(corpus) rewrite.  Maintenance (compaction of the seen table)
-runs out-of-band exactly like the CDC lake's.
+Scale shape (10^9+ docs, the part round 3 flagged as O(corpus) per
+epoch):
+
+- **The anti-join never shuffles the corpus.**  The batch's candidate
+  hashes (bounded by the trigger: maxFilesPerTrigger) are BROADCAST
+  into a left-semi join against a narrow scan of the seen registry —
+  a map-side hash probe per registry row, no exchange of registry data
+  — whose output (``matched``: hashes of this batch that already
+  exist, ≤ batch size) is itself broadcast into the final anti-join.
+  This is the exact-set form of the Bloom pre-filter the round-3
+  docstring promised: same plan role, zero false positives.  Per-epoch
+  shuffle cost is O(batch); the registry contributes only a narrow
+  single-column scan.
+- **The registry read skips LWW.**  Hashes are insert-only (a hash
+  commits at most once, enforced by the anti-join + idempotent batch
+  ids), so the scan is ``LakeTable.read_keys`` — a column-pruned union
+  of the active files with NO per-key aggregate and NO join-back (the
+  round-3 path materialized the full LWW chain every epoch).
+- **The remaining O(corpus) term is the narrow scan's I/O**, and
+  maintenance bounds it: ``maintain()`` compacts the registry into
+  hash-range-clustered files (tight min/max per parquet footer).  On
+  real Iceberg the same statement becomes MERGE ... WHEN NOT MATCHED
+  INSERT with metadata/Bloom file-skipping, turning the scan term into
+  O(batch·log) — mapped in DEPLOY.md.
+- **Accepted output is a LakeTable too** (keyed by content hash, which
+  is unique per accepted row), so it compacts/vacuums under the same
+  maintenance pass instead of accreting one directory per epoch
+  forever, and its per-epoch row count rides the write job as an
+  Observation — no separate count() job (round-3 wart).
 """
 
 from __future__ import annotations
@@ -40,15 +61,19 @@ from pyspark.sql import functions as F
 
 from yadex_spark.lake.table import LakeTable
 
-#: feed schema: arrival order + document
+#: feed schema: arrival order + document.  ingest_seq is the feed's
+#: UNIQUE arrival offset (the op_seq analogue of the CDC feed): the
+#: first-arrival collapse keys on it, so two arrivals never share one.
 INGEST_SCHEMA = "ingest_seq long, doc_id string, text string"
+#: accepted() output schema
+ACCEPTED_SCHEMA = "doc_id string, text string, ingest_seq long"
 
 
 @dataclass
 class DedupIngest:
     spark: SparkSession
     feed_dir: str        # parquet dir of INGEST_SCHEMA chunks
-    lake_dir: str        # root: seen-hash table + accepted output
+    lake_dir: str        # root: seen-hash registry + accepted output
     checkpoint_dir: str
     max_files_per_trigger: int = 4
 
@@ -56,57 +81,91 @@ class DedupIngest:
     def seen(self) -> LakeTable:
         return LakeTable(self.spark, os.path.join(self.lake_dir, "_seen_hashes"))
 
+    @property
+    def accepted_table(self) -> LakeTable:
+        return LakeTable(self.spark, os.path.join(self.lake_dir, "accepted"))
+
     def _scope(self) -> str:
         from yadex_spark.streaming.pipeline import checkpoint_scope
 
         return checkpoint_scope(self.checkpoint_dir)
 
+    def _first_arrivals(self, batch: DataFrame) -> DataFrame:
+        """Batch-local first arrival per content hash: min ingest_seq —
+        a narrow BIGINT agg + join-back, the CDC collapse shape.  The
+        8-byte agg buffer keeps the aggregate a codegen'd HashAggregate
+        (a min(struct(seq, doc_id)) buffer forced a SortAggregate); the
+        join-back returns exactly one row because ingest_seq is the
+        feed's unique arrival offset (INGEST_SCHEMA invariant)."""
+        hashed = batch.select(
+            "ingest_seq", "doc_id", "text", F.md5("text").alias("h")
+        )
+        winners = hashed.groupBy("h").agg(F.min("ingest_seq").alias("ingest_seq"))
+        return winners.join(hashed, ["h", "ingest_seq"]).select(
+            "h", "ingest_seq", F.col("doc_id").alias("first_doc_id"), "text"
+        )
+
+    def _not_seen(self, first: DataFrame, registry: LakeTable) -> DataFrame:
+        """Cross-epoch dedup with the broadcast-semi pre-filter: rows of
+        ``first`` whose hash the registry has never recorded.  The
+        registry side is a narrow insert-only scan; only hashes that
+        MIGHT match (i.e. are in this batch — broadcast) survive it,
+        and that matched set (≤ batch) is broadcast into the anti-join.
+        No registry row is ever shuffled."""
+        batch_keys = first.select("h")
+        seen_keys = registry.read_keys("doc_id").select(F.col("doc_id").alias("h"))
+        matched = seen_keys.join(F.broadcast(batch_keys), "h", "left_semi")
+        return first.join(F.broadcast(matched), "h", "left_anti")
+
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
         scope = self._scope()
         batch_id = f"{scope}/dedup-e{epoch_id}"
         if batch_id in self.seen.committed_batch_ids():
             return  # crash-replayed epoch: already fully applied
-        hashed = batch.select(
-            "ingest_seq", "doc_id", "text", F.md5("text").alias("h")
-        )
-        # batch-local first arrival per hash (min ingest_seq, doc_id
-        # tiebreak) — narrow agg + join-back, the collapse shape
-        winners = hashed.groupBy("h").agg(
-            F.min(F.struct("ingest_seq", "doc_id")).alias("w")
-        ).select("h", F.col("w.ingest_seq").alias("ingest_seq"),
-                 F.col("w.doc_id").alias("first_doc_id"))
-        first = winners.join(
-            hashed.select("h", "ingest_seq", "text"), ["h", "ingest_seq"]
-        )
-        # cross-epoch dedup: only hashes the corpus has never seen
-        seen_keys = self.seen.read().select(F.col("doc_id").alias("h"))
-        accepted = first.join(seen_keys, "h", "left_anti").persist()
+        # persist the batch-local winners: the subtree feeds three plan
+        # branches (batch-keys broadcast under each registry-file semi
+        # join + the anti-join probe side) — cached, the feed files are
+        # hashed and collapsed exactly once per epoch
+        first = self._first_arrivals(batch).persist()
+        accepted = self._not_seen(first, self.seen).persist()
         try:
-            n = accepted.count()
-            # accepted docs out (idempotent: epoch+scope-keyed overwrite)
-            out = os.path.join(self.lake_dir, "accepted", f"{scope}-e{epoch_id:08d}")
-            accepted.select(
-                F.col("first_doc_id").alias("doc_id"), "text", "ingest_seq"
-            ).write.mode("overwrite").parquet(out)
-            if n:
-                # record the newly-seen hashes (hash is the table key;
-                # canonical doc and arrival seq are the payload).  An
-                # all-duplicate epoch commits nothing — a replay of it is
-                # naturally a no-op via the anti-join, and an empty
-                # parquet snapshot would have no readable schema.
-                delta = accepted.select(
-                    F.col("h").alias("doc_id"),
-                    F.lit("insert").alias("op"),
-                    F.col("ingest_seq").alias("op_seq"),
-                    F.struct(
-                        F.col("first_doc_id").alias("canonical_doc_id"),
-                        F.col("ingest_seq").alias("first_seen_seq"),
-                    ).alias("after"),
-                )
-                self.seen.commit_delta(delta, batch_id=batch_id, n_rows=n)
+            # 1) accepted docs — LakeTable delta keyed by the CONTENT
+            #    HASH (unique per accepted row; the original doc_id may
+            #    legitimately repeat across arrivals with edited text).
+            #    Row count rides the write as an Observation inside
+            #    commit_delta; a 0-row (all-duplicate) epoch commits
+            #    nothing.  Committed FIRST: on a crash between the two
+            #    commits, replay recomputes the identical accepted set
+            #    (the registry still lacks these hashes), no-ops here by
+            #    batch id, then commits the registry delta.
+            acc_delta = accepted.select(
+                F.col("h").alias("doc_id"),
+                F.lit("insert").alias("op"),
+                F.col("ingest_seq").alias("op_seq"),
+                F.struct(
+                    F.col("first_doc_id").alias("accepted_doc_id"),
+                    F.col("text").alias("text"),
+                    F.col("ingest_seq").alias("ingest_seq"),
+                ).alias("after"),
+            )
+            self.accepted_table.commit_delta(acc_delta, batch_id=batch_id)
+            # 2) newly-seen hashes (hash is the registry key; canonical
+            #    doc and arrival seq are the payload).  Committed LAST:
+            #    its batch id doubles as the epoch's fully-applied
+            #    marker (checked on entry).
+            seen_delta = accepted.select(
+                F.col("h").alias("doc_id"),
+                F.lit("insert").alias("op"),
+                F.col("ingest_seq").alias("op_seq"),
+                F.struct(
+                    F.col("first_doc_id").alias("canonical_doc_id"),
+                    F.col("ingest_seq").alias("first_seen_seq"),
+                ).alias("after"),
+            )
+            self.seen.commit_delta(seen_delta, batch_id=batch_id)
         finally:
             accepted.unpersist()
+            first.unpersist()
 
     def run_available_now(self, timeout_s: int = 600) -> None:
         q = (
@@ -126,16 +185,34 @@ class DedupIngest:
             raise q.exception()
 
     def maintain(self) -> dict:
-        """Compact the seen-hash table and vacuum superseded snapshots —
-        the same out-of-band maintenance discipline as the CDC lake
-        (run with the stream stopped; at scale, Iceberg
-        rewrite_data_files + expire_snapshots)."""
-        v = self.seen.compact()
-        removed = self.seen.vacuum()
-        return {"compacted_version": v, "data_dirs_removed": len(removed)}
+        """Compact + vacuum the seen-hash registry AND the accepted
+        output — the same out-of-band maintenance discipline as the CDC
+        lake (run with the stream stopped; at scale, Iceberg
+        rewrite_data_files + expire_snapshots).  Compaction range-
+        clusters each table on its key (the content hash), giving every
+        file a tight hash min/max footer.  Guarded by the shared
+        nonce-confirmed maintenance lease: a cron'd run racing a manual
+        one must not interleave compact and vacuum."""
+        from yadex_spark.lake.lease import maintenance_lease
+
+        with maintenance_lease(self.lake_dir):
+            report = {}
+            for name, tbl in (("seen", self.seen), ("accepted", self.accepted_table)):
+                v = tbl.compact()
+                removed = tbl.vacuum()
+                report[name] = {
+                    "compacted_version": v,
+                    "data_dirs_removed": len(removed),
+                }
+        return report
 
     def accepted(self) -> DataFrame:
-        """All accepted (first-arrival) documents so far."""
-        return self.spark.read.schema(
-            "doc_id string, text string, ingest_seq long"
-        ).parquet(os.path.join(self.lake_dir, "accepted", "*"))
+        """All accepted (first-arrival) documents so far.  Insert-only
+        fast-path read (no LWW shuffle); typed-empty before any epoch
+        has accepted anything."""
+        tbl = self.accepted_table
+        if not tbl.snapshots():
+            return self.spark.createDataFrame([], ACCEPTED_SCHEMA)
+        return tbl.read_keys("accepted_doc_id", "text", "ingest_seq").select(
+            F.col("accepted_doc_id").alias("doc_id"), "text", "ingest_seq"
+        )

@@ -77,9 +77,12 @@ class DedupIngest:
     checkpoint_dir: str
     max_files_per_trigger: int = 4
 
+    #: registry subdir — the near-dup subclass swaps in its band registry
+    REGISTRY_DIR = "_seen_hashes"
+
     @property
     def seen(self) -> LakeTable:
-        return LakeTable(self.spark, os.path.join(self.lake_dir, "_seen_hashes"))
+        return LakeTable(self.spark, os.path.join(self.lake_dir, self.REGISTRY_DIR))
 
     @property
     def accepted_table(self) -> LakeTable:

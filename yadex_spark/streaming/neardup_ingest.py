@@ -1,0 +1,156 @@
+"""Streaming NEAR-dup dedup-on-ingest: MinHash-LSH band registry.
+
+Extends the exact dedup-on-ingest composition (dedup_ingest.py — CDC
+micro-batch machinery × the dedup suite) from identical-text to
+near-duplicate suppression: the persistent registry stores MINHASH BAND
+values instead of content hashes, so an arrival that is jaccard-similar
+to ANY earlier arrival (shares ≥1 of its k 1-row LSH bands — the same
+banding argument as the batch ``minhash_lsh_pairs``) is rejected.
+
+Semantics — **band-registry first-arrival**: an arrival is accepted iff
+NONE of its k band values was emitted by any strictly-earlier arrival
+(earlier in this batch, or in any earlier epoch).  EVERY arrival's
+bands are registered, accepted or not — so a chain A≈B≈C (where C
+shares a band only with rejected B) still collapses to {A}, exactly
+like the sequential greedy pass a single-writer dedup service runs.
+This is deliberately an ONLINE rule: it equals the batch
+``dedup_clusters`` canonical assignment whenever clusters are
+star-shaped from their first arrival (each member shares a band with an
+earlier member — e.g. exact-dup groups, which share every band), and
+diverges only where batch clustering uses edges through FUTURE arrivals
+to merge docs that had already been emitted — information no streaming
+system can have at acceptance time (pinned by tests).
+
+Docs shorter than the shingle width have no shingles, hence no bands:
+they are always accepted and never reject anyone (the batch LSH path
+skips them identically).
+
+Scale shape: identical to the exact path — the band registry is only
+ever touched by a narrow insert-only scan probed by a broadcast of the
+batch's band values (O(batch·k) broadcast, no registry shuffle, no
+LWW); all within-batch logic is O(batch·k) aggregates and broadcast
+joins.  Registry maintenance (compact to hash-range-clustered files +
+vacuum) is inherited.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yadex_spark.operators.dedup import doc_shingles
+from yadex_spark.streaming.dedup_ingest import DedupIngest
+
+
+@dataclass
+class NearDupIngest(DedupIngest):
+    #: MinHash parameters — k 1-row bands over word n-shingles (the
+    #: batch minhash_lsh_pairs defaults; k bands ⇒ candidate recall of
+    #: the same banding scheme)
+    k: int = 8
+    n: int = 3
+
+    REGISTRY_DIR = "_seen_bands"
+
+    def _bands(self, batch: DataFrame) -> DataFrame:
+        """(ingest_seq, band) per arrival: band = '<i>|<min seeded md5
+        over shingles>' — the exact signature scheme of
+        operators.dedup.minhash_signatures, keyed by the arrival offset
+        (unique, INGEST_SCHEMA invariant) instead of doc_id so repeated
+        doc_ids with edited text hash independently."""
+        sh = doc_shingles(
+            batch.select(F.col("ingest_seq").alias("doc_id"), "text"), self.n
+        )
+        aggs = [
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh"))), 1, 15),
+                    16, 10,
+                ).cast("long")
+            ).alias(f"sig{i}")
+            for i in range(self.k)
+        ]
+        sigs = sh.groupBy("doc_id").agg(*aggs)
+        return sigs.select(
+            F.col("doc_id").alias("ingest_seq"),
+            F.explode(
+                F.array(*[
+                    F.format_string(f"{i}|%d", F.col(f"sig{i}"))
+                    for i in range(self.k)
+                ])
+            ).alias("band"),
+        )
+
+    def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        scope = self._scope()
+        batch_id = f"{scope}/neardup-e{epoch_id}"
+        if batch_id in self.seen.committed_batch_ids():
+            return  # crash-replayed epoch: already fully applied
+        # bands feed four plan branches (registry probe, within-batch
+        # min, rejection join, registration) — computed once
+        bands = self._bands(batch).persist()
+        try:
+            # --- cross-epoch: bands the registry has already recorded.
+            # Broadcast-semi pre-filter, same shape as the exact path:
+            # registry rows are probed map-side, never shuffled.
+            batch_keys = bands.select(F.col("band")).distinct()
+            seen_keys = self.seen.read_keys("doc_id").select(
+                F.col("doc_id").alias("band")
+            )
+            matched = seen_keys.join(F.broadcast(batch_keys), "band", "left_semi")
+            # --- within-batch: first holder of each band value
+            band_min = bands.groupBy("band").agg(
+                F.min("ingest_seq").alias("first_seq")
+            )
+            # an arrival is rejected iff ANY of its bands was held
+            # earlier — by the registry, or by a smaller seq in-batch
+            rejected = (
+                bands.join(F.broadcast(matched), "band", "left_semi")
+                .select("ingest_seq")
+                .union(
+                    bands.join(band_min, "band")
+                    .where(F.col("ingest_seq") > F.col("first_seq"))
+                    .select("ingest_seq")
+                )
+                .distinct()
+            )
+            accepted = batch.join(rejected, "ingest_seq", "left_anti").persist()
+            try:
+                # 1) accepted docs, keyed by content hash (unique among
+                #    accepted rows: identical texts share every band, so
+                #    a later twin is always rejected).  Committed FIRST —
+                #    crash between commits replays to an identical
+                #    recompute (registry still lacks this batch's bands),
+                #    no-ops here by batch id, then registers the bands.
+                acc_delta = accepted.select(
+                    F.md5("text").alias("doc_id"),
+                    F.lit("insert").alias("op"),
+                    F.col("ingest_seq").alias("op_seq"),
+                    F.struct(
+                        F.col("doc_id").alias("accepted_doc_id"),
+                        F.col("text").alias("text"),
+                        F.col("ingest_seq").alias("ingest_seq"),
+                    ).alias("after"),
+                )
+                self.accepted_table.commit_delta(acc_delta, batch_id=batch_id)
+                # 2) register EVERY new band value of this batch
+                #    (accepted and rejected arrivals alike — rejected
+                #    docs' bands must keep rejecting their later
+                #    neighbors).  Committed LAST: fully-applied marker.
+                new_bands = band_min.join(
+                    F.broadcast(matched), "band", "left_anti"
+                ).select(
+                    F.col("band").alias("doc_id"),
+                    F.lit("insert").alias("op"),
+                    F.col("first_seq").alias("op_seq"),
+                    F.struct(
+                        F.col("first_seq").alias("first_seen_seq")
+                    ).alias("after"),
+                )
+                self.seen.commit_delta(new_bands, batch_id=batch_id)
+            finally:
+                accepted.unpersist()
+        finally:
+            bands.unpersist()

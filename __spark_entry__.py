@@ -648,6 +648,48 @@ SELECT query_id, neighbor_id, rnk, cos FROM
 """
 
 
+def q_embed_lsh_near_dup(spark, sf):
+    """Cosine-LSH near-dup pairs: random-hyperplane signatures over ALL
+    64 dims (the grid path sees only the first two), banded equi-join
+    candidates, exact integer-cosine verify.  Deterministic hyperplanes
+    (lsh_planes) are embedded as literals in BOTH engines.  Pins the
+    high-recall 16-plane/4-band config (4-bit bands) — right at gate
+    scale, documented small-corpus-only; the operator's scale default
+    is 64/4 (16-bit bands).  max_bucket=None because the oracle
+    mirrors the query without the hot-bucket cap."""
+    from yadex_spark.operators.similarity import cosine_lsh_pairs
+
+    return cosine_lsh_pairs(_t(spark, sf, "embeddings"), threshold=0.45,
+                            n_planes=16, bands=4, dim=64, max_bucket=None)
+
+
+def _sql_embed_lsh() -> str:
+    from yadex_spark.operators.similarity import lsh_planes
+
+    planes = lsh_planes(16, 64)
+    sig = "concat(" + ", ".join(
+        f"CASE WHEN list_dot_product(q, {plane}) >= 0 THEN '1' ELSE '0' END"
+        for plane in planes
+    ) + ")"
+    return f"""
+WITH {_QVEC},
+sig AS (SELECT vec_id, q, n2, {sig} s FROM pn),
+bands AS (SELECT vec_id, i, substr(s, 1+i*4, 4) bv
+          FROM sig, unnest([0,1,2,3]) t(i)),
+cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
+         FROM bands a JOIN bands b
+         ON a.i = b.i AND a.bv = b.bv AND a.vec_id < b.vec_id)
+SELECT c.vec_a, c.vec_b,
+       list_dot_product(pa.q, pb.q) / sqrt(pa.n2 * pb.n2) AS cos
+FROM cand c JOIN pn pa ON pa.vec_id = c.vec_a
+            JOIN pn pb ON pb.vec_id = c.vec_b
+WHERE list_dot_product(pa.q, pb.q) / sqrt(pa.n2 * pb.n2) >= 0.45
+"""
+
+
+SQL_EMBED_LSH = _sql_embed_lsh()
+
+
 def q_text_quality(spark, sf):
     from yadex_spark.operators.text import quality
 
@@ -878,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_near_dup": q_embed_near_dup,
         "embed_ann_grid": q_embed_ann_grid,
+        "embed_lsh_near_dup": q_embed_lsh_near_dup,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_token_count": q_text_token_count,
@@ -915,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_cosine_topk": SQL_EMBED_TOPK,
         "embed_near_dup": SQL_EMBED_NEAR_DUP,
         "embed_ann_grid": SQL_EMBED_ANN_GRID,
+        "embed_lsh_near_dup": SQL_EMBED_LSH,
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": SQL_TEXT_LANGID,
         "text_token_count": SQL_TEXT_TOKENS,

@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "embed_cosine_topk",
     "embed_near_dup",
+    "embed_lsh_near_dup",
     "text_quality",
     "pack_sequences",
     "train_val_split",

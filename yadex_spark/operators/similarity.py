@@ -137,6 +137,110 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.45, cell: int = 250,
     return pairs.where(F.col("cos") >= threshold).select("vec_a", "vec_b", "cos")
 
 
+def lsh_planes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic random-hyperplane weights: integer in [-9, 9] from
+    md5('<plane>:<dim>') — pure Python hashlib, so the SAME literals can
+    be embedded in the Spark expression and any SQL oracle (the whole
+    signature stays exact integer math, engine-portable)."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:4], 16) % 19) - 9
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
+def cosine_lsh_pairs(emb: DataFrame, threshold: float = 0.45,
+                     n_planes: int = 64, bands: int = 4,
+                     dim: int = 64, max_bucket: int | None = 200) -> DataFrame:
+    """Near-dup pairs via cosine-LSH (random hyperplanes) candidates —
+    the ALL-dims alternative to the 2-dim grid of
+    :func:`near_dup_pairs`.
+
+    Signature bit i = sign(q · w_i) over deterministic integer
+    hyperplanes (:func:`lsh_planes`): two vectors agree on a bit with
+    probability 1 − θ/π (θ = their angle), so banding the n_planes bits
+    into ``bands`` chunks and equi-joining on (band_idx, band_value)
+    yields candidates whose hit rate rises steeply with cosine — over
+    EVERY dimension, where the grid sees only the first two quantized
+    dims (vectors whose difference lives in dims 3+ collide into the
+    same cells; true neighbors >1 cell pitch apart in dims 1-2 are
+    invisible even to 3x3 probing).  Exact-verified by integer cosine,
+    so precision is exact; recall is the banding hit rate (an
+    approximate path, like every LSH retrieval).
+
+    Scale shape: same as simhash_pairs/minhash_lsh — a banded equi-join
+    (bucket-local, never all-pairs), candidate explosion bounded by
+    band-bucket sizes, _spread pins parallelism for the CPU-heavy
+    verify stage.  Band WIDTH sets the bucket cardinality: the default
+    64 planes / 4 bands gives 16-bit band values (2^16 buckets — the
+    simhash_pairs shape), which keeps bucket sizes sublinear at 10^9
+    vectors; a 16/4 config (4-bit bands, 16 possible values) has far
+    higher recall at moderate cosine but O(n/16) buckets — quadratic,
+    small-corpus-only (the sf0.01 gate pins it deliberately).
+    ``max_bucket`` drops band buckets with more members (the standard
+    LSH hot-bucket guard, as simhash_pairs/jaccard df-cap); None
+    disables — required when an oracle mirrors the query without the
+    cap."""
+    planes = lsh_planes(n_planes, dim)
+    p = _prepared(emb)
+    bits = [
+        F.when(_dot(F.col("q"), F.array(*[F.lit(w) for w in plane])) >= 0, "1")
+        .otherwise("0")
+        for plane in planes
+    ]
+    sig = p.withColumn("s", F.concat(*bits))
+    r = n_planes // bands
+    banded = sig.select(
+        "vec_id", "q", "n2",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("bi"),
+                    F.substring("s", 1 + i * r, r).alias("bv"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("b"),
+    ).select("vec_id", "q", "n2", "b.bi", "b.bv")
+    if max_bucket is not None:
+        # window count BEFORE the join: a degenerate hot bucket is
+        # dropped without ever materializing its pair explosion
+        w = Window.partitionBy("bi", "bv")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    a = _spread(
+        banded.select(
+            F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
+            F.col("n2").alias("na2"), "bi", "bv",
+        ),
+        "bi", "bv",
+    )
+    b = banded.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"), "bi", "bv",
+    )
+    cand = a.join(b, ["bi", "bv"]).where(F.col("vec_a") < F.col("vec_b"))
+    pairs = cand.withColumn(
+        "cos", _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2"))
+    )
+    # a pair can match in up to ``bands`` buckets: dedup AFTER the
+    # verify on the narrow (ids, cos) output — cos is bit-identical per
+    # pair, and re-verifying <=bands times beats a distinct whose
+    # grouping keys would carry the q arrays (or a join-back pair)
+    return (
+        pairs.where(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+        .distinct()
+    )
+
+
 def near_dup_pairs_exact(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     """All-pairs variant — O(n²), for small-N recall verification only."""
     p = _prepared(emb)

@@ -96,6 +96,12 @@ AUDITS = {
         ("probed candidates still an equi-join, no nested loop",
          lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
     ],
+    "embed_lsh_near_dup": [
+        ("banded candidate equi-join, no all-pairs cross/range join",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+        ("signature dots stay JVM-side (no python UDF)",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
 }
 
 

@@ -203,3 +203,66 @@ def test_neardup_registry_is_never_shuffled(spark, tmp_path, feed):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "LeftSemi, BuildRight" in plan
+
+
+def test_embed_dedup_ingest_matches_greedy_oracle(spark, tmp_path):
+    """Embedding variant: cosine-LSH hyperplane bands instead of MinHash
+    — same band-registry rule, same greedy-oracle bar.  Near-identical
+    vectors (the dedup case) share every band; orthogonal-ish vectors
+    share none."""
+    from yadex_spark.streaming.embdedup_ingest import EmbedDedupIngest
+
+    rows = []
+    seq = 0
+    # 10 direction groups of 1-3 near-identical vectors + sign-flipped
+    # singles that must never collide with anything
+    for g in range(10):
+        base = [2.0 + ((g * 5 + j) % 7) * 0.4 for j in range(16)]
+        for m in range(1 + g % 3):
+            v = list(base)
+            v[g % 16] += 0.001 * m  # near-identical twin
+            rows.append((seq, f"doc{seq:05d}", v))
+            seq += 1
+    for i in range(6):
+        rows.append((seq, f"doc{seq:05d}",
+                     [((-1) ** (i + j)) * (1.0 + (j % 4)) for j in range(16)]))
+        seq += 1
+    order = sorted(range(len(rows)), key=lambda i: (i * 17) % len(rows))
+    rows = [(s, f"doc{s:05d}", rows[i][2]) for s, i in enumerate(order)]
+    docs = spark.createDataFrame(rows, "ingest_seq long, doc_id string, embedding array<float>")
+
+    path = str(tmp_path / "emb")
+    base_t = time.time() - 600
+    span = (len(rows) + 1) // 2
+    for i in range(2):
+        docs.where(
+            (F.col("ingest_seq") >= i * span) & (F.col("ingest_seq") < (i + 1) * span)
+        ).repartition(1).write.mode("append").parquet(path)
+        for f in os.listdir(path):
+            fp = os.path.join(path, f)
+            if f.endswith(".parquet") and os.path.getmtime(fp) > base_t + 10:
+                os.utime(fp, (base_t + i, base_t + i))
+
+    ing = EmbedDedupIngest(
+        spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, n_planes=64, bands=4, dim=16,
+    )
+    ing.run_available_now()
+    got = {r["ingest_seq"] for r in ing.accepted().collect()}
+
+    by_seq: dict[int, set] = {}
+    for r in ing._bands(docs).collect():
+        by_seq.setdefault(r["ingest_seq"], set()).add(r["band"])
+    seen: set = set()
+    want = set()
+    for s in range(len(rows)):
+        bs = by_seq[s]
+        if not (bs & seen):
+            want.add(s)
+        seen |= bs
+    assert got == want
+    assert len(got) < len(rows)  # twins actually suppressed
+    # registry maintenance keeps the state
+    rep = ing.maintain()
+    assert rep["seen"]["compacted_version"] is not None
+    assert {r["ingest_seq"] for r in ing.accepted().collect()} == got

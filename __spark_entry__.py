@@ -837,6 +837,84 @@ FROM b
 """
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: eval set = every 10th doc_id; flag
+    corpus docs sharing any word 8-gram with it (GPT-3 overlap rule)."""
+    from yadex_spark.operators.text import decontaminate
+
+    d = _t(spark, sf, "documents")
+    return decontaminate(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+        n=8,
+        max_bench_df=100,
+    )
+
+
+SQL_DECONTAM = """
+WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-6),
+             i -> array_to_string(ws[i:i+7],' '))) shs
+      FROM w WHERE len(ws) >= 8),
+e AS (SELECT doc_id, unnest(shs) AS sh FROM g),
+hs AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh),1,15) AS BIGINT) AS h FROM e),
+b AS (SELECT doc_id AS bench_id, h FROM hs WHERE doc_id % 10 = 0),
+bok AS (SELECT h FROM b GROUP BY h HAVING count(*) <= 100),
+bf AS (SELECT bench_id, b.h AS h FROM b JOIN bok ON b.h = bok.h),
+c AS (SELECT doc_id, h FROM hs WHERE doc_id % 10 != 0)
+SELECT c.doc_id, CAST(count(DISTINCT c.h) AS BIGINT) AS n_hits,
+       CAST(count(DISTINCT bf.bench_id) AS BIGINT) AS n_bench_docs
+FROM c JOIN bf ON c.h = bf.h
+GROUP BY c.doc_id
+"""
+
+
+def q_text_repetition(spark, sf):
+    from yadex_spark.operators.text import repetition
+
+    return repetition(_t(spark, sf, "documents"))
+
+
+SQL_REPETITION = """
+WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+s AS (SELECT doc_id, w,
+             CAST(len(w) AS BIGINT) n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) n_distinct,
+             CAST(list_max(list_transform(list_distinct(w),
+                  x -> len(list_filter(w, y -> y = x)))) AS BIGINT) top_n,
+             list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1],' ')) g2
+      FROM t)
+SELECT doc_id, n_words, n_distinct,
+       CAST(floor(10000 * (n_words - n_distinct) / n_words) AS BIGINT) AS dup_word_bp,
+       CAST(floor(10000 * top_n / n_words) AS BIGINT) AS top_word_bp,
+       CASE WHEN len(g2) > 0
+            THEN CAST(floor(10000 * (len(g2) - len(list_distinct(g2))) / len(g2)) AS BIGINT)
+            ELSE 0 END AS dup_2gram_bp
+FROM s
+"""
+
+
+#: gate rates for sample_by_source (bp of 10,000; unlisted sources 1000)
+_SAMPLE_RATES = {"src0": 10_000, "src1": 7_500, "src2": 5_000, "src3": 2_500}
+
+
+def q_sample_by_source(spark, sf):
+    from yadex_spark.operators.packing import sample_by_source
+
+    return sample_by_source(_t(spark, sf, "documents"), _SAMPLE_RATES, default_bp=1_000)
+
+
+SQL_SAMPLE = """
+WITH s AS (SELECT doc_id, source,
+                  CAST('0x' || substr(md5('smpl|' || CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 10000 AS bucket,
+                  CAST(CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500
+                                   WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500
+                                   ELSE 1000 END AS BIGINT) AS rate_bp
+           FROM documents)
+SELECT doc_id, source, bucket, rate_bp FROM s WHERE bucket < rate_bp
+"""
+
+
 def q_cdc_engine_replay(spark, sf):
     """The REAL engine end-to-end under the correctness gate: derive an
     oplog from events (op_seq=event_id, doc_id='u'||user_id, payload
@@ -930,6 +1008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "train_val_split": q_train_val_split,
         "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
+        "text_repetition": q_text_repetition,
+        "sample_by_source": q_sample_by_source,
     }
 
 
@@ -968,4 +1049,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": SQL_PACK,
         "train_val_split": SQL_SPLIT,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "decontaminate": SQL_DECONTAM,
+        "text_repetition": SQL_REPETITION,
+        "sample_by_source": SQL_SAMPLE,
     }

@@ -41,6 +41,9 @@ HEADLINE = [
     "embed_near_dup",
     "embed_lsh_near_dup",
     "text_quality",
+    "text_repetition",
+    "decontaminate",
+    "sample_by_source",
     "pack_sequences",
     "train_val_split",
     "cdc_engine_replay",

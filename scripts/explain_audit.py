@@ -102,6 +102,21 @@ AUDITS = {
         ("signature dots stay JVM-side (no python UDF)",
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
     ],
+    "decontaminate": [
+        ("hashed-shingle equi-join, no nested loop",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+        ("per-row shingling stays JVM-side (no python UDF)",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "text_repetition": [
+        ("pure per-row HOFs, no shuffle at all",
+         lambda p: "Exchange" not in p),
+        ("JVM-side only", lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "sample_by_source": [
+        ("pure per-row filter, no shuffle",
+         lambda p: "Exchange" not in p and "ReadSchema" in p),
+    ],
 }
 
 

@@ -422,3 +422,105 @@ def test_cosine_lsh_recall_beats_grid_on_spread_variance(spark):
     assert not (twins & grid)      # grid cannot see cross-cell twins
     assert twins <= lsh            # hyperplanes over all dims find them
     assert len(lsh) > len(grid)    # strictly better recall here
+
+
+def test_decontaminate_matches_python(spark):
+    """GPT-3-style n-gram overlap vs a python oracle: shared 3-grams
+    flag contamination; the bench-df cap drops boilerplate grams."""
+    from yadex_spark.operators.text import decontaminate
+
+    bench_rows = [
+        (100, "alpha beta gamma delta epsilon"),
+        (101, "common header line zeta eta theta"),
+        (102, "common header line iota kappa lambda"),
+    ]
+    corpus_rows = [
+        (0, "prefix alpha beta gamma suffix words"),          # hits bench 100
+        (1, "nothing shared here at all today"),              # clean
+        (2, "x common header line y z"),                      # hits 101 AND 102
+        (3, "alpha beta gamma delta epsilon trailing"),       # 3 grams of 100
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    def py(n, cap):
+        bsh = {b: _py_shingles(t, n) for b, t in bench_rows}
+        df: dict[str, int] = {}
+        for shs in bsh.values():
+            for s in shs:
+                df[s] = df.get(s, 0) + 1
+        keep = {s for s, c in df.items() if cap is None or c <= cap}
+        out = {}
+        for d, t in corpus_rows:
+            shs = _py_shingles(t, n) & keep
+            hit_grams = {s for s in shs if any(s in bsh[b] for b in bsh)}
+            hit_docs = {b for b in bsh if bsh[b] & shs}
+            if hit_grams:
+                out[d] = (len(hit_grams), len(hit_docs))
+        return out
+
+    got = {
+        r["doc_id"]: (r["n_hits"], r["n_bench_docs"])
+        for r in decontaminate(corpus, bench, n=3).collect()
+    }
+    assert got == py(3, None)
+    assert 1 not in got and got[2][1] == 2
+
+    # cap=1 drops 'common header line' (df=2): doc 2 has no other hits
+    capped = {
+        r["doc_id"]: (r["n_hits"], r["n_bench_docs"])
+        for r in decontaminate(corpus, bench, n=3, max_bench_df=1).collect()
+    }
+    assert capped == py(3, 1)
+    assert 2 not in capped
+
+
+def test_repetition_matches_python(spark):
+    from yadex_spark.operators.packing import token_estimate  # noqa: F401 (module import sanity)
+    from yadex_spark.operators.text import repetition
+
+    rows = [
+        (0, "a a a a b"),                    # top word 4/5, dup 2-grams
+        (1, "all distinct words entirely here"),
+        (2, "x y x y x y"),                  # alternating: dup 2-grams high
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition(docs).collect()}
+
+    for d, t in rows:
+        w = t.split(" ")
+        n = len(w)
+        nd = len(set(w))
+        top = max(w.count(x) for x in set(w))
+        g2 = [" ".join(w[i : i + 2]) for i in range(n - 1)]
+        r = got[d]
+        assert r["n_words"] == n and r["n_distinct"] == nd
+        assert r["dup_word_bp"] == 10_000 * (n - nd) // n
+        assert r["top_word_bp"] == 10_000 * top // n
+        assert r["dup_2gram_bp"] == (
+            10_000 * (len(g2) - len(set(g2))) // len(g2) if g2 else 0
+        )
+    assert got[1]["dup_word_bp"] == 0 and got[2]["dup_2gram_bp"] > 5_000
+
+
+def test_sample_by_source_stable_and_stratified(spark):
+    """Hash-of-key sampling: rates respected exactly per bucket, and a
+    doc's keep/drop never changes as the corpus grows."""
+    from yadex_spark.operators.packing import sample_by_source
+
+    rows = [(i, f"src{i % 3}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"src0": 10_000, "src1": 5_000, "src2": 0}
+
+    kept = {r["doc_id"]: r for r in sample_by_source(docs, rates).collect()}
+    assert all(r["bucket"] < r["rate_bp"] for r in kept.values())
+    # rate 10000 keeps every src0 doc; rate 0 keeps no src2 doc
+    assert {d for d in kept if d % 3 == 0} == {d for d, _ in rows if d % 3 == 0}
+    assert not any(d % 3 == 2 for d in kept)
+    # default_bp applies to unlisted sources
+    with_default = sample_by_source(docs, {"src0": 0}, default_bp=10_000).collect()
+    assert {r["doc_id"] for r in with_default} == {d for d, _ in rows if d % 3 != 0}
+    # growth stability: same decisions on a prefix of the corpus
+    small = {r["doc_id"] for r in sample_by_source(
+        docs.where(F.col("doc_id") < 100), rates).collect()}
+    assert small == {d for d in kept if d < 100}

@@ -95,3 +95,31 @@ def train_val_split(docs: DataFrame, val_pct: int = 10) -> DataFrame:
         bucket.alias("bucket"),
         F.when(bucket < val_pct, "val").otherwise("train").alias("split"),
     )
+
+
+def sample_by_source(docs: DataFrame, rates_bp: dict[str, int],
+                     default_bp: int = 0) -> DataFrame:
+    """Deterministic stratified (per-source) downsampling: keep a doc
+    iff a content-stable hash bucket falls under its source's rate (in
+    basis points of 10,000) — the domain-mixing step of a training-data
+    pipeline (e.g. upweight curated sources, downweight crawl).
+
+    Hash-of-key, not random: a doc's keep/drop decision never changes
+    across re-runs, re-partitioning, or incremental ingest, and the
+    hash domain is salted ('smpl|') so sampling is independent of the
+    train/val split buckets.  Pure per-row filter — no shuffle, no RNG
+    state, trivially correct at any scale.
+
+    Output: kept rows only — (doc_id, source, bucket, rate_bp)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("smpl|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 10_000
+    )
+    rate_map = F.create_map(*[F.lit(x) for kv in rates_bp.items() for x in kv])
+    rate = F.coalesce(rate_map[F.col("source")], F.lit(default_bp)).cast("long")
+    return (
+        docs.select(
+            "doc_id", "source", bucket.alias("bucket"), rate.alias("rate_bp")
+        )
+        .where(F.col("bucket") < F.col("rate_bp"))
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from yadex_spark.operators.common import spread
 from yadex_spark.operators.dedup import shingles, words_col
 
 STOPWORDS = {
@@ -115,4 +116,94 @@ def winnow_fingerprint(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
         F.count("*").alias("n_fp"),
         F.min("fp").alias("fp_min"),
         F.max("fp").alias("fp_max"),
+    )
+
+
+def _sh_bigint(sh):
+    """60-bit md5-prefix BIGINT of a shingle — the house portable hash
+    (identical in DuckDB, so both engines share even the collisions)."""
+    return F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long")
+
+
+def decontaminate(corpus: DataFrame, bench: DataFrame, n: int = 8,
+                  max_bench_df: int | None = None) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    n-gram with an evaluation set (the GPT-3 13-gram overlap rule,
+    Brown et al. 2020 appendix C, at a configurable n).
+
+    Output: one row per CONTAMINATED corpus doc —
+    (doc_id, n_hits = distinct shared shingles,
+     n_bench_docs = distinct benchmark docs hit).
+
+    Scale shape: the corpus is spread to cluster parallelism BEFORE
+    shingling (per-row md5 is CPU-heavy but tiny by bytes — the AQE
+    coalescing trap ``spread`` exists for), shingles are hashed to
+    60-bit BIGINTs BEFORE the distinct so the dedup shuffle moves
+    (doc_id, BIGINT) rows instead of raw n-gram strings; the benchmark
+    side is eval-set-sized (orders of magnitude below the corpus), so
+    AQE broadcasts it from its runtime size and the corpus side never
+    shuffles for the join itself.  ``max_bench_df`` drops shingles
+    present in more than that many benchmark docs (boilerplate/
+    stop-grams) BEFORE the join — the same quadratic-bucket guard as
+    ``ngram_jaccard_pairs``'s df-cap."""
+    c = (
+        spread(corpus.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id", F.explode(shingles(words_col(F.col("text")), n)).alias("sh")
+        )
+        .select("doc_id", _sh_bigint("sh").alias("h"))
+        .distinct()
+    )
+    b = (
+        bench.select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(shingles(words_col(F.col("text")), n)).alias("sh"),
+        )
+        .select("bench_id", _sh_bigint("sh").alias("h"))
+        .distinct()
+    )
+    if max_bench_df is not None:
+        df_counts = b.groupBy("h").agg(F.count("*").alias("_df"))
+        b = b.join(df_counts.where(F.col("_df") <= max_bench_df), "h").drop("_df")
+    return (
+        c.join(b, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_hits"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def repetition(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    repetitious documents are low-quality): per doc, the most-frequent-
+    word mass and the duplicate-2-gram mass, in basis points.
+
+    Entirely per-row HOF expressions — NO shuffle at any scale (the
+    distinct/filter loops run inside whole-stage codegen over each
+    row's own word array); integer-exact for the DuckDB oracle."""
+    w = words_col(F.col("text"))
+    d = docs.select("doc_id", w.alias("w"))
+    n_words = F.size("w").cast("long")
+    n_distinct = F.size(F.array_distinct("w")).cast("long")
+    top_n = F.array_max(
+        F.transform(
+            F.array_distinct("w"),
+            lambda x: F.size(F.filter(F.col("w"), lambda y: y == x)),
+        )
+    ).cast("long")
+    g2 = shingles(F.col("w"), 2)
+    n_2g = F.size(g2).cast("long")
+    n_2g_d = F.size(F.array_distinct(g2)).cast("long")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+        F.floor(F.lit(10_000) * (n_words - n_distinct) / n_words).alias("dup_word_bp"),
+        F.floor(F.lit(10_000) * top_n / n_words).alias("top_word_bp"),
+        F.when(n_2g > 0, F.floor(F.lit(10_000) * (n_2g - n_2g_d) / n_2g))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("dup_2gram_bp"),
     )

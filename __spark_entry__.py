@@ -915,6 +915,35 @@ SELECT doc_id, source, bucket, rate_bp FROM s WHERE bucket < rate_bp
 """
 
 
+def q_dedup_passages(spark, sf):
+    """Sub-document span dedup: content-defined chunks (~6 words),
+    chunks of >=4 words first-occurrence-deduped across the corpus."""
+    from yadex_spark.operators.dedup import passage_dedup
+
+    return passage_dedup(_t(spark, sf, "documents"), p=6, min_words=4)
+
+
+SQL_DEDUP_PASSAGES = """
+WITH w AS (
+  SELECT doc_id, i AS pos, ws[i] AS word,
+         CASE WHEN CAST('0x' || substr(md5(ws[i]),1,8) AS BIGINT) % 6 = 0 THEN 1 ELSE 0 END AS b
+  FROM (SELECT doc_id, string_split(text,' ') ws FROM documents), unnest(range(1, len(ws)+1)) t(i)),
+c AS (SELECT doc_id, pos, word,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id FROM w),
+ch AS (SELECT doc_id, chunk_id, string_agg(word, ' ' ORDER BY pos) AS passage,
+              min(pos) AS p0, count(*) AS nw
+       FROM c GROUP BY doc_id, chunk_id),
+h AS (SELECT doc_id, p0, nw, passage,
+             row_number() OVER (PARTITION BY md5(passage) ORDER BY doc_id, p0) AS rn
+      FROM ch),
+k AS (SELECT doc_id, p0, passage, (nw < 4 OR rn = 1) AS keep FROM h)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       coalesce(string_agg(passage, ' ' ORDER BY p0) FILTER (WHERE keep), '') AS clean_text
+FROM k GROUP BY doc_id
+"""
+
+
 def q_cdc_engine_replay(spark, sf):
     """The REAL engine end-to-end under the correctness gate: derive an
     oplog from events (op_seq=event_id, doc_id='u'||user_id, payload
@@ -1008,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "train_val_split": q_train_val_split,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_passages": q_dedup_passages,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "sample_by_source": q_sample_by_source,
@@ -1049,6 +1079,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": SQL_PACK,
         "train_val_split": SQL_SPLIT,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "dedup_passages": SQL_DEDUP_PASSAGES,
         "decontaminate": SQL_DECONTAM,
         "text_repetition": SQL_REPETITION,
         "sample_by_source": SQL_SAMPLE,

@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
+    "dedup_passages",
     "embed_cosine_topk",
     "embed_near_dup",
     "embed_lsh_near_dup",

@@ -102,6 +102,12 @@ AUDITS = {
         ("signature dots stay JVM-side (no python UDF)",
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
     ],
+    "dedup_passages": [
+        ("chunking stays per-row JVM HOFs (no python UDF)",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+        ("winner dedup is a partial hash agg, no window sort over the chunk hash",
+         lambda p: "HashAggregate" in p and "partial" in p.lower()),
+    ],
     "decontaminate": [
         ("hashed-shingle equi-join, no nested loop",
          lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),

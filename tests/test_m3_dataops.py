@@ -524,3 +524,60 @@ def test_sample_by_source_stable_and_stratified(spark):
     small = {r["doc_id"] for r in sample_by_source(
         docs.where(F.col("doc_id") < 100), rates).collect()}
     assert small == {d for d in kept if d < 100}
+
+
+def test_passage_dedup_matches_python_and_is_shift_invariant(spark):
+    """Content-defined chunking + first-occurrence-wins span dedup vs a
+    python oracle; the boundary rule makes chunking shift-invariant, so
+    a shared passage is deduped even at different word offsets."""
+    import hashlib
+
+    from yadex_spark.operators.dedup import passage_dedup
+
+    P, MINW = 3, 2
+
+    def is_b(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % P == 0
+
+    def chunks_of(text):
+        ws = text.split(" ")
+        starts = sorted({1} | {i + 1 for i, w in enumerate(ws) if is_b(w)})
+        ends = starts[1:] + [len(ws) + 1]
+        return [(s, " ".join(ws[s - 1 : e - 1])) for s, e in zip(starts, ends)]
+
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [
+        (0, "unique preamble words then " + shared),
+        (1, shared + " and a different tail entirely"),   # same span, offset 0
+        (2, "totally unrelated content in this one row"),
+        (3, "x " + shared),                               # same span, offset 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in passage_dedup(docs, p=P, min_words=MINW).collect()}
+
+    # python oracle: global first-occurrence-wins over (doc_id, p0)
+    occ = {}
+    for d, t in rows:
+        for p0, passage in chunks_of(t):
+            if len(passage.split(" ")) >= MINW:
+                occ.setdefault(passage, []).append((d, p0))
+    winners = {p: min(v) for p, v in occ.items()}
+    for d, t in rows:
+        cs = chunks_of(t)
+        keep = [
+            passage
+            for p0, passage in cs
+            if len(passage.split(" ")) < MINW or winners[passage] == (d, p0)
+        ]
+        assert got[d]["n_chunks"] == len(cs)
+        assert got[d]["n_dropped"] == len(cs) - len(keep)
+        assert got[d]["clean_text"] == " ".join(keep)
+
+    # the shared span really deduped: doc 0 keeps it (first occurrence),
+    # docs 1 and 3 drop chunks despite different offsets
+    assert got[0]["n_dropped"] == 0
+    assert got[1]["n_dropped"] > 0 and got[3]["n_dropped"] > 0
+    # exactly one copy of every repeated chunk survives corpus-wide
+    assert sum(got[d]["n_dropped"] for d in got) == sum(
+        len(v) - 1 for v in occ.values() if len(v) > 1
+    )

@@ -421,3 +421,86 @@ def _hamming(bits: int):
         ),
         start=F.lit(0),
     )
+
+
+def passage_dedup(docs: DataFrame, p: int = 6, min_words: int = 4) -> DataFrame:
+    """Passage-level (sub-document) exact dedup with CONTENT-DEFINED
+    chunk boundaries — the distributed analogue of duplicate-span
+    removal (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): repeated passages are dropped from every document
+    but their first occurrence, instead of dropping whole documents.
+
+    A word starts a new chunk when ``hash(word) % p == 0`` (expected
+    chunk length ~p words).  Content-defined boundaries are the dedup-
+    storage trick that makes chunking SHIFT-INVARIANT: a passage shared
+    by two documents at different offsets still chunks identically, so
+    position-aligned fixed windows (which a one-word prefix edit
+    defeats) are never needed.  Chunks shorter than ``min_words`` are
+    dedup-exempt (always kept): short runs repeat by chance, and span
+    dedup only targets long repeats (the published rule is 50 tokens —
+    the gate pins a small ``min_words`` for the synthetic corpus).
+
+    First-occurrence-wins: the surviving copy of a chunk hash is the
+    lexicographically smallest (doc_id, position).  Output is one row
+    per document: total/dropped chunk counts and the document text
+    rebuilt from surviving chunks in order.
+
+    Scale shape: chunking is pure per-row HOFs (zero shuffle, any doc
+    length, O(words) per doc); the winner table is a partial-agg
+    ``min(struct(doc_id, p0))`` on the chunk hash (map-side combine
+    absorbs hot boilerplate chunks — no window sort over a skewed hash
+    partition), filtered to hashes with >1 occurrence BEFORE the
+    join-back, so on a mostly-unique corpus the build side is small
+    enough for AQE to broadcast; reassembly is one groupBy(doc_id).
+    """
+    ws = words_col(F.col("text"))
+    n = F.size(ws)
+    is_b = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % p == 0  # noqa: E731
+    starts = F.array_distinct(
+        F.concat(
+            F.array(F.lit(1)),
+            F.filter(F.sequence(F.lit(1), n), lambda i: is_b(F.element_at(ws, i))),
+        )
+    )
+    nxt = F.concat(F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))), F.array(n + 1))
+    chunk = F.zip_with(
+        starts,
+        nxt,
+        lambda s, e: F.struct(
+            s.alias("p0"),
+            (e - s).alias("nw"),
+            F.concat_ws(" ", F.slice(ws, s, e - s)).alias("passage"),
+        ),
+    )
+    chunks = _spread(
+        docs.select("doc_id", F.explode(chunk).alias("c")).select(
+            "doc_id", "c.p0", "c.nw", F.md5("c.passage").alias("ph"), "c.passage"
+        ),
+        "doc_id",
+    )
+    eligible = chunks.where(F.col("nw") >= min_words)
+    winners = (
+        eligible.groupBy("ph")
+        .agg(F.min(F.struct("doc_id", "p0")).alias("w"), F.count("*").alias("_n"))
+        .where(F.col("_n") > 1)
+        .select("ph", "w")
+    )
+    kept = chunks.join(winners, "ph", "left").withColumn(
+        "keep",
+        (F.col("nw") < min_words)
+        | F.col("w").isNull()
+        | (F.struct("doc_id", "p0") == F.col("w")),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("p0", "passage")))
+                ),
+                lambda s: s["passage"],
+            ),
+        ).alias("clean_text"),
+    )

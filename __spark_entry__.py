@@ -869,6 +869,87 @@ GROUP BY c.doc_id
 """
 
 
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> tuple[str, str]:
+    """Unrolled deterministic Lloyd's k-means as DuckDB CTEs (mirrors
+    similarity.train_kmeans bit-for-bit: md5-ordered seeds, integer
+    squared-L2 argmin with smallest-cluster tie-break, floor(sum/count)
+    update, empty clusters vanish).  Returns (ctes, final-assignment
+    name) — final assignment 'afin' uses the post-iteration centroids."""
+    d_expr = (
+        "list_sum(list_transform(range(1,{dim1}), i -> "
+        "(pn.q[i]-s.c[i])*(pn.q[i]-s.c[i])))"
+    ).format(dim1=dim + 1)
+    parts = [
+        f"seeds AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl, "
+        f"q AS c FROM pn QUALIFY cl < {k})"
+    ]
+    prev = "seeds"
+    for t in range(iters):
+        parts.append(
+            f"a{t} AS (SELECT vec_id, q, cl FROM ("
+            f"SELECT pn.vec_id, pn.q, s.cl, {d_expr} AS d "
+            f"FROM pn CROSS JOIN {prev} s) "
+            f"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1)"
+        )
+        parts.append(
+            f"c{t + 1} AS (SELECT cl, list(CAST(floor(s/n) AS DOUBLE) ORDER BY i) AS c FROM ("
+            f"SELECT cl, i, sum(q[i]) AS s, count(*) AS n "
+            f"FROM a{t}, unnest(range(1,{dim + 1})) t(i) GROUP BY cl, i) GROUP BY cl)"
+        )
+        prev = f"c{t + 1}"
+    parts.append(
+        f"afin AS (SELECT vec_id, q, n2, cl, d FROM ("
+        f"SELECT pn.vec_id, pn.q, pn.n2, s.cl, {d_expr} AS d "
+        f"FROM pn CROSS JOIN {prev} s) "
+        f"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1)"
+    )
+    return ",\n".join(parts), prev
+
+
+def q_embed_kmeans_assign(spark, sf):
+    """Learned-centroid assignment: deterministic k-means (k=8, 2
+    Lloyd iterations), each vector labeled with its nearest centroid."""
+    from yadex_spark.operators.similarity import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf, "embeddings"), k=8, iters=2)
+
+
+_KM_CTES, _KM_FINAL = _kmeans_ctes(k=8, iters=2, dim=64)
+
+SQL_KMEANS_ASSIGN = f"""
+WITH {_QVEC},
+{_KM_CTES}
+SELECT vec_id, cl AS cluster, CAST(d AS BIGINT) AS dist FROM afin
+"""
+
+
+def q_embed_ivf_topk(spark, sf):
+    """IVF search over the learned index: nprobe=2 nearest centroids
+    per query, exact cosine verify, top-3."""
+    from yadex_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf, "embeddings"), k=8, iters=2,
+                    n_queries=8, topk=3, nprobe=2)
+
+
+SQL_IVF_TOPK = f"""
+WITH {_QVEC},
+{_KM_CTES},
+probes AS (SELECT query_id, qa, na2, cl FROM (
+  SELECT pn.vec_id AS query_id, pn.q AS qa, pn.n2 AS na2, s.cl,
+         list_sum(list_transform(range(1,65), i -> (pn.q[i]-s.c[i])*(pn.q[i]-s.c[i]))) AS d
+  FROM pn CROSS JOIN {_KM_FINAL} s WHERE pn.vec_id < 8)
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cl) <= 2),
+cand AS (SELECT vec_id AS neighbor_id, q AS qb, n2 AS nb2, cl FROM afin WHERE vec_id >= 8),
+scored AS (SELECT query_id, neighbor_id,
+                  list_dot_product(qa, qb) / sqrt(na2 * nb2) AS cos
+           FROM probes JOIN cand USING (cl))
+SELECT query_id, neighbor_id, rnk, cos FROM
+ (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
+  FROM scored) WHERE rnk <= 3
+"""
+
+
 def q_text_repetition(spark, sf):
     from yadex_spark.operators.text import repetition
 
@@ -1028,6 +1109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "embed_ann_grid": q_embed_ann_grid,
         "embed_lsh_near_dup": q_embed_lsh_near_dup,
+        "embed_kmeans_assign": q_embed_kmeans_assign,
+        "embed_ivf_topk": q_embed_ivf_topk,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_token_count": q_text_token_count,
@@ -1070,6 +1153,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup": SQL_EMBED_NEAR_DUP,
         "embed_ann_grid": SQL_EMBED_ANN_GRID,
         "embed_lsh_near_dup": SQL_EMBED_LSH,
+        "embed_kmeans_assign": SQL_KMEANS_ASSIGN,
+        "embed_ivf_topk": SQL_IVF_TOPK,
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": SQL_TEXT_LANGID,
         "text_token_count": SQL_TEXT_TOKENS,

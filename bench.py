@@ -41,6 +41,7 @@ HEADLINE = [
     "embed_cosine_topk",
     "embed_near_dup",
     "embed_lsh_near_dup",
+    "embed_ivf_topk",
     "text_quality",
     "text_repetition",
     "decontaminate",

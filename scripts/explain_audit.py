@@ -102,6 +102,17 @@ AUDITS = {
         ("signature dots stay JVM-side (no python UDF)",
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
     ],
+    "embed_kmeans_assign": [
+        ("literal-centroid assignment is a pure narrow projection (no join, no shuffle)",
+         lambda p: "Exchange" not in p and "Join" not in p),
+        ("argmin stays JVM-side (no python UDF)",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "embed_ivf_topk": [
+        ("IVF search is a cluster-id equi-join, no all-pairs cross join",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+        ("top-k window present", lambda p: "Window" in p or "WindowGroupLimit" in p),
+    ],
     "dedup_passages": [
         ("chunking stays per-row JVM HOFs (no python UDF)",
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),

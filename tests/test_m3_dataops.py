@@ -581,3 +581,79 @@ def test_passage_dedup_matches_python_and_is_shift_invariant(spark):
     assert sum(got[d]["n_dropped"] for d in got) == sum(
         len(v) - 1 for v in occ.values() if len(v) > 1
     )
+
+
+def test_kmeans_ivf_matches_python_oracle(spark):
+    """Deterministic Lloyd's k-means vs a pure-python replica, and IVF
+    search degenerating to exact brute-force when nprobe = k.  All
+    coordinates are multiples of 0.125 (exact in float32), so
+    quantization has no rounding ambiguity to hide behind."""
+    import hashlib
+    import math
+
+    from yadex_spark.operators.similarity import (
+        cosine_topk, ivf_topk, kmeans_assign, train_kmeans,
+    )
+
+    centers = [
+        [8.0, 0.0, 0.0, 0.0], [0.0, 8.0, 0.0, 0.0], [0.0, 0.0, 8.0, 0.0],
+    ]
+    rows = []
+    for i in range(39):
+        c = centers[i % 3]
+        off = [0.125 * ((i * 7 + j * 3) % 5 - 2) for j in range(4)]
+        rows.append((i, [c[j] + off[j] for j in range(4)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    K, ITERS = 3, 2
+    got_cents = train_kmeans(emb, k=K, iters=ITERS)
+
+    # --- python replica ---
+    q = {i: [round(v * 1000) for v in vec] for i, vec in rows}
+
+    def argmin(v, cents):
+        best = min(
+            (sum((a - b) * (a - b) for a, b in zip(v, c)), cid)
+            for cid, c in sorted(cents.items())
+        )
+        return best[1], best[0]
+
+    seeds = sorted(q, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:K]
+    cents = {ci: list(q[i]) for ci, i in enumerate(seeds)}
+    for _ in range(ITERS):
+        members: dict[int, list[int]] = {}
+        for i, v in q.items():
+            members.setdefault(argmin(v, cents)[0], []).append(i)
+        cents = {
+            cl: [
+                math.floor(sum(q[i][j] for i in ms) / len(ms))
+                for j in range(4)
+            ]
+            for cl, ms in members.items()
+        }
+    assert got_cents == cents
+
+    got_assign = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_assign(emb, k=K, iters=ITERS).collect()
+    }
+    assert got_assign == {i: argmin(v, cents) for i, v in q.items()}
+    # the learned index recovers the three blobs
+    blobs = {
+        frozenset(i for i in q if got_assign[i][0] == cl)
+        for cl in {a[0] for a in got_assign.values()}
+    }
+    assert blobs == {frozenset(range(b, 39, 3)) for b in range(3)}
+
+    # nprobe = k probes every cluster: IVF == exact brute-force top-k
+    brute = {(r["query_id"], r["neighbor_id"], r["rnk"])
+             for r in cosine_topk(emb, n_queries=3, k=5).collect()}
+    ivf_all = {(r["query_id"], r["neighbor_id"], r["rnk"])
+               for r in ivf_topk(emb, k=K, iters=ITERS, n_queries=3,
+                                 topk=5, nprobe=K).collect()}
+    assert ivf_all == brute
+    # nprobe = 1 on well-separated blobs still finds the same neighbors
+    ivf_1 = {(r["query_id"], r["neighbor_id"], r["rnk"])
+             for r in ivf_topk(emb, k=K, iters=ITERS, n_queries=3,
+                               topk=5, nprobe=1).collect()}
+    assert ivf_1 == brute

@@ -282,3 +282,144 @@ def ann_grid_topk(emb: DataFrame, n_queries: int = 8, k: int = 3, cell: int = 25
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "cos")
     )
+
+
+def _l2(q: Column, cent: list[int]) -> Column:
+    """Exact integer squared L2 distance to a literal centroid."""
+    c = F.array(*[F.lit(int(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with(q, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest(q: Column, cents: dict[int, list[int]]) -> Column:
+    """struct(d, cl) of the nearest centroid — array_min over
+    (distance, cluster-id) structs gives the deterministic
+    smallest-id tie-break in every engine."""
+    return F.array_min(
+        F.array(*[
+            F.struct(_l2(q, c).alias("d"), F.lit(cid).alias("cl"))
+            for cid, c in sorted(cents.items())
+        ])
+    )
+
+
+def train_kmeans(emb: DataFrame, k: int = 8, iters: int = 2) -> dict[int, list[int]]:
+    """Deterministic Lloyd's k-means over quantized embeddings —
+    learned centroids for the IVF index (the step beyond the fixed
+    2-dim grid of :func:`ann_grid_topk` and the data-blind hyperplanes
+    of :func:`cosine_lsh_pairs`: centroids adapt to where the vectors
+    actually live, over ALL dims).
+
+    Engine-portable determinism, so a SQL oracle can replay training
+    bit-for-bit with unrolled iteration CTEs:
+
+    - seeds: the k vectors with the smallest (md5(vec_id), vec_id) —
+      an order any engine reproduces;
+    - assignment: exact integer squared-L2 argmin, ties to the smaller
+      cluster id;
+    - update: element-wise floor(sum/count).  Sums are exact integers
+      (|q_i| <= ~2000 quantized units, so any corpus < 2^40 rows stays
+      inside double's 2^53 exact range), and floor of the correctly-
+      rounded double quotient equals the true floor whenever the true
+      quotient is farther than 1 ulp from an integer — with integer
+      sum and count <= corpus size, the quotient is either exactly an
+      integer or at least 1/count away from one, so the floor is
+      engine-independent;
+    - clusters that lose every member VANISH (membership defines the
+      centroid set) rather than keeping a stale centroid — the same
+      rule falls out of a SQL GROUP BY naturally.
+
+    Scale shape: this is the broadcast-variable k-means — centroids
+    (k x dim ints, driver-bounded) are embedded as literals, so each
+    iteration is ONE narrow scan (per-row argmin, no join, no shuffle
+    of vectors) feeding ONE 64-column partial HashAggregate with k
+    groups (map-side combine reduces every partition to <= k rows; the
+    shuffle moves k rows per partition, never vectors).  Driver
+    traffic is k x dim ints per iteration — the legitimate collect of
+    a bounded model, not of data."""
+    import math
+
+    p = _prepared(emb)
+    seeds = (
+        p.select("vec_id", "q")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = {i: [int(v) for v in r["q"]] for i, r in enumerate(seeds)}
+    dim = len(next(iter(cents.values())))
+    for _ in range(iters):
+        assigned = p.withColumn("cl", _nearest(F.col("q"), cents)["cl"])
+        rows = assigned.groupBy("cl").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(dim)],
+        ).collect()
+        cents = {
+            r["cl"]: [math.floor(r[f"s{i}"] / r["n"]) for i in range(dim)]
+            for r in rows
+        }
+    return cents
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
+                  cents: dict[int, list[int]] | None = None) -> DataFrame:
+    """(vec_id, cluster, dist): nearest learned centroid per vector.
+    The returned plan is a PURE per-row projection — centroids are
+    literals, so there is no join and no shuffle at any corpus size."""
+    if cents is None:
+        cents = train_kmeans(emb, k, iters)
+    p = _prepared(emb)
+    m = _nearest(F.col("q"), cents)
+    return p.select(
+        "vec_id", m["cl"].alias("cluster"), m["d"].alias("dist")
+    )
+
+
+def ivf_topk(emb: DataFrame, k: int = 8, iters: int = 2, n_queries: int = 8,
+             topk: int = 3, nprobe: int = 2) -> DataFrame:
+    """Approximate top-k via a learned-centroid IVF index: candidates
+    are corpus vectors whose cluster is one of the query's ``nprobe``
+    nearest centroids, exact-verified by integer cosine.
+
+    vs the fixed grid (:func:`ann_grid_topk`): cells there quantize
+    only dims 1-2, so differences living in dims 3+ are invisible and
+    cell occupancy follows the data blindly; learned centroids
+    partition by ACTUAL vector density over all dims, the standard IVF
+    recall/cost trade (nprobe widens recall at nprobe x candidate
+    cost).  Search is an equi-join on cluster id — bucket-local, never
+    all-pairs; at 10^9 vectors k grows to ~sqrt(n) so per-cluster
+    candidate lists stay ~sqrt(n) (the gate pins the small-corpus
+    k=8).  A corpus vector lives in exactly one cluster, so no
+    candidate pair is generated twice."""
+    cents = train_kmeans(emb, k, iters)
+    p = _prepared(emb)
+    corpus = p.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+        _nearest(F.col("q"), cents)["cl"].alias("cluster"),
+    )
+    probe_arr = F.slice(
+        F.array_sort(F.array(*[
+            F.struct(_l2(F.col("q"), c).alias("d"), F.lit(cid).alias("cl"))
+            for cid, c in sorted(cents.items())
+        ])),
+        1, min(nprobe, len(cents)),
+    )
+    qs = p.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+        F.explode(F.transform(probe_arr, lambda s: s["cl"])).alias("cluster"),
+    )
+    cand = _spread(corpus, "cluster")
+    scored = qs.join(cand, "cluster").withColumn(
+        "cos", _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= topk)
+        .select("query_id", "neighbor_id", "rnk", "cos")
+    )

@@ -950,6 +950,36 @@ SELECT query_id, neighbor_id, rnk, cos FROM
 """
 
 
+def q_decontaminate_fuzzy(spark, sf):
+    """Fuzzy (MinHash-LSH) decontamination against the same every-10th
+    eval split as `decontaminate` — catches near-duplicate paraphrases
+    the exact n-gram rule misses."""
+    from yadex_spark.operators.text import decontaminate_fuzzy
+
+    d = _t(spark, sf, "documents")
+    return decontaminate_fuzzy(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+        k=8,
+        n=3,
+    )
+
+
+SQL_DECONTAM_FUZZY = f"""
+WITH {_SH3},
+sigs AS (SELECT doc_id, {", ".join(_SIG.format(i=i) for i in range(8))}
+         FROM sh GROUP BY doc_id),
+bands AS ({" UNION ALL ".join(f"SELECT doc_id, {i} AS band, sig{i} AS sig FROM sigs" for i in range(8))}),
+cb AS (SELECT doc_id, band, sig FROM bands WHERE doc_id % 10 != 0),
+bb AS (SELECT doc_id AS bench_id, band, sig FROM bands WHERE doc_id % 10 = 0),
+pp AS (SELECT doc_id, bench_id, count(DISTINCT band) AS n_shared
+       FROM cb JOIN bb USING (band, sig) GROUP BY doc_id, bench_id)
+SELECT doc_id, count(DISTINCT bench_id) AS n_bench_docs,
+       max(n_shared) AS max_shared_bands
+FROM pp GROUP BY doc_id
+"""
+
+
 def q_text_repetition(spark, sf):
     from yadex_spark.operators.text import repetition
 
@@ -1122,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_passages": q_dedup_passages,
         "decontaminate": q_decontaminate,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "text_repetition": q_text_repetition,
         "sample_by_source": q_sample_by_source,
     }
@@ -1166,6 +1197,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "dedup_passages": SQL_DEDUP_PASSAGES,
         "decontaminate": SQL_DECONTAM,
+        "decontaminate_fuzzy": SQL_DECONTAM_FUZZY,
         "text_repetition": SQL_REPETITION,
         "sample_by_source": SQL_SAMPLE,
     }

@@ -45,6 +45,7 @@ HEADLINE = [
     "text_quality",
     "text_repetition",
     "decontaminate",
+    "decontaminate_fuzzy",
     "sample_by_source",
     "pack_sequences",
     "train_val_split",

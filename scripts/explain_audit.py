@@ -125,6 +125,12 @@ AUDITS = {
         ("per-row shingling stays JVM-side (no python UDF)",
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
     ],
+    "decontaminate_fuzzy": [
+        ("band equi-join, no nested loop",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+        ("BIGINT signature hash aggregates, no sort fallback",
+         lambda p: "HashAggregate" in p and "SortAggregate" not in p),
+    ],
     "text_repetition": [
         ("pure per-row HOFs, no shuffle at all",
          lambda p: "Exchange" not in p),

@@ -657,3 +657,55 @@ def test_kmeans_ivf_matches_python_oracle(spark):
              for r in ivf_topk(emb, k=K, iters=ITERS, n_queries=3,
                                topk=5, nprobe=1).collect()}
     assert ivf_1 == brute
+
+
+def test_decontaminate_fuzzy_catches_paraphrase(spark):
+    """MinHash-LSH decontamination vs a python replica: a reworded eval
+    doc (no shared 8-gram) still collides on min-hash bands; an
+    unrelated doc never does."""
+    from yadex_spark.operators.text import decontaminate_fuzzy
+
+    bench_rows = [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")]
+    corpus_rows = [
+        # paraphrase: one word swapped mid-doc — shares no 8-gram,
+        # but most 3-shingles (and so most min-hash slots) survive
+        (0, "alpha beta gamma delta epsilon zeta eta XXXX iota kappa"),
+        (1, "completely unrelated text about other things entirely now"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # exact
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    K, N = 8, 3
+
+    def sig(text):
+        shs = _py_shingles(text, N)
+        return [
+            min(int(hashlib.md5(f"{i}|{s}".encode()).hexdigest()[:15], 16) for s in shs)
+            for i in range(K)
+        ]
+
+    bsig = {b: sig(t) for b, t in bench_rows}
+    expected = {}
+    for d, t in corpus_rows:
+        cs = sig(t)
+        per_bench = {
+            b: sum(cs[i] == bs[i] for i in range(K)) for b, bs in bsig.items()
+        }
+        hits = {b: v for b, v in per_bench.items() if v > 0}
+        if hits:
+            expected[d] = (len(hits), max(hits.values()))
+
+    got = {
+        r["doc_id"]: (r["n_bench_docs"], r["max_shared_bands"])
+        for r in decontaminate_fuzzy(corpus, bench, k=K, n=N).collect()
+    }
+    assert got == expected
+    assert 2 in got and got[2][1] == K      # exact dup shares every band
+    assert 0 in got and got[0][1] >= 1      # paraphrase still caught
+    assert 1 not in got                     # unrelated doc clean
+    # and the exact n-gram rule really would have missed the paraphrase
+    from yadex_spark.operators.text import decontaminate
+
+    exact = {r["doc_id"] for r in decontaminate(corpus, bench, n=8).collect()}
+    assert 0 not in exact and 2 in exact

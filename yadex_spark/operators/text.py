@@ -207,3 +207,52 @@ def repetition(docs: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("dup_2gram_bp"),
     )
+
+
+def decontaminate_fuzzy(corpus: DataFrame, bench: DataFrame,
+                        k: int = 8, n: int = 3) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag corpus docs that are
+    MinHash-LSH NEAR-duplicates of an evaluation doc — the paraphrase-
+    robust complement to :func:`decontaminate`'s exact n-gram rule (a
+    lightly reworded eval question shares almost no long n-grams but
+    keeps a high shingle-set Jaccard, which min-hash banding catches;
+    GPT-3's own dedup of benchmarks ran fuzzy, Brown et al. 2020
+    appendix C).
+
+    A corpus doc is flagged when any of its k 1-row MinHash bands
+    (:func:`~yadex_spark.operators.dedup.minhash_signatures`) equals
+    the same band of any bench doc.  Output per flagged doc:
+    (doc_id, n_bench_docs = distinct eval docs collided with,
+    max_shared_bands = bands shared with the closest eval doc — a
+    monotone proxy for the best Jaccard; k shared bands ~ exact dup).
+
+    Scale shape: signatures are k BIGINT partial HashAggregates per
+    side; the join is a (band, sig) equi-join whose right side is
+    eval-set-sized (AQE broadcasts it from runtime stats), so the
+    corpus never shuffles for the join — identical shape to the
+    streaming band registry (`streaming/neardup_ingest.py`), applied
+    batch-side between two tables."""
+    from yadex_spark.operators.dedup import minhash_signatures
+
+    def bands(df: DataFrame, idcol: str) -> DataFrame:
+        sigs = minhash_signatures(df, k=k, n=n)
+        return sigs.select(
+            F.col("doc_id").alias(idcol),
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(i).alias("band"), F.col(f"sig{i}").alias("sig"))
+                    for i in range(k)
+                ])
+            ).alias("b"),
+        ).select(idcol, "b.band", "b.sig")
+
+    hits = bands(spread(corpus, "doc_id"), "doc_id").join(
+        bands(bench, "bench_id"), ["band", "sig"]
+    )
+    per_pair = hits.groupBy("doc_id", "bench_id").agg(
+        F.countDistinct("band").alias("n_shared")
+    )
+    return per_pair.groupBy("doc_id").agg(
+        F.countDistinct("bench_id").alias("n_bench_docs"),
+        F.max("n_shared").alias("max_shared_bands"),
+    )

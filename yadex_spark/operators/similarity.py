@@ -342,26 +342,34 @@ def train_kmeans(emb: DataFrame, k: int = 8, iters: int = 2) -> dict[int, list[i
     a bounded model, not of data."""
     import math
 
-    p = _prepared(emb)
-    seeds = (
-        p.select("vec_id", "q")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(k)
-        .collect()
-    )
-    cents = {i: [int(v) for v in r["q"]] for i, r in enumerate(seeds)}
-    dim = len(next(iter(cents.values())))
-    for _ in range(iters):
-        assigned = p.withColumn("cl", _nearest(F.col("q"), cents)["cl"])
-        rows = assigned.groupBy("cl").agg(
-            F.count("*").alias("n"),
-            *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(dim)],
-        ).collect()
-        cents = {
-            r["cl"]: [math.floor(r[f"s{i}"] / r["n"]) for i in range(dim)]
-            for r in rows
-        }
-    return cents
+    # spread before the argmin/agg passes: the k x dim-mult argmin over
+    # tiny-by-bytes rows is the CPU-heavy shape a single-file scan (or
+    # AQE coalescing) would serialize to one task.  Cache the quantized
+    # features across the iteration jobs (the MLlib-kmeans pattern —
+    # every pass re-reading + re-quantizing the corpus is pure waste).
+    p = _spread(_prepared(emb), "vec_id").persist()
+    try:
+        seeds = (
+            p.select("vec_id", "q")
+            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(k)
+            .collect()
+        )
+        cents = {i: [int(v) for v in r["q"]] for i, r in enumerate(seeds)}
+        dim = len(next(iter(cents.values())))
+        for _ in range(iters):
+            assigned = p.withColumn("cl", _nearest(F.col("q"), cents)["cl"])
+            rows = assigned.groupBy("cl").agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(dim)],
+            ).collect()
+            cents = {
+                r["cl"]: [math.floor(r[f"s{i}"] / r["n"]) for i in range(dim)]
+                for r in rows
+            }
+        return cents
+    finally:
+        p.unpersist()
 
 
 def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
@@ -395,7 +403,9 @@ def ivf_topk(emb: DataFrame, k: int = 8, iters: int = 2, n_queries: int = 8,
     k=8).  A corpus vector lives in exactly one cluster, so no
     candidate pair is generated twice."""
     cents = train_kmeans(emb, k, iters)
-    p = _prepared(emb)
+    # spread before assignment: same CPU-heavy tiny-by-bytes guard as
+    # training; the query side is n_queries rows and stays unspread
+    p = _spread(_prepared(emb), "vec_id")
     corpus = p.where(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"),
         F.col("n2").alias("nb2"),
@@ -413,8 +423,10 @@ def ivf_topk(emb: DataFrame, k: int = 8, iters: int = 2, n_queries: int = 8,
         F.col("n2").alias("na2"),
         F.explode(F.transform(probe_arr, lambda s: s["cl"])).alias("cluster"),
     )
-    cand = _spread(corpus, "cluster")
-    scored = qs.join(cand, "cluster").withColumn(
+    # no re-spread on cluster: corpus is already spread by vec_id for
+    # the assignment compute, and the probe side is tiny (n_queries x
+    # nprobe rows) so AQE broadcasts it — the corpus never shuffles
+    scored = qs.join(corpus, "cluster").withColumn(
         "cos", _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na2"), F.col("nb2"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

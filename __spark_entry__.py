@@ -566,8 +566,7 @@ def q_dedup_clusters(spark, sf):
 # iterative min-label propagation on Spark; DuckDB mirrors the fixpoint
 # with a recursive CTE (transitive reachability -> min reachable id) —
 # fine at oracle scale, where closure size is tiny
-SQL_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE {_simhash_cte(64).strip().rstrip(",")}
+_CLUSTERS_CTES = f"""{_simhash_cte(64).strip().rstrip(",")}
 ,bands0 AS (SELECT doc_id, simhash, b AS band, substr(simhash, b*16 + 1, 16) AS chunk
            FROM simh, unnest([0,1,2,3]) t(b)),
 bsz AS (SELECT band, chunk, count(*) n FROM bands0 GROUP BY 1, 2),
@@ -583,8 +582,33 @@ edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
 nodes AS (SELECT DISTINCT s AS doc FROM edges),
 reach AS (SELECT doc, doc AS r FROM nodes
           UNION
-          SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.doc)
-SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc
+          SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.doc),
+comp AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc)"""
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_CLUSTERS_CTES}
+SELECT doc_id, cluster_id FROM comp
+"""
+
+
+def q_dedup_clean_corpus(spark, sf):
+    """The full dedup PASS: simhash near-dup pairs -> connected
+    components -> canonical-only corpus with collapsed member counts."""
+    from yadex_spark.operators.dedup import clean_corpus, simhash_pairs
+
+    docs = _t(spark, sf, "documents")
+    pairs = simhash_pairs(docs, bits=64, bands=4, max_hamming=3)
+    return clean_corpus(docs, pairs)
+
+
+SQL_DEDUP_CLEAN = f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+allc AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+sz AS (SELECT cluster_id, count(*) AS n_members FROM allc GROUP BY 1)
+SELECT a.doc_id, sz.n_members, d.source, d.n_chars
+FROM allc a JOIN sz USING (cluster_id) JOIN documents d ON d.doc_id = a.doc_id
+WHERE a.doc_id = a.cluster_id
 """
 
 
@@ -1151,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "dedup_clusters": q_dedup_clusters,
         "dedup_passages": q_dedup_passages,
+        "dedup_clean_corpus": q_dedup_clean_corpus,
         "decontaminate": q_decontaminate,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "text_repetition": q_text_repetition,
@@ -1196,6 +1221,7 @@ def oracle_sql() -> dict[str, str]:
         "train_val_split": SQL_SPLIT,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "dedup_passages": SQL_DEDUP_PASSAGES,
+        "dedup_clean_corpus": SQL_DEDUP_CLEAN,
         "decontaminate": SQL_DECONTAM,
         "decontaminate_fuzzy": SQL_DECONTAM_FUZZY,
         "text_repetition": SQL_REPETITION,

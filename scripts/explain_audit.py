@@ -125,6 +125,12 @@ AUDITS = {
         ("per-row shingling stays JVM-side (no python UDF)",
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
     ],
+    "dedup_clean_corpus": [
+        ("canonical filter + size/corpus joins stay equi-joins, no nested loop",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+        ("cluster-size agg is a hash aggregate",
+         lambda p: "HashAggregate" in p),
+    ],
     "decontaminate_fuzzy": [
         ("band equi-join, no nested loop",
          lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),

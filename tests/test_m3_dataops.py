@@ -709,3 +709,20 @@ def test_decontaminate_fuzzy_catches_paraphrase(spark):
 
     exact = {r["doc_id"] for r in decontaminate(corpus, bench, n=8).collect()}
     assert 0 not in exact and 2 in exact
+
+
+def test_clean_corpus_keeps_one_canonical_per_cluster(spark, docs):
+    """The end-to-end dedup pass: exactly one survivor per duplicate
+    cluster (the min doc_id), member counts sum to the corpus size,
+    singletons all labeled."""
+    from yadex_spark.operators.dedup import clean_corpus, ngram_jaccard_pairs
+
+    docs2 = docs.withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    )
+    pairs = ngram_jaccard_pairs(docs2, n=3, pct_threshold=2)
+    out = {r["doc_id"]: r["n_members"]
+           for r in clean_corpus(docs2, pairs).collect()}
+    # 0,1,3 cluster together (0-3 exact, 0-1 near); 2 and 4 singletons
+    assert out == {0: 3, 2: 1, 4: 1}
+    assert sum(out.values()) == 5

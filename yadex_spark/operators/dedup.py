@@ -423,6 +423,33 @@ def _hamming(bits: int):
     )
 
 
+def chunk_structs(text: Column, p: int) -> Column:
+    """array<struct<p0,nw,passage>> — a document's content-defined
+    chunks: a word STARTS a new chunk when hash(word) % p == 0
+    (expected chunk length ~p words), so chunking is shift-invariant.
+    Pure per-row HOFs, O(words) per doc; the shared chunker of
+    :func:`passage_dedup` and the streaming span-dedup ingest."""
+    ws = words_col(text)
+    n = F.size(ws)
+    is_b = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % p == 0  # noqa: E731
+    starts = F.array_distinct(
+        F.concat(
+            F.array(F.lit(1)),
+            F.filter(F.sequence(F.lit(1), n), lambda i: is_b(F.element_at(ws, i))),
+        )
+    )
+    nxt = F.concat(F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))), F.array(n + 1))
+    return F.zip_with(
+        starts,
+        nxt,
+        lambda s, e: F.struct(
+            s.alias("p0"),
+            (e - s).alias("nw"),
+            F.concat_ws(" ", F.slice(ws, s, e - s)).alias("passage"),
+        ),
+    )
+
+
 def passage_dedup(docs: DataFrame, p: int = 6, min_words: int = 4) -> DataFrame:
     """Passage-level (sub-document) exact dedup with CONTENT-DEFINED
     chunk boundaries — the distributed analogue of duplicate-span
@@ -453,25 +480,7 @@ def passage_dedup(docs: DataFrame, p: int = 6, min_words: int = 4) -> DataFrame:
     join-back, so on a mostly-unique corpus the build side is small
     enough for AQE to broadcast; reassembly is one groupBy(doc_id).
     """
-    ws = words_col(F.col("text"))
-    n = F.size(ws)
-    is_b = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % p == 0  # noqa: E731
-    starts = F.array_distinct(
-        F.concat(
-            F.array(F.lit(1)),
-            F.filter(F.sequence(F.lit(1), n), lambda i: is_b(F.element_at(ws, i))),
-        )
-    )
-    nxt = F.concat(F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))), F.array(n + 1))
-    chunk = F.zip_with(
-        starts,
-        nxt,
-        lambda s, e: F.struct(
-            s.alias("p0"),
-            (e - s).alias("nw"),
-            F.concat_ws(" ", F.slice(ws, s, e - s)).alias("passage"),
-        ),
-    )
+    chunk = chunk_structs(F.col("text"), p)
     # spread BEFORE the chunk explode: per-word md5 + slicing is
     # CPU-heavy but tiny by bytes, the exact shape AQE coalescing (or a
     # single-file scan) serializes to one task — the decontaminate

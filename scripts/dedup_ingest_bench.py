@@ -20,8 +20,11 @@ median-of-epochs per arm then min across reps (the noisy-box protocol:
 single inline comparisons are confounded; min-of-reps + interleaving is
 the house discipline).
 
-Usage: python scripts/dedup_ingest_bench.py [n_files] [rows_per_file] [seed_hashes] [reps]
-Appends a section to BENCH/BASELINE.md and prints one JSON line.
+Usage: python scripts/dedup_ingest_bench.py [n_files] [rows_per_file] [seed_hashes] [reps] [variant]
+``variant`` is ``exact`` (default — DedupIngest, content-hash registry)
+or ``span`` (SpanDedupIngest, chunk-hash registry; same flatness claim
+over the chunk registry).  Appends a section to BENCH/BASELINE.md and
+prints one JSON line.
 """
 
 from __future__ import annotations
@@ -43,11 +46,13 @@ def main() -> None:
     rows_per_file = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000
     seed_hashes = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    variant = sys.argv[5] if len(sys.argv) > 5 else "exact"
 
     from pyspark.sql import functions as F
 
     from yadex_spark.session import get_spark
     from yadex_spark.streaming.dedup_ingest import DedupIngest
+    from yadex_spark.streaming.spandedup_ingest import SpanDedupIngest
 
     spark = get_spark(
         "dedup-ingest-bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
@@ -79,19 +84,29 @@ def main() -> None:
         def run_arm(tag: str, preseed: int) -> dict:
             lake = os.path.join(work, f"lake-{tag}")
             ckpt = os.path.join(work, f"ckpt-{tag}")
-            ing = DedupIngest(spark, feed, lake, ckpt, max_files_per_trigger=1)
+            if variant == "span":
+                ing = SpanDedupIngest(spark, feed, lake, ckpt, max_files_per_trigger=1)
+            else:
+                ing = DedupIngest(spark, feed, lake, ckpt, max_files_per_trigger=1)
             if preseed:
                 # synthetic registry entries in a disjoint key domain
                 # (never collide with feed md5s), compacted as
                 # maintenance would leave them
+                if variant == "span":
+                    payload = F.struct(
+                        (F.col("id") - preseed).alias("first_seen_seq"),
+                        F.lit(1).alias("first_seen_pos"),
+                    )
+                else:
+                    payload = F.struct(
+                        F.format_string("pre%08d", "id").alias("canonical_doc_id"),
+                        (F.col("id") - preseed).alias("first_seen_seq"),
+                    )
                 pre = spark.range(preseed).select(
                     F.format_string("seed%012d", "id").alias("doc_id"),
                     F.lit("insert").alias("op"),
                     (F.col("id") - preseed).alias("op_seq"),
-                    F.struct(
-                        F.format_string("pre%08d", "id").alias("canonical_doc_id"),
-                        (F.col("id") - preseed).alias("first_seen_seq"),
-                    ).alias("after"),
+                    payload.alias("after"),
                 )
                 ing.seen.commit_delta(pre, batch_id="preseed")
                 ing.seen.compact()
@@ -109,7 +124,7 @@ def main() -> None:
             ing.run_available_now(timeout_s=3600)
             wall = time.monotonic() - t0
             n_reg = ing.seen.read_keys().count()
-            n_acc = ing.accepted().count()
+            n_acc = (ing.cleaned() if variant == "span" else ing.accepted()).count()
             shutil.rmtree(lake, ignore_errors=True)
             shutil.rmtree(ckpt, ignore_errors=True)
             # skip epoch 0 (JIT/codegen warm-up)
@@ -133,7 +148,7 @@ def main() -> None:
             best["preseeded"]["median_epoch_s"] / best["fresh"]["median_epoch_s"]
         )
         out = {
-            "metric": "dedup_ingest_epoch_cost_vs_registry_size",
+            "metric": f"dedup_ingest_epoch_cost_vs_registry_size[{variant}]",
             "n_rows": n_rows,
             "n_files": n_files,
             "seed_hashes": seed_hashes,
@@ -149,7 +164,7 @@ def main() -> None:
             / best["fresh"]["final_registry_rows"]
         )
         lines = [
-            "\n## Dedup-on-ingest: epoch cost vs registry size (round 4)\n",
+            f"\n## Dedup-on-ingest ({variant}): epoch cost vs registry size (round 4)\n",
             f"Same {n_rows:,}-arrival duplicate-heavy feed streamed twice "
             f"(maxFilesPerTrigger=1, {best['fresh']['epochs']} epochs, "
             f"interleaved x{reps}, min-of-reps): fresh registry vs pre-seeded "

@@ -576,6 +576,9 @@ def test_passage_dedup_matches_python_and_is_shift_invariant(spark):
     # the shared span really deduped: doc 0 keeps it (first occurrence),
     # docs 1 and 3 drop chunks despite different offsets
     assert got[0]["n_dropped"] == 0
+    # chunking partitions the word list exactly: a no-drop doc's
+    # rebuilt text is the original, bit for bit
+    assert got[0]["clean_text"] == rows[0][1]
     assert got[1]["n_dropped"] > 0 and got[3]["n_dropped"] > 0
     # exactly one copy of every repeated chunk survives corpus-wide
     assert sum(got[d]["n_dropped"] for d in got) == sum(

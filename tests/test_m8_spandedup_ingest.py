@@ -95,9 +95,12 @@ def test_streamed_span_dedup_equals_batch(spark, tmp_path, feed):
     # the exact-repeat doc lost every eligible chunk
     rep_seq = 12
     assert got[rep_seq][1] > 0
-    # short docs untouched
+    # short docs untouched — and rebuilt losslessly (chunking is an
+    # exact partition of the word list)
     n = docs.count()
-    assert got[n - 1][1] == 0 and got[n - 2][1] == 0
+    texts = {r["ingest_seq"]: r["text"] for r in docs.collect()}
+    for seq in (n - 1, n - 2):
+        assert got[seq][1] == 0 and got[seq][2] == texts[seq]
 
     # maintenance preserves output and registry
     n_reg = ing.seen.read_keys().count()

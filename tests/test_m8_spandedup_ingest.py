@@ -155,3 +155,16 @@ def test_span_registry_is_never_shuffled(spark, tmp_path, feed):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "LeftSemi, BuildRight" in plan
+
+
+def test_span_accepted_view_is_cleaned_corpus(spark, tmp_path, feed):
+    """accepted() (the ingest-family contract) = every arrival with its
+    rebuilt text — span dedup transforms, it never drops arrivals."""
+    docs, path = feed
+    ing = SpanDedupIngest(spark, path, str(tmp_path / "lake"),
+                          str(tmp_path / "ckpt"), p=P, min_words=MINW)
+    ing.run_available_now()
+    acc = {r["ingest_seq"]: r["text"] for r in ing.accepted().collect()}
+    cln = {r["ingest_seq"]: r["clean_text"] for r in ing.cleaned().collect()}
+    assert acc == cln
+    assert len(acc) == docs.count()

@@ -168,6 +168,15 @@ class SpanDedupIngest(DedupIngest):
         finally:
             chunks.unpersist()
 
+    def accepted(self) -> DataFrame:
+        """Span dedup accepts every arrival (transformed, not dropped):
+        the accepted view is the cleaned corpus in the family's
+        (doc_id, text, ingest_seq) shape — overriding the inherited
+        exact-dedup reader, whose payload columns don't exist here."""
+        return self.cleaned().select(
+            "doc_id", F.col("clean_text").alias("text"), "ingest_seq"
+        )
+
     def cleaned(self) -> DataFrame:
         """All rebuilt documents so far, one row per arrival.
         Insert-only fast-path read; typed-empty before any epoch."""

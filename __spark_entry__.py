@@ -948,12 +948,13 @@ SELECT vec_id, cl AS cluster, CAST(d AS BIGINT) AS dist FROM afin
 
 
 def q_embed_ivf_topk(spark, sf):
-    """IVF search over the learned index: nprobe=2 nearest centroids
-    per query, exact cosine verify, top-3."""
+    """IVF search over the learned index: nprobe=4 nearest centroids
+    per query (measured recall@3 vs brute 0.88 at sf0.01; nprobe 1/2
+    measured 0.17/0.46), exact cosine verify, top-3."""
     from yadex_spark.operators.similarity import ivf_topk
 
     return ivf_topk(_t(spark, sf, "embeddings"), k=8, iters=2,
-                    n_queries=8, topk=3, nprobe=2)
+                    n_queries=8, topk=3, nprobe=4)
 
 
 SQL_IVF_TOPK = f"""
@@ -963,7 +964,7 @@ probes AS (SELECT query_id, qa, na2, cl FROM (
   SELECT pn.vec_id AS query_id, pn.q AS qa, pn.n2 AS na2, s.cl,
          list_sum(list_transform(range(1,65), i -> (pn.q[i]-s.c[i])*(pn.q[i]-s.c[i]))) AS d
   FROM pn CROSS JOIN {_KM_FINAL} s WHERE pn.vec_id < 8)
-  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cl) <= 2),
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cl) <= 4),
 cand AS (SELECT vec_id AS neighbor_id, q AS qb, n2 AS nb2, cl FROM afin WHERE vec_id >= 8),
 scored AS (SELECT query_id, neighbor_id,
                   list_dot_product(qa, qb) / sqrt(na2 * nb2) AS cos

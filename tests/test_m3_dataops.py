@@ -729,3 +729,31 @@ def test_clean_corpus_keeps_one_canonical_per_cluster(spark, docs):
     # 0,1,3 cluster together (0-3 exact, 0-1 near); 2 and 4 singletons
     assert out == {0: 3, 2: 1, 4: 1}
     assert sum(out.values()) == 5
+
+
+def test_ivf_finds_cross_cell_neighbors_grid_misses(spark):
+    """Learned centroids partition by density over ALL dims: the
+    cross-cell twin (3.2 grid pitches away in dims 1-2, cosine 0.998)
+    is retrievable by IVF but provably invisible to the 3x3-probed
+    grid — the retrieval-side counterpart of the LSH pair test."""
+    from yadex_spark.operators.similarity import ann_grid_topk, ivf_topk
+
+    rows = []
+    for g in range(6):
+        base = [0.0, 0.0] + [2.0 + ((g * 7 + j) % 5) * 0.3 for j in range(62)]
+        twin = list(base)
+        twin[0] += 0.8
+        twin[1] += 0.8
+        rows.append((2 * g, base))
+        rows.append((2 * g + 1, twin))
+    for i in range(12, 30):
+        rows.append((i, [((-1) ** (i + j)) * (1.0 + (j % 3)) for j in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    grid = {(r["query_id"], r["neighbor_id"])
+            for r in ann_grid_topk(emb, n_queries=1, k=2, cell=250).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in ivf_topk(emb, k=4, iters=2, n_queries=1,
+                             topk=2, nprobe=2).collect()}
+    assert (0, 1) in ivf          # the twin, via its learned cluster
+    assert (0, 1) not in grid     # 3.2 cell pitches: beyond 3x3 probing

@@ -1034,6 +1034,28 @@ FROM s
 _SAMPLE_RATES = {"src0": 10_000, "src1": 7_500, "src2": 5_000, "src3": 2_500}
 
 
+def q_corpus_stats(spark, sf):
+    from yadex_spark.operators.text import corpus_stats
+
+    return corpus_stats(_t(spark, sf, "documents"))
+
+
+SQL_CORPUS_STATS = """
+WITH s AS (SELECT source,
+                  CAST(len(string_split(text,' ')) AS BIGINT) AS nw,
+                  CAST(length(text) AS BIGINT) AS nc,
+                  CAST(floor((length(text) + 3) / 4) AS BIGINT) AS tok
+           FROM documents)
+SELECT source, count(*) AS n_docs,
+       sum(tok) AS n_tokens_est, sum(nc) AS n_chars, sum(nw) AS n_words,
+       CAST(sum(CASE WHEN nw < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_lt16w,
+       CAST(sum(CASE WHEN nw >= 16 AND nw < 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_lt64w,
+       CAST(sum(CASE WHEN nw >= 64 AND nw < 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_lt256w,
+       CAST(sum(CASE WHEN nw >= 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge256w
+FROM s GROUP BY source
+"""
+
+
 def q_sample_by_source(spark, sf):
     from yadex_spark.operators.packing import sample_by_source
 
@@ -1181,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "text_repetition": q_text_repetition,
         "sample_by_source": q_sample_by_source,
+        "corpus_stats": q_corpus_stats,
     }
 
 
@@ -1227,4 +1250,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_fuzzy": SQL_DECONTAM_FUZZY,
         "text_repetition": SQL_REPETITION,
         "sample_by_source": SQL_SAMPLE,
+        "corpus_stats": SQL_CORPUS_STATS,
     }

@@ -47,6 +47,7 @@ HEADLINE = [
     "decontaminate",
     "decontaminate_fuzzy",
     "sample_by_source",
+    "corpus_stats",
     "pack_sequences",
     "train_val_split",
     "cdc_engine_replay",

@@ -142,6 +142,12 @@ AUDITS = {
          lambda p: "Exchange" not in p),
         ("JVM-side only", lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
     ],
+    "corpus_stats": [
+        ("one partial hash agg keyed by source (map-side combine)",
+         lambda p: "HashAggregate" in p and "partial" in p.lower()),
+        ("per-row lengths stay JVM-side",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
     "sample_by_source": [
         ("pure per-row filter, no shuffle",
          lambda p: "Exchange" not in p and "ReadSchema" in p),

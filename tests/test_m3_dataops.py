@@ -757,3 +757,30 @@ def test_ivf_finds_cross_cell_neighbors_grid_misses(spark):
                              topk=2, nprobe=2).collect()}
     assert (0, 1) in ivf          # the twin, via its learned cluster
     assert (0, 1) not in grid     # 3.2 cell pitches: beyond 3x3 probing
+
+
+def test_corpus_stats_matches_python(spark):
+    from yadex_spark.operators.text import corpus_stats
+
+    rows = [
+        (0, "one two three", "sA"),                      # 3 words -> lt16
+        (1, " ".join(["w"] * 20), "sA"),                 # 20 words -> lt64
+        (2, " ".join(["x"] * 300), "sB"),                # 300 words -> ge256
+        (3, " ".join(["y"] * 100), "sB"),                # 100 words -> lt256
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r.asDict() for r in corpus_stats(docs).collect()}
+
+    import collections
+    exp = collections.defaultdict(lambda: collections.Counter())
+    for _, t, s in rows:
+        w = len(t.split(" "))
+        exp[s].update(
+            n_docs=1, n_words=w, n_chars=len(t), n_tokens_est=(len(t) + 3) // 4,
+            n_lt16w=w < 16, n_lt64w=16 <= w < 64,
+            n_lt256w=64 <= w < 256, n_ge256w=w >= 256,
+        )
+    for s, c in exp.items():
+        for k, v in c.items():
+            assert got[s][k] == v, (s, k)
+    assert got["sA"]["n_lt16w"] == 1 and got["sB"]["n_ge256w"] == 1

@@ -256,3 +256,45 @@ def decontaminate_fuzzy(corpus: DataFrame, bench: DataFrame,
         F.countDistinct("bench_id").alias("n_bench_docs"),
         F.max("n_shared").alias("max_shared_bands"),
     )
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus composition report — the "what do I have per
+    domain" question every mixing/sampling decision starts from: doc
+    and token totals plus an integer word-length histogram (bands
+    <16 / <64 / <256 / >=256 words).  All integer aggregates (floor
+    token estimate, banded counts), so an engine-portable oracle
+    matches exactly — no percentile-semantics divergence.
+
+    Scale shape: one partial HashAggregate keyed by source (map-side
+    combine reduces every partition to one row per source); per-row
+    lengths never shuffle."""
+    from yadex_spark.operators.packing import token_estimate
+
+    nw = F.size(words_col(F.col("text"))).cast("long")
+    band = (
+        F.when(nw < 16, "lt16")
+        .when(nw < 64, "lt64")
+        .when(nw < 256, "lt256")
+        .otherwise("ge256")
+    )
+    return (
+        docs.select(
+            "source",
+            nw.alias("nw"),
+            F.length("text").cast("long").alias("nc"),
+            token_estimate(F.col("text")).alias("tok"),
+            band.alias("band"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("n_tokens_est"),
+            F.sum("nc").alias("n_chars"),
+            F.sum("nw").alias("n_words"),
+            F.sum(F.when(F.col("band") == "lt16", 1).otherwise(0)).alias("n_lt16w"),
+            F.sum(F.when(F.col("band") == "lt64", 1).otherwise(0)).alias("n_lt64w"),
+            F.sum(F.when(F.col("band") == "lt256", 1).otherwise(0)).alias("n_lt256w"),
+            F.sum(F.when(F.col("band") == "ge256", 1).otherwise(0)).alias("n_ge256w"),
+        )
+    )

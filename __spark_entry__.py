@@ -1073,6 +1073,63 @@ SELECT doc_id, source, bucket, rate_bp FROM s WHERE bucket < rate_bp
 """
 
 
+def q_chunk_sequences(spark, sf):
+    """Sliding-window context chunking: 128-token windows, stride 96
+    (32-token overlap carry-over)."""
+    from yadex_spark.operators.packing import chunk_sequences
+
+    return chunk_sequences(_t(spark, sf, "documents"), window=128, stride=96)
+
+
+SQL_CHUNK = """
+WITH d AS (SELECT doc_id, CAST(floor((length(text)+3)/4) AS BIGINT) AS n_tok
+           FROM documents),
+n AS (SELECT doc_id, n_tok,
+             1 + (greatest(n_tok - 128, 0) + 95) // 96 AS n_chunks
+      FROM d WHERE n_tok > 0),
+e AS (SELECT doc_id, n_tok, unnest(range(0, n_chunks)) AS i FROM n)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * 96 AS BIGINT) AS tok_start,
+       CAST(least(128, n_tok - i * 96) AS BIGINT) AS tok_len, n_tok
+FROM e
+"""
+
+
+def q_shuffle_corpus(spark, sf):
+    """Deterministic interleaved global shuffle, 16 shards pinned."""
+    from yadex_spark.operators.packing import shuffle_corpus
+
+    return shuffle_corpus(_t(spark, sf, "documents"), salt="shuf", n_shards=16)
+
+
+SQL_SHUFFLE = """
+WITH h AS (SELECT doc_id, md5('shuf|' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+s AS (SELECT doc_id, h,
+             CAST('0x' || substr(h,1,4) AS BIGINT) % 16 AS shard FROM h),
+r AS (SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+                  AS BIGINT) AS shard_rank
+      FROM s)
+SELECT doc_id, shard, shard_rank, shard_rank * 16 + shard AS pos FROM r
+"""
+
+
+def q_vocab_topk(spark, sf):
+    """Corpus vocabulary report: top-20 words by occurrence count."""
+    from yadex_spark.operators.text import vocab_topk
+
+    return vocab_topk(_t(spark, sf, "documents"), k=20)
+
+
+SQL_VOCAB = """
+WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)
+SELECT word, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM w GROUP BY word ORDER BY n_occ DESC, word LIMIT 20
+"""
+
+
 def q_dedup_passages(spark, sf):
     """Sub-document span dedup: content-defined chunks (~6 words),
     chunks of >=4 words first-occurrence-deduped across the corpus."""
@@ -1204,6 +1261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "sample_by_source": q_sample_by_source,
         "corpus_stats": q_corpus_stats,
+        "chunk_sequences": q_chunk_sequences,
+        "shuffle_corpus": q_shuffle_corpus,
+        "vocab_topk": q_vocab_topk,
     }
 
 
@@ -1251,4 +1311,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": SQL_REPETITION,
         "sample_by_source": SQL_SAMPLE,
         "corpus_stats": SQL_CORPUS_STATS,
+        "chunk_sequences": SQL_CHUNK,
+        "shuffle_corpus": SQL_SHUFFLE,
+        "vocab_topk": SQL_VOCAB,
     }

@@ -48,7 +48,10 @@ HEADLINE = [
     "decontaminate_fuzzy",
     "sample_by_source",
     "corpus_stats",
+    "vocab_topk",
     "pack_sequences",
+    "chunk_sequences",
+    "shuffle_corpus",
     "train_val_split",
     "cdc_engine_replay",
 ]

@@ -152,6 +152,23 @@ AUDITS = {
         ("pure per-row filter, no shuffle",
          lambda p: "Exchange" not in p and "ReadSchema" in p),
     ],
+    "chunk_sequences": [
+        ("per-row explode only, no shuffle at all",
+         lambda p: "Exchange" not in p),
+        ("JVM-side only", lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "shuffle_corpus": [
+        ("rank windows are per-shard, never a single global partition",
+         lambda p: "Window" in p and "SinglePartition" not in p),
+        ("shard hash exchange (parallel, skew-free window sort)",
+         lambda p: "hashpartitioning(shard" in p),
+    ],
+    "vocab_topk": [
+        ("top-k is TakeOrdered (per-partition heaps), not a global sort",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("word counts are partial hash aggregates (map-side combine)",
+         lambda p: "HashAggregate" in p and "partial" in p.lower()),
+    ],
 }
 
 

@@ -784,3 +784,116 @@ def test_corpus_stats_matches_python(spark):
         for k, v in c.items():
             assert got[s][k] == v, (s, k)
     assert got["sA"]["n_lt16w"] == 1 and got["sB"]["n_ge256w"] == 1
+
+
+def test_chunk_sequences_covers_every_token(spark):
+    """Sliding-window chunking: full coverage ([0, n_tok) is the union
+    of chunk spans), all chunks but the last exactly `window` tokens,
+    consecutive starts `stride` apart, overlap = window - stride —
+    verified against a python replay across short/exact/long docs."""
+    from yadex_spark.operators.packing import chunk_sequences
+
+    window, stride = 16, 12
+    # n_tok = ceil(len/4); lengths chosen to hit <window, ==window,
+    # boundary-exact multi-chunk, and a long tail case
+    rows = [(i, "x" * n) for i, n in enumerate([4, 63, 64, 65, 100, 256, 999])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["tok_start"], r["tok_len"], r["n_tok"])
+        for r in chunk_sequences(docs, window=window, stride=stride).collect()
+    )
+
+    want = []
+    for doc_id, text in rows:
+        n_tok = (len(text) + 3) // 4
+        n_chunks = 1 + (max(n_tok - window, 0) + stride - 1) // stride
+        for i in range(n_chunks):
+            want.append((doc_id, i, i * stride, min(window, n_tok - i * stride), n_tok))
+    assert got == sorted(want)
+
+    by_doc = {}
+    for doc_id, idx, start, ln, n_tok in got:
+        assert ln > 0
+        by_doc.setdefault(doc_id, []).append((idx, start, ln, n_tok))
+    for doc_id, chunks in by_doc.items():
+        chunks.sort()
+        n_tok = chunks[0][3]
+        covered = set()
+        for idx, start, ln, _ in chunks:
+            assert start == idx * stride
+            covered.update(range(start, start + ln))
+        assert covered == set(range(n_tok))  # every token in some chunk
+        assert all(ln == window for _, _, ln, _ in chunks[:-1])
+    assert any(len(c) > 1 for c in by_doc.values())  # fixture multi-chunks
+
+    with pytest.raises(ValueError):
+        chunk_sequences(docs, window=8, stride=9)  # gap-leaving stride
+
+
+def test_shuffle_corpus_is_a_deterministic_permutation(spark):
+    """Interleaved shuffle: pos is a bijection over docs, pos mod
+    n_shards == shard (round-robin interleave), ranks dense per shard,
+    the order matches a python replay, is independent of input
+    partitioning, and a different salt gives a different order."""
+    import hashlib
+
+    from yadex_spark.operators.packing import shuffle_corpus
+
+    n = 200
+    docs = spark.createDataFrame([(f"d{i}", "x") for i in range(n)],
+                                 "doc_id string, text string")
+    n_shards = 8
+    out = shuffle_corpus(docs, salt="shuf", n_shards=n_shards).collect()
+    got = {r["doc_id"]: (r["shard"], r["shard_rank"], r["pos"]) for r in out}
+    assert len(got) == n
+    assert len({v[2] for v in got.values()}) == n           # pos unique
+    assert all(v[2] % n_shards == v[0] for v in got.values())  # interleave
+    assert all(v[2] == v[1] * n_shards + v[0] for v in got.values())
+
+    # python replay of the order rule
+    by_shard = {}
+    for i in range(n):
+        doc_id = f"d{i}"
+        h = hashlib.md5(f"shuf|{doc_id}".encode()).hexdigest()
+        by_shard.setdefault(int(h[:4], 16) % n_shards, []).append((h, doc_id))
+    want = {}
+    for s, members in by_shard.items():
+        for r, (_, doc_id) in enumerate(sorted(members)):
+            want[doc_id] = (s, r, r * n_shards + s)
+    assert got == want
+    # per-shard ranks dense 0..len-1
+    for s, members in by_shard.items():
+        ranks = sorted(got[d][1] for _, d in members)
+        assert ranks == list(range(len(members)))
+
+    repart = {r["doc_id"]: (r["shard"], r["shard_rank"], r["pos"])
+              for r in shuffle_corpus(docs.repartition(7), salt="shuf",
+                                      n_shards=n_shards).collect()}
+    assert repart == got  # order independent of physical partitioning
+
+    other = {r["doc_id"]: r["pos"]
+             for r in shuffle_corpus(docs, salt="epoch2", n_shards=n_shards).collect()}
+    assert any(other[k] != v[2] for k, v in got.items())  # new epoch order
+
+
+def test_vocab_topk_matches_counter(spark):
+    """Vocabulary top-k == python Counter, including the deterministic
+    (count DESC, word ASC) cut at the k boundary."""
+    import collections
+
+    from yadex_spark.operators.text import vocab_topk
+
+    texts = ["b a a c b a", "c b d e", "a f g c", "h h h h"]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    k = 4
+    got = [(r["word"], r["n_occ"], r["n_docs"]) for r in vocab_topk(docs, k=k).collect()]
+
+    occ, dfreq = collections.Counter(), collections.Counter()
+    for t in texts:
+        ws = t.split(" ")
+        occ.update(ws)
+        dfreq.update(set(ws))
+    want = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == [(w, c, dfreq[w]) for w, c in want]
+    # the boundary tie (c=3 vs b=3) resolved by word ASC: 'b' in, 'c' in, order b<c
+    assert [w for w, _, _ in got] == ["a", "h", "b", "c"]

@@ -97,6 +97,87 @@ def train_val_split(docs: DataFrame, val_pct: int = 10) -> DataFrame:
     )
 
 
+def chunk_sequences(docs: DataFrame, window: int = 128,
+                    stride: int = 96) -> DataFrame:
+    """Split each document into fixed-size context windows with overlap
+    — the "tokenize then slide a window" step that turns variable-length
+    documents into trainer-ready sequences (the HF ``return_overflowing_
+    tokens`` / Megatron sample-builder shape).
+
+    Chunks start at multiples of ``stride``; the last start is the
+    smallest multiple whose window reaches the end of the doc, so every
+    token is covered, all chunks but the last are exactly ``window``
+    tokens, and consecutive chunks overlap by ``window - stride`` tokens
+    (context carry-over).  Requires ``stride <= window`` (a larger
+    stride would leave uncovered gaps).
+
+    Scale shape: pure per-row arithmetic + one ``explode`` — NO shuffle
+    at any scale; row expansion is bounded by ``n_tok/stride`` per doc.
+    Deterministic integer math end-to-end, so the DuckDB oracle matches
+    exactly.
+
+    Output: (doc_id, chunk_idx, tok_start, tok_len, n_tok)."""
+    if not 0 < stride <= window:
+        raise ValueError("need 0 < stride <= window")
+    d = docs.select(
+        "doc_id", token_estimate(F.col("text")).alias("n_tok")
+    ).where(F.col("n_tok") > 0)
+    # 1 + ceil(max(n_tok - window, 0) / stride), in integer arithmetic
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(F.col("n_tok") - window, F.lit(0)) + (stride - 1)) / stride
+    ).cast("long")
+    e = d.select(
+        "doc_id", "n_tok",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    tok_start = (F.col("chunk_idx") * stride).cast("long")
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        tok_start.alias("tok_start"),
+        F.least(F.lit(window).cast("long"), F.col("n_tok") - tok_start).alias("tok_len"),
+        "n_tok",
+    )
+
+
+def shuffle_corpus(docs: DataFrame, salt: str = "shuf",
+                   n_shards: int | None = None) -> DataFrame:
+    """Deterministic global training-order shuffle — assign every doc a
+    unique position in a pseudorandom read order without a single-
+    partition bottleneck.
+
+    A true global ``row_number() OVER (ORDER BY hash)`` funnels the
+    whole corpus through ONE partition's window sort.  Instead the
+    standard distributed-shuffle construction: shard by a salted
+    content hash, rank WITHIN each shard by the hash (parallel,
+    skew-free windows — md5 shards are uniform), and interleave ranks
+    round-robin: ``pos = shard_rank * n_shards + shard``.  Positions
+    are unique by construction (pos mod n_shards == shard) and the
+    reader consuming in pos order sees a round-robin interleave of
+    hash-shuffled shard streams — the mixing a trainer needs, with no
+    global sort.  Salted hash (not RNG) so the order is reproducible
+    across runs and engines; changing ``salt`` gives an independent
+    epoch order.
+
+    ``n_shards`` defaults to ``defaultParallelism`` (scales with the
+    cluster); the gate pins it for oracle stability.
+
+    Output: (doc_id, shard, shard_rank, pos)."""
+    if n_shards is None:
+        n_shards = docs.sparkSession.sparkContext.defaultParallelism
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
+    d = docs.select("doc_id", h.alias("h")).select(
+        "doc_id", "h",
+        (F.conv(F.substring("h", 1, 4), 16, 10).cast("long") % n_shards).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    r = (F.row_number().over(w) - 1).cast("long")
+    return d.select(
+        "doc_id", "shard", r.alias("shard_rank"),
+        (r * n_shards + F.col("shard")).cast("long").alias("pos"),
+    )
+
+
 def sample_by_source(docs: DataFrame, rates_bp: dict[str, int],
                      default_bp: int = 0) -> DataFrame:
     """Deterministic stratified (per-source) downsampling: keep a doc

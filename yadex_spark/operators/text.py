@@ -258,6 +258,35 @@ def decontaminate_fuzzy(corpus: DataFrame, bench: DataFrame,
     )
 
 
+def vocab_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus vocabulary report: the k most frequent words with their
+    occurrence and document-frequency counts — the raw material for
+    stopword lists, tokenizer-vocab audits, and df-cap tuning (the
+    ``max_df`` guards in ngram_jaccard / decontaminate start from
+    exactly this table).
+
+    Scale shape: explode → ONE partial HashAggregate keyed by word
+    (map-side combine collapses each partition to ≤|vocab| rows before
+    the shuffle; doc-frequency runs as the standard two-phase distinct
+    agg) and the top-k is ``ORDER BY ... LIMIT`` — Spark plans it as
+    TakeOrderedAndProject, per-partition heaps + a k-row driver merge,
+    never a global sort.  Boundary determinism: ties ordered by
+    (n_occ DESC, word ASC), so the k-th row is unique and both engines
+    cut identically.
+
+    Output: (word, n_occ, n_docs), the top k."""
+    w = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+    return (
+        w.groupBy("word")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occ"), F.asc("word"))
+        .limit(k)
+    )
+
+
 def corpus_stats(docs: DataFrame) -> DataFrame:
     """Per-source corpus composition report — the "what do I have per
     domain" question every mixing/sampling decision starts from: doc

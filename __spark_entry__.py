@@ -1115,6 +1115,54 @@ SELECT doc_id, shard, shard_rank, shard_rank * 16 + shard AS pos FROM r
 """
 
 
+def q_filter_corpus(spark, sf):
+    """Composed Gopher-rule quality filter: word-count window [40,
+    100000], word-length window [400,700] centichars, >=2 stopwords,
+    top-word mass <=1500 bp, dup-2-gram mass <=2000 bp."""
+    from yadex_spark.operators.text import filter_corpus
+
+    return filter_corpus(
+        _t(spark, sf, "documents"),
+        min_words=40, max_words=100_000, min_wlen_c=400, max_wlen_c=700,
+        min_stop=2, max_top_word_bp=1_500, max_dup_2gram_bp=2_000,
+    )
+
+
+SQL_FILTER_CORPUS = """
+WITH w AS (SELECT doc_id, string_split(text,' ') ws,
+                  CAST(length(text) AS BIGINT) nc FROM documents),
+s AS (SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS nw, nc,
+             CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','in','to'))) AS BIGINT) AS nstop,
+             CAST(list_max(list_transform(list_distinct(ws),
+                  x -> len(list_filter(ws, y -> y = x)))) AS BIGINT) AS topn,
+             CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n2g,
+             CAST(CASE WHEN len(ws) >= 2 THEN len(list_distinct(
+                  list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1],' '))))
+                  ELSE 0 END AS BIGINT) AS n2gd
+      FROM w),
+m AS (SELECT doc_id, nw,
+             CAST(100 * nc // nw AS BIGINT) AS avg_wlen_c, nstop,
+             CAST(10000 * topn // nw AS BIGINT) AS top_word_bp,
+             CAST(CASE WHEN n2g > 0 THEN 10000 * (n2g - n2gd) // n2g ELSE 0 END AS BIGINT) AS dup_2gram_bp
+      FROM s),
+f AS (SELECT *,
+             CASE WHEN nw >= 40 AND nw <= 100000 THEN 1 ELSE 0 END AS f_len,
+             CASE WHEN avg_wlen_c >= 400 AND avg_wlen_c <= 700 THEN 1 ELSE 0 END AS f_wlen,
+             CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN top_word_bp <= 1500 THEN 1 ELSE 0 END AS f_topw,
+             CASE WHEN dup_2gram_bp <= 2000 THEN 1 ELSE 0 END AS f_rep2g
+      FROM m)
+SELECT doc_id, nw AS n_words, avg_wlen_c, nstop AS n_stop, top_word_bp,
+       dup_2gram_bp,
+       CAST(f_len AS BIGINT) AS f_len, CAST(f_wlen AS BIGINT) AS f_wlen,
+       CAST(f_stop AS BIGINT) AS f_stop, CAST(f_topw AS BIGINT) AS f_topw,
+       CAST(f_rep2g AS BIGINT) AS f_rep2g,
+       CAST(f_len * f_wlen * f_stop * f_topw * f_rep2g AS BIGINT) AS keep
+FROM f
+"""
+
+
 def q_vocab_topk(spark, sf):
     """Corpus vocabulary report: top-20 words by occurrence count."""
     from yadex_spark.operators.text import vocab_topk
@@ -1264,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_sequences": q_chunk_sequences,
         "shuffle_corpus": q_shuffle_corpus,
         "vocab_topk": q_vocab_topk,
+        "filter_corpus": q_filter_corpus,
     }
 
 
@@ -1314,4 +1363,5 @@ def oracle_sql() -> dict[str, str]:
         "chunk_sequences": SQL_CHUNK,
         "shuffle_corpus": SQL_SHUFFLE,
         "vocab_topk": SQL_VOCAB,
+        "filter_corpus": SQL_FILTER_CORPUS,
     }

@@ -48,6 +48,7 @@ HEADLINE = [
     "decontaminate_fuzzy",
     "sample_by_source",
     "corpus_stats",
+    "filter_corpus",
     "vocab_topk",
     "pack_sequences",
     "chunk_sequences",

@@ -163,6 +163,11 @@ AUDITS = {
         ("shard hash exchange (parallel, skew-free window sort)",
          lambda p: "hashpartitioning(shard" in p),
     ],
+    "filter_corpus": [
+        ("pure per-row HOF rules, no shuffle at all",
+         lambda p: "Exchange" not in p),
+        ("JVM-side only", lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
     "vocab_topk": [
         ("top-k is TakeOrdered (per-partition heaps), not a global sort",
          lambda p: "TakeOrderedAndProject" in p),

@@ -897,3 +897,50 @@ def test_vocab_topk_matches_counter(spark):
     assert got == [(w, c, dfreq[w]) for w, c in want]
     # the boundary tie (c=3 vs b=3) resolved by word ASC: 'b' in, 'c' in, order b<c
     assert [w for w, _, _ in got] == ["a", "h", "b", "c"]
+
+
+def test_filter_corpus_matches_python_and_attributes_drops(spark):
+    """Composed Gopher-rule filter == python replica of every rule;
+    each rule fires on its designed offender; keep is the conjunction."""
+    from yadex_spark.operators.text import filter_corpus
+
+    rows = [
+        (0, "the quick brown fox and the lazy dog run in to town for a of nice day"),  # clean
+        (1, "to a of"),                                  # too short
+        (2, " ".join(["the"] * 30)),                     # top-word + dup-2g blowout
+        (3, " ".join(["supercalifragilistic"] * 12) + " the a of and"),  # wlen high
+        (4, " ".join(f"w{i}" for i in range(25))),       # no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_words=10, max_words=100, min_wlen_c=200, max_wlen_c=800,
+              min_stop=2, max_top_word_bp=3000, max_dup_2gram_bp=3000)
+    got = {r["doc_id"]: r.asDict() for r in filter_corpus(docs, **kw).collect()}
+
+    stop = {"the", "a", "of", "and", "in", "to"}
+    for doc_id, text in rows:
+        ws = text.split(" ")
+        nw = len(ws)
+        wlen = 100 * len(text) // nw
+        nstop = sum(1 for x in ws if x in stop)
+        topbp = 10000 * max(ws.count(x) for x in set(ws)) // nw
+        g2 = [" ".join(ws[i:i+2]) for i in range(nw - 1)]
+        dup2 = 10000 * (len(g2) - len(set(g2))) // len(g2) if g2 else 0
+        f = {
+            "f_len": int(kw["min_words"] <= nw <= kw["max_words"]),
+            "f_wlen": int(kw["min_wlen_c"] <= wlen <= kw["max_wlen_c"]),
+            "f_stop": int(nstop >= kw["min_stop"]),
+            "f_topw": int(topbp <= kw["max_top_word_bp"]),
+            "f_rep2g": int(dup2 <= kw["max_dup_2gram_bp"]),
+        }
+        g = got[doc_id]
+        assert (g["n_words"], g["avg_wlen_c"], g["n_stop"], g["top_word_bp"],
+                g["dup_2gram_bp"]) == (nw, wlen, nstop, topbp, dup2), doc_id
+        for k, v in f.items():
+            assert g[k] == v, (doc_id, k)
+        assert g["keep"] == int(all(f.values())), doc_id
+
+    assert got[0]["keep"] == 1
+    assert got[1]["f_len"] == 0 and got[1]["keep"] == 0
+    assert got[2]["f_topw"] == 0 and got[2]["f_rep2g"] == 0
+    assert got[3]["f_wlen"] == 0
+    assert got[4]["f_stop"] == 0 and got[4]["f_len"] == 1

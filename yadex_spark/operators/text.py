@@ -258,6 +258,66 @@ def decontaminate_fuzzy(corpus: DataFrame, bench: DataFrame,
     )
 
 
+def filter_corpus(docs: DataFrame, min_words: int = 50,
+                  max_words: int = 100_000, min_wlen_c: int = 300,
+                  max_wlen_c: int = 1_000, min_stop: int = 2,
+                  max_top_word_bp: int = 2_000,
+                  max_dup_2gram_bp: int = 2_000) -> DataFrame:
+    """The composed quality-filter PASS — the Gopher rule set (Rae et
+    al. 2021 Table A1 / RefinedWeb §3.1) as one per-doc keep/drop
+    report: word-count window, mean-word-length window (centichars),
+    minimum stopword hits, most-frequent-word mass cap, and
+    duplicate-2-gram mass cap.  Every rule gets its own 0/1 flag column
+    so a drop is always attributable (the "why did my doc disappear"
+    question a monolithic boolean can't answer), and ``keep`` is their
+    conjunction.  Emits ALL docs — the caller filters ``keep = 1`` for
+    the cleaned corpus, or aggregates the flags for a filter-funnel
+    report.
+
+    Scale shape: every signal is a per-row HOF over the doc's own word
+    array — NO shuffle at any scale, whole-stage codegen end-to-end;
+    integer arithmetic (basis points / centichars) so the DuckDB oracle
+    matches exactly."""
+    w = words_col(F.col("text"))
+    d = docs.select("doc_id", w.alias("w"), F.length("text").alias("nc"))
+    nw = F.size("w").cast("long")
+    wlen_c = F.floor(F.lit(100) * F.col("nc") / nw)
+    nstop = F.size(F.filter(F.col("w"), lambda x: x.isin(*STOPWORDS["en"]))).cast("long")
+    top_n = F.array_max(
+        F.transform(
+            F.array_distinct("w"),
+            lambda x: F.size(F.filter(F.col("w"), lambda y: y == x)),
+        )
+    ).cast("long")
+    top_bp = F.floor(F.lit(10_000) * top_n / nw)
+    g2 = shingles(F.col("w"), 2)
+    n_2g = F.size(g2).cast("long")
+    dup2_bp = F.when(
+        n_2g > 0,
+        F.floor(F.lit(10_000) * (n_2g - F.size(F.array_distinct(g2)).cast("long")) / n_2g),
+    ).otherwise(F.lit(0)).cast("long")
+    flags = {
+        "f_len": (nw >= min_words) & (nw <= max_words),
+        "f_wlen": (wlen_c >= min_wlen_c) & (wlen_c <= max_wlen_c),
+        "f_stop": nstop >= min_stop,
+        "f_topw": top_bp <= max_top_word_bp,
+        "f_rep2g": dup2_bp <= max_dup_2gram_bp,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        wlen_c.alias("avg_wlen_c"),
+        nstop.alias("n_stop"),
+        top_bp.alias("top_word_bp"),
+        dup2_bp.alias("dup_2gram_bp"),
+        *[F.when(c, 1).otherwise(0).cast("long").alias(n) for n, c in flags.items()],
+        F.when(keep, 1).otherwise(0).cast("long").alias("keep"),
+    )
+
+
 def vocab_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     """Corpus vocabulary report: the k most frequent words with their
     occurrence and document-frequency counts — the raw material for

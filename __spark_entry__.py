@@ -1073,6 +1073,59 @@ SELECT doc_id, source, bucket, rate_bp FROM s WHERE bucket < rate_bp
 """
 
 
+#: gate mixture targets (bp of 10,000 output-token share; others 0)
+_MIX_TARGETS = {"src0": 4_000, "src1": 3_000, "src2": 2_000, "src3": 1_000}
+
+_MIX_CTES = """
+s AS (SELECT source, CAST(sum((length(text)+3)//4) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+t AS (SELECT source, n_tokens,
+             CAST(CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 3000
+                              WHEN 'src2' THEN 2000 WHEN 'src3' THEN 1000
+                              ELSE 0 END AS BIGINT) AS share_target_bp
+      FROM s),
+k AS (SELECT min(CASE WHEN share_target_bp > 0
+                      THEN (10000 * n_tokens) // share_target_bp END) AS k
+      FROM t),
+r AS (SELECT source, n_tokens, share_target_bp,
+             CAST(CASE WHEN share_target_bp > 0
+                       THEN least(10000, (share_target_bp * k.k) // n_tokens)
+                       ELSE 0 END AS BIGINT) AS rate_bp
+      FROM t, k)
+"""
+
+
+def q_mix_rates(spark, sf):
+    """Waterfilling mixture rates for a 4:3:2:1 target over src0-3."""
+    from yadex_spark.operators.packing import mix_rates
+
+    return mix_rates(_t(spark, sf, "documents"), _MIX_TARGETS)
+
+
+SQL_MIX_RATES = f"""
+WITH {_MIX_CTES}
+SELECT source, n_tokens, share_target_bp, rate_bp FROM r
+"""
+
+
+def q_mix_corpus(spark, sf):
+    """Apply the mixture: downsample each source to the 4:3:2:1 rates."""
+    from yadex_spark.operators.packing import mix_corpus
+
+    return mix_corpus(_t(spark, sf, "documents"), _MIX_TARGETS)
+
+
+SQL_MIX_CORPUS = f"""
+WITH {_MIX_CTES},
+b AS (SELECT doc_id, source,
+             CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 10000 AS bucket
+      FROM documents)
+SELECT b.doc_id, b.source, b.bucket, r.rate_bp
+FROM b JOIN r ON b.source = r.source
+WHERE b.bucket < r.rate_bp
+"""
+
+
 def q_chunk_sequences(spark, sf):
     """Sliding-window context chunking: 128-token windows, stride 96
     (32-token overlap carry-over)."""
@@ -1313,6 +1366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_corpus": q_shuffle_corpus,
         "vocab_topk": q_vocab_topk,
         "filter_corpus": q_filter_corpus,
+        "mix_rates": q_mix_rates,
+        "mix_corpus": q_mix_corpus,
     }
 
 
@@ -1364,4 +1419,6 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_corpus": SQL_SHUFFLE,
         "vocab_topk": SQL_VOCAB,
         "filter_corpus": SQL_FILTER_CORPUS,
+        "mix_rates": SQL_MIX_RATES,
+        "mix_corpus": SQL_MIX_CORPUS,
     }

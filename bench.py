@@ -47,6 +47,7 @@ HEADLINE = [
     "decontaminate",
     "decontaminate_fuzzy",
     "sample_by_source",
+    "mix_corpus",
     "corpus_stats",
     "filter_corpus",
     "vocab_topk",

@@ -163,6 +163,16 @@ AUDITS = {
         ("shard hash exchange (parallel, skew-free window sort)",
          lambda p: "hashpartitioning(shard" in p),
     ],
+    "mix_rates": [
+        ("source totals are partial hash aggregates (map-side combine)",
+         lambda p: "HashAggregate" in p and "partial" in p.lower()),
+        ("JVM-side only", lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "mix_corpus": [
+        ("rates join is an equi-join, no nested loop over the corpus",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+        ("corpus scan is column-pruned", lambda p: "ReadSchema" in p),
+    ],
     "filter_corpus": [
         ("pure per-row HOF rules, no shuffle at all",
          lambda p: "Exchange" not in p),

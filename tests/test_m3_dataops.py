@@ -944,3 +944,50 @@ def test_filter_corpus_matches_python_and_attributes_drops(spark):
     assert got[2]["f_topw"] == 0 and got[2]["f_rep2g"] == 0
     assert got[3]["f_wlen"] == 0
     assert got[4]["f_stop"] == 0 and got[4]["f_len"] == 1
+
+
+def test_mix_rates_waterfilling_and_corpus_composition(spark):
+    """Mixture waterfilling == python replica: the binding source keeps
+    ~100%, rates are proportional to share/tokens, unlisted sources get
+    0, and the applied mix's kept-token composition lands near the
+    target shares."""
+    import hashlib
+
+    from yadex_spark.operators.packing import mix_corpus, mix_rates
+
+    # src a: 4000 tokens, b: 6000, c: 2000, d untargeted
+    def mk(src, n_docs, words_per_doc):
+        return [(f"{src}-{i}", " ".join(["word"] * words_per_doc), src)
+                for i in range(n_docs)]
+
+    rows = mk("a", 40, 20) + mk("b", 60, 20) + mk("c", 20, 20) + mk("d", 10, 20)
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    target = {"a": 5_000, "b": 3_000, "c": 2_000}
+
+    got = {r["source"]: r.asDict() for r in mix_rates(docs, target).collect()}
+    toks = {}
+    for _, text, src in rows:
+        toks[src] = toks.get(src, 0) + (len(text) + 3) // 4
+    k = min(10_000 * toks[s] // w for s, w in target.items())
+    for s in ["a", "b", "c", "d"]:
+        w = target.get(s, 0)
+        want = min(10_000, w * k // toks[s]) if w else 0
+        assert got[s]["rate_bp"] == want, s
+        assert got[s]["n_tokens"] == toks[s]
+        assert got[s]["share_target_bp"] == w
+    # binding source = argmin tokens/share = 'a' -> keeps ~100%
+    assert got["a"]["rate_bp"] >= 9_990
+    assert got["d"]["rate_bp"] == 0
+
+    kept = mix_corpus(docs, target).collect()
+    assert all(r["source"] != "d" for r in kept)
+    # replica of the bucket rule
+    for r in kept:
+        b = int(hashlib.md5(f"mix|{r['doc_id']}".encode()).hexdigest()[:8], 16) % 10_000
+        assert b == r["bucket"] and b < r["rate_bp"]
+    # kept-token composition tracks the target (equal doc sizes -> doc
+    # counts proportional; hash sampling noise bounded loosely)
+    by_src = {s: sum(1 for r in kept if r["source"] == s) for s in "abc"}
+    assert by_src["a"] == 40                      # binding source fully kept
+    assert 15 <= by_src["b"] <= 33                # 3/5 * 40 = 24 expected
+    assert 9 <= by_src["c"] <= 23                 # 2/5 * 40 = 16 expected

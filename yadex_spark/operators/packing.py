@@ -97,6 +97,81 @@ def train_val_split(docs: DataFrame, val_pct: int = 10) -> DataFrame:
     )
 
 
+def mix_rates(docs: DataFrame, target_bp: dict[str, int]) -> DataFrame:
+    """Per-source sampling rates that hit a target domain mixture —
+    the "40% web, 30% books, ..." step (the LLaMA/Pile mixture-weights
+    table) solved as waterfilling: find the LARGEST output corpus whose
+    token composition matches ``target_bp`` (shares in basis points)
+    using downsampling only.  The binding source (smallest
+    tokens/share) keeps ~100%; every other source's rate is scaled to
+    match its share against that bound; sources absent from
+    ``target_bp`` get rate 0.
+
+    All integer arithmetic (``div``): K = min over targeted sources of
+    (10000*T_s) div w_s is the achievable output size in tokens, and
+    rate_bp_s = (w_s*K) div T_s.  Exact cross-engine; int64 headroom
+    requires w_s*K < 2^63, i.e. binding-source token counts below
+    ~10^12 even under extreme share ratios (document-scale corpora;
+    beyond that, pre-scale T to kilotokens).
+
+    Scale shape: ONE partial hash agg keyed by source, then a global
+    min window over the per-SOURCE aggregate — a frame of #sources
+    rows, not corpus rows, so the single-partition window is a few
+    thousand rows at worst.
+
+    Output: (source, n_tokens, share_target_bp, rate_bp)."""
+    share = F.create_map(*[F.lit(x) for kv in target_bp.items() for x in kv])
+    stats = (
+        docs.select("source", token_estimate(F.col("text")).alias("tok"))
+        .groupBy("source")
+        .agg(F.sum("tok").alias("n_tokens"))
+        .withColumn(
+            "share_target_bp",
+            F.coalesce(share[F.col("source")], F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "_kcand",
+            F.expr("CASE WHEN share_target_bp > 0 "
+                   "THEN (10000 * n_tokens) div share_target_bp END"),
+        )
+        .withColumn("_k", F.min("_kcand").over(Window.partitionBy()))
+    )
+    return stats.select(
+        "source", "n_tokens", "share_target_bp",
+        F.expr("CAST(CASE WHEN share_target_bp > 0 "
+               "THEN least(10000, (share_target_bp * _k) div n_tokens) "
+               "ELSE 0 END AS BIGINT)").alias("rate_bp"),
+    )
+
+
+def mix_corpus(docs: DataFrame, target_bp: dict[str, int]) -> DataFrame:
+    """Apply :func:`mix_rates` — downsample each source by its computed
+    rate via the salted content-stable hash bucket (``'mix|'`` salt, so
+    mixing is independent of the sampling and split buckets).  The rate
+    is a TOKEN-share target applied as a doc-level keep/drop; doc sizes
+    are independent of the hash, so the kept token composition
+    converges to the target at corpus scale.
+
+    Scale shape: the rates side is #sources rows — AQE broadcasts it
+    from its runtime size, the corpus never shuffles for the join; the
+    corpus is scanned twice (once for the stats agg — a single narrow
+    column — once for the filter); long-lived pipelines precompute
+    rates with :func:`mix_rates` and reuse them across epochs.
+
+    Output: kept rows only — (doc_id, source, bucket, rate_bp)."""
+    rates = mix_rates(docs, target_bp).select("source", "rate_bp")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 10_000
+    )
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .join(rates, "source")
+        .where(F.col("bucket") < F.col("rate_bp"))
+        .select("doc_id", "source", "bucket", "rate_bp")
+    )
+
+
 def chunk_sequences(docs: DataFrame, window: int = 128,
                     stride: int = 96) -> DataFrame:
     """Split each document into fixed-size context windows with overlap

@@ -144,3 +144,75 @@ def test_registry_is_never_shuffled_or_aggregated(spark, tmp_path, feed):
     for line in plan.splitlines():
         if "FileScan" in line and "_seen_hashes" in line:
             assert "text" not in line.split("FileScan")[1].split("]")[0]
+
+
+def test_zone_map_pruning_skips_registry_files(spark, tmp_path, feed):
+    """Iceberg-manifest-style file skipping (round-4): after maintain()
+    range-clusters the registry, an epoch's cross-epoch probe reads
+    ONLY the registry files whose footer [min, max] can contain a batch
+    hash — O(min(batch, files)) files, not O(corpus files) — and the
+    accepted set is byte-identical to the unpruned semantics."""
+    docs, path = feed
+    ing = DedupIngest(spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+                      max_files_per_trigger=1)
+    ing.run_available_now()
+    ing.maintain()  # compact registry into range-clustered files
+    n_files = ing.seen.read_keys("doc_id", probes=None).count()  # rows, sanity
+    assert n_files > 0
+
+    # a tiny late batch: 2 brand-new texts + 1 exact dup of an old one
+    late = spark.createDataFrame(
+        [(10_000, "late0", "fresh text never seen before alpha"),
+         (10_001, "late1", "fresh text never seen before beta"),
+         (10_002, "late2", "text body number 7 repeated content")],
+        "ingest_seq long, doc_id string, text string",
+    )
+    late.repartition(1).write.mode("append").parquet(path)
+    ing2 = DedupIngest(spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+                       max_files_per_trigger=1)
+    ing2.run_available_now()
+
+    st = ing2.last_prune
+    assert st["files_total"] > 4          # compaction produced many files
+    assert st["files_read"] <= 3          # ≤ one file per probe hash
+    assert st["pruned"] >= st["files_total"] - 3
+
+    # correctness unchanged: global first-arrival oracle over the whole feed
+    all_docs = docs.unionByName(late)
+    got = {(r["doc_id"], r["ingest_seq"]) for r in ing2.accepted().collect()}
+    assert got == _want(all_docs)
+    # the dup arrival was rejected, the fresh ones accepted
+    assert ("late0", 10_000) in got and ("late1", 10_001) in got
+    assert not any(d == "late2" for d, _ in got)
+
+
+def test_file_bounds_pruning_is_conservative(tmp_path):
+    """_file_may_contain keeps any file it cannot PROVE probe-free:
+    missing stats, type mismatch, truncation-length strings — and
+    prunes only on exact disjoint bounds.  Pure driver-side check."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yadex_spark.lake.table import _file_may_contain
+
+    f_stats = str(tmp_path / "stats.parquet")
+    pq.write_table(pa.table({"doc_id": ["bbb", "ccc", "ddd"]}), f_stats)
+    f_nostats = str(tmp_path / "nostats.parquet")
+    pq.write_table(pa.table({"doc_id": ["bbb", "ccc"]}), f_nostats,
+                   write_statistics=False)
+    f_empty = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([], type=pa.string())}), f_empty)
+
+    assert _file_may_contain(f_stats, "doc_id", ["ccc"])          # inside
+    assert _file_may_contain(f_stats, "doc_id", ["aaa", "bbb"])   # boundary
+    assert not _file_may_contain(f_stats, "doc_id", ["aaa"])      # below min
+    assert not _file_may_contain(f_stats, "doc_id", ["eee"])      # above max
+    assert not _file_may_contain(f_stats, "doc_id", [])           # no probes
+    assert _file_may_contain(f_nostats, "doc_id", ["zzz"])        # no stats: keep
+    assert not _file_may_contain(f_empty, "doc_id", ["ccc"])      # 0 rows: skip
+    assert _file_may_contain(f_stats, "other_col", ["x"])         # key absent: keep
+    assert _file_may_contain(f_stats, "doc_id", [123])            # type mismatch: keep
+    # truncation-length guard: a 64-char bound may be inexact -> keep
+    f_long = str(tmp_path / "long.parquet")
+    pq.write_table(pa.table({"doc_id": ["a" * 64, "b" * 64]}), f_long)
+    assert _file_may_contain(f_long, "doc_id", ["zzz"])

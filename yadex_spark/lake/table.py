@@ -372,22 +372,67 @@ class LakeTable:
             SEQ_COL, DELETED_COL
         )
 
-    def read_keys(self, *cols: str) -> DataFrame:
+    def read_keys(self, *cols: str, probes: list | None = None,
+                  key: str = "doc_id",
+                  prune_stats: dict | None = None) -> DataFrame:
         """Narrow fast-path read for INSERT-ONLY tables (each key
         committed at most once, never updated or deleted — e.g. the
         dedup seen-hash registry).  Skips the LWW materialization
         entirely: no per-key aggregate, no join-back, no shuffle — just
         a column-pruned union of the active files.  On a table that DOES
         receive updates this returns duplicate keys; callers own that
-        invariant.  Drop barriers (seq-scoped truncates) still apply."""
+        invariant.  Drop barriers (seq-scoped truncates) still apply.
+
+        **Zone-map file pruning** (the Iceberg manifest column-bounds
+        file skip, built on parquet row-group footer statistics): pass
+        ``probes`` — the key values this read will be joined against —
+        and only files whose footer [min, max] of ``key`` can contain a
+        probe are scanned at all.  Bounds are read DRIVER-SIDE from the
+        local footers (no Spark job, exactly how Iceberg reads manifest
+        bounds), probes are binary-searched against each file's range,
+        and any file with unusable stats (missing, truncated-length,
+        type-mismatched, partition-style layout) falls back to being
+        read — pruning can only ever skip files proven probe-free, so
+        the result is identical to the full scan.  After ``compact()``
+        range-clusters the table on its key, file ranges are tight and
+        disjoint, so a trigger-bounded batch of B probes touches
+        O(min(B, n_files)) files instead of all of them.  ``prune_stats``
+        (out-param) receives {files_total, files_read, pruned}."""
         cols = cols or ("doc_id",)
         snaps, kill_seq = self._active_chain()
         if not snaps:
             return self._empty().select(*cols)
-        dfs = [
-            self.spark.read.parquet(os.path.join(self.path, s.files_dir))
-            for s in snaps
-        ]
+        sorted_probes = sorted(probes) if probes is not None else None
+        n_total = n_read = 0
+        dfs = []
+        for s in snaps:
+            full = os.path.join(self.path, s.files_dir)
+            kept = None
+            if sorted_probes is not None:
+                files = _parquet_files(full)
+                if files is not None:
+                    n_total += len(files)
+                    kept = [f for f in files
+                            if _file_may_contain(f, key, sorted_probes)]
+                    n_read += len(kept)
+                    if not kept:
+                        continue  # proven probe-free: skip the snapshot
+            if kept is not None:
+                dfs.append(self.spark.read.parquet(*kept))
+            else:
+                # full scan of this snapshot (no probes, or unprunable
+                # layout — count its files as read for the stats)
+                if sorted_probes is not None:
+                    n = len(_parquet_files(full) or [])
+                    n_total += n
+                    n_read += n
+                dfs.append(self.spark.read.parquet(full))
+        if prune_stats is not None:
+            prune_stats.update(
+                files_total=n_total, files_read=n_read, pruned=n_total - n_read
+            )
+        if not dfs:
+            return self._empty().select(*cols)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
@@ -422,3 +467,73 @@ def prepare_delta(collapsed: DataFrame, keep_table: bool = False) -> DataFrame:
 
 def _ddl(df: DataFrame) -> str:
     return df.schema.simpleString()
+
+
+# ---------- zone-map pruning helpers (driver-side footer reads) ----------
+
+def _parquet_files(d: str) -> list[str] | None:
+    """All parquet data files under ``d``.  Returns None for a
+    partition-style layout (``col=value`` subdirs): reading such files
+    individually would lose the partition column, so the caller must
+    fall back to the directory scan."""
+    out = []
+    for root, dirs, names in os.walk(d):
+        if any("=" in x for x in dirs):
+            return None
+        for n in names:
+            if n.endswith(".parquet"):
+                out.append(os.path.join(root, n))
+    return out
+
+
+#: str bounds at or above this length may have been truncated by the
+#: writer (parquet column-index truncation defaults to 64); a truncated
+#: max is not a true upper bound, so such files are never pruned.
+_MAX_EXACT_STAT_LEN = 64
+
+
+def _file_may_contain(path: str, key: str, sorted_probes: list) -> bool:
+    """Can ``path`` contain any of ``sorted_probes`` in column ``key``?
+
+    True unless the footer PROVES otherwise: every row group carries
+    exact min/max for ``key`` of the same type as the probes, and no
+    probe falls inside any [min, max].  UTF-8 byte order equals
+    code-point order, so Python str comparison against parquet's
+    byte-ordered string stats is sound; ints compare directly.  Any
+    doubt (missing column/stats, bytes vs str, truncation-length
+    strings) keeps the file — pruning is only ever an optimization."""
+    import bisect
+
+    import pyarrow.parquet as pq
+
+    if not sorted_probes:
+        return False  # nothing probed: no file can match
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return True
+    if md.num_rows == 0:
+        return False
+    col_idx = None
+    for i in range(md.num_columns):
+        if md.row_group(0).column(i).path_in_schema == key:
+            col_idx = i
+            break
+    if col_idx is None:
+        return True
+    probe_t = type(sorted_probes[0])
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(col_idx).statistics
+        if st is None or not st.has_min_max:
+            return True
+        mn, mx = st.min, st.max
+        if not (isinstance(mn, probe_t) and isinstance(mx, probe_t)):
+            return True
+        if isinstance(mn, str) and (
+            len(mn) >= _MAX_EXACT_STAT_LEN or len(mx) >= _MAX_EXACT_STAT_LEN
+        ):
+            return True
+        i = bisect.bisect_left(sorted_probes, mn)
+        if i < len(sorted_probes) and sorted_probes[i] <= mx:
+            return True
+    return False

@@ -38,12 +38,17 @@ epoch):
   ids), so the scan is ``LakeTable.read_keys`` — a column-pruned union
   of the active files with NO per-key aggregate and NO join-back (the
   round-3 path materialized the full LWW chain every epoch).
-- **The remaining O(corpus) term is the narrow scan's I/O**, and
-  maintenance bounds it: ``maintain()`` compacts the registry into
-  hash-range-clustered files (tight min/max per parquet footer).  On
-  real Iceberg the same statement becomes MERGE ... WHEN NOT MATCHED
-  INSERT with metadata/Bloom file-skipping, turning the scan term into
-  O(batch·log) — mapped in DEPLOY.md.
+- **The registry scan is zone-map FILE-PRUNED** (round-3's last
+  O(corpus) term, now closed): the batch's probe hashes are checked
+  driver-side against each registry file's parquet footer [min, max]
+  (``LakeTable.read_keys(probes=...)`` — the Iceberg manifest
+  column-bounds skip, no Spark job for the bounds), so after
+  ``maintain()`` range-clusters the registry an epoch READS
+  O(min(batch, n_files)) registry files, not all of them.  Files with
+  unusable stats fall back to being scanned — pruning only skips files
+  proven probe-free.  On real Iceberg the same statement becomes
+  MERGE ... WHEN NOT MATCHED INSERT with the engine's own
+  metadata/Bloom file-skipping — mapped in DEPLOY.md.
 - **Accepted output is a LakeTable too** (keyed by content hash, which
   is unique per accepted row), so it compacts/vacuums under the same
   maintenance pass instead of accreting one directory per epoch
@@ -108,16 +113,43 @@ class DedupIngest:
             "h", "ingest_seq", F.col("doc_id").alias("first_doc_id"), "text"
         )
 
+    def _registry_matched(self, batch_keys: DataFrame, key: str,
+                          registry: LakeTable | None = None) -> DataFrame:
+        """Registry keys that appear in this batch — the cross-epoch
+        dedup probe every ingest-family member runs.  The batch's
+        distinct keys (trigger-bounded, so broadcast-sized by
+        construction) are collected ONCE driver-side and used twice:
+
+        - to ZONE-MAP-PRUNE the registry scan (``read_keys(probes=...)``
+          — parquet footer [min, max] per file, the Iceberg
+          manifest-bounds file skip): after ``maintain()``
+          range-clusters the registry, an epoch touches
+          O(min(batch, n_files)) registry files, not all of them;
+        - as a broadcast local relation on the executor side, semi-
+          joining the surviving registry rows map-side.
+
+        No registry row is ever shuffled; per-epoch prune counters land
+        in ``self.last_prune``."""
+        registry = registry if registry is not None else self.seen
+        probes = sorted(r[0] for r in batch_keys.distinct().collect())
+        stats: dict = {}
+        seen_keys = registry.read_keys(
+            "doc_id", probes=probes, prune_stats=stats
+        ).select(F.col("doc_id").alias(key))
+        self.last_prune = stats
+        probe_df = self.spark.createDataFrame(
+            [(p,) for p in probes], f"{key} string"
+        )
+        return seen_keys.join(F.broadcast(probe_df), key, "left_semi")
+
     def _not_seen(self, first: DataFrame, registry: LakeTable) -> DataFrame:
         """Cross-epoch dedup with the broadcast-semi pre-filter: rows of
         ``first`` whose hash the registry has never recorded.  The
-        registry side is a narrow insert-only scan; only hashes that
-        MIGHT match (i.e. are in this batch — broadcast) survive it,
-        and that matched set (≤ batch) is broadcast into the anti-join.
-        No registry row is ever shuffled."""
-        batch_keys = first.select("h")
-        seen_keys = registry.read_keys("doc_id").select(F.col("doc_id").alias("h"))
-        matched = seen_keys.join(F.broadcast(batch_keys), "h", "left_semi")
+        registry side is a narrow insert-only, zone-map-pruned scan
+        (``_registry_matched``); its output (``matched``: hashes of
+        this batch that already exist, ≤ batch size) is broadcast into
+        the final anti-join.  No registry row is ever shuffled."""
+        matched = self._registry_matched(first.select(F.col("h")), "h", registry)
         return first.join(F.broadcast(matched), "h", "left_anti")
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:

@@ -93,13 +93,10 @@ class NearDupIngest(DedupIngest):
         bands = self._bands(batch).persist()
         try:
             # --- cross-epoch: bands the registry has already recorded.
-            # Broadcast-semi pre-filter, same shape as the exact path:
-            # registry rows are probed map-side, never shuffled.
-            batch_keys = bands.select(F.col("band")).distinct()
-            seen_keys = self.seen.read_keys("doc_id").select(
-                F.col("doc_id").alias("band")
-            )
-            matched = seen_keys.join(F.broadcast(batch_keys), "band", "left_semi")
+            # Zone-map-pruned, broadcast-semi probe, same shape as the
+            # exact path: registry rows are probed map-side over only
+            # the files whose footer bounds can hold a batch band.
+            matched = self._registry_matched(bands.select("band"), "band")
             # --- within-batch: first holder of each band value
             band_min = bands.groupBy("band").agg(
                 F.min("ingest_seq").alias("first_seq")

@@ -93,13 +93,10 @@ class SpanDedupIngest(DedupIngest):
         try:
             eligible = chunks.where(F.col("nw") >= self.min_words)
             # --- cross-epoch: chunk hashes the registry already holds.
-            # Broadcast-semi pre-filter: registry rows are probed
-            # map-side against the batch's hashes, never shuffled.
-            batch_keys = eligible.select("ph").distinct()
-            seen_keys = self.seen.read_keys("doc_id").select(
-                F.col("doc_id").alias("ph")
-            )
-            matched = seen_keys.join(F.broadcast(batch_keys), "ph", "left_semi")
+            # Zone-map-pruned, broadcast-semi probe: registry rows are
+            # probed map-side against the batch's hashes over only the
+            # files whose footer bounds can hold one, never shuffled.
+            matched = self._registry_matched(eligible.select("ph"), "ph")
             # --- within-batch: first occurrence of each eligible hash
             # (min over the (arrival, position) total order — the batch
             # passage_dedup winner rule restricted to this epoch)

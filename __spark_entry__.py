@@ -1308,6 +1308,102 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_scrub_pii(spark, sf):
+    """PII scrubbing: the gate INJECTS deterministic PII (an email, an
+    IP, a phone number derived from doc_id) into every document —
+    identically in both engines — so the redaction rules are actually
+    exercised; scrub_pii then redacts and counts per pattern."""
+    from yadex_spark.operators.text import scrub_pii
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".77 call +14155"),
+            F.lpad(F.col("doc_id").cast("string"), 5, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(docs)
+
+
+SQL_SCRUB_PII = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.' || CAST(doc_id % 250 AS VARCHAR)
+              || '.77 call +14155' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS t
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM inj),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+         regexp_replace(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t
+  FROM s1)
+SELECT doc_id, n_email, n_ip,
+       CAST(len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS BIGINT) AS n_phone,
+       regexp_replace(t, '\+[0-9]{7,15}', '<PHONE>', 'g') AS clean_text
+FROM s2
+"""
+
+
+def q_lm_bigram_score(spark, sf):
+    """Corpus-trained bigram-LM quality score: top-500 bigram model
+    (count DESC, hash ASC boundary), per-doc coverage and mean
+    conditional probability in basis points."""
+    from yadex_spark.operators.text import lm_bigram_score
+
+    return lm_bigram_score(_t(spark, sf, "documents"), k_bigrams=500)
+
+
+SQL_LM_BIGRAM = """
+WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+uni AS (
+  SELECT CAST('0x' || substr(md5(word),1,15) AS BIGINT) AS h1,
+         CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
+  GROUP BY 1),
+dg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                        i -> array_to_string(ws[i:i+1],' '))) AS gram
+  FROM w),
+dh AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(gram),1,15) AS BIGINT) AS h2,
+         CAST('0x' || substr(md5(string_split(gram,' ')[1]),1,15) AS BIGINT) AS h1
+  FROM dg),
+big AS (SELECT h2, h1, CAST(count(*) AS BIGINT) AS c2 FROM dh GROUP BY 1, 2),
+top AS (SELECT * FROM big ORDER BY c2 DESC, h2, h1 LIMIT 500),
+model AS (
+  SELECT h2, max(CAST(floor(10000 * c2 / c1) AS BIGINT)) AS cond_bp
+  FROM top JOIN uni USING (h1) GROUP BY h2),
+per_doc AS (
+  SELECT dh.doc_id,
+         CAST(count(dh.h2) AS BIGINT) AS n_bigrams,
+         CAST(count(model.cond_bp) AS BIGINT) AS n_hits,
+         CAST(coalesce(sum(model.cond_bp), 0) AS BIGINT) AS sum_cond
+  FROM dh LEFT JOIN model USING (h2) GROUP BY 1),
+zero AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS n_bigrams, CAST(0 AS BIGINT) AS n_hits,
+         CAST(0 AS BIGINT) AS sum_cond
+  FROM w WHERE len(ws) < 2)
+SELECT doc_id, n_bigrams, n_hits,
+       CASE WHEN n_bigrams > 0
+            THEN CAST(floor(10000 * n_hits / n_bigrams) AS BIGINT)
+            ELSE 0 END AS coverage_bp,
+       CASE WHEN n_bigrams > 0
+            THEN CAST(floor(sum_cond / n_bigrams) AS BIGINT)
+            ELSE 0 END AS avg_cond_bp
+FROM (SELECT * FROM per_doc UNION ALL SELECT * FROM zero)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1368,6 +1464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_corpus": q_filter_corpus,
         "mix_rates": q_mix_rates,
         "mix_corpus": q_mix_corpus,
+        "scrub_pii": q_scrub_pii,
+        "lm_bigram_score": q_lm_bigram_score,
     }
 
 
@@ -1421,4 +1519,6 @@ def oracle_sql() -> dict[str, str]:
         "filter_corpus": SQL_FILTER_CORPUS,
         "mix_rates": SQL_MIX_RATES,
         "mix_corpus": SQL_MIX_CORPUS,
+        "scrub_pii": SQL_SCRUB_PII,
+        "lm_bigram_score": SQL_LM_BIGRAM,
     }

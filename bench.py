@@ -47,6 +47,8 @@ HEADLINE = [
     "decontaminate",
     "decontaminate_fuzzy",
     "sample_by_source",
+    "scrub_pii",
+    "lm_bigram_score",
     "mix_corpus",
     "corpus_stats",
     "filter_corpus",

@@ -11,9 +11,12 @@ Protocol (two interleaved arms, same synthetic duplicate-heavy feed):
 
 If the per-epoch cost carried an O(registry) shuffle/aggregate term,
 arm B's epochs would be ~100x arm A's.  With the broadcast-semi
-pre-filter + insert-only narrow scan they should be ≈equal (B pays only
-the narrow single-column scan of the larger registry — the term Iceberg
-metadata/Bloom skipping removes in production, DEPLOY.md).
+pre-filter + insert-only narrow scan they should be ≈equal.  The scan
+itself is zone-map file-pruned by the batch's probes
+(``read_keys(probes=...)`` — parquet footer bounds, the Iceberg
+manifest skip), so arm B's seed files (disjoint key domain, tight
+compacted bounds) are skipped outright; per-epoch prune counters are
+aggregated into the output as direct evidence.
 
 Arms are interleaved A,B,A,B (reps) in one JVM, fresh dirs per rep,
 median-of-epochs per arm then min across reps (the noisy-box protocol:
@@ -112,12 +115,15 @@ def main() -> None:
                 ing.seen.compact()
                 ing.seen.vacuum()
             times: list[float] = []
+            prune = {"files_total": 0, "files_read": 0, "pruned": 0}
             orig = ing.apply_batch
 
             def timed(batch, eid):
                 t0 = time.monotonic()
                 orig(batch, eid)
                 times.append(time.monotonic() - t0)
+                for k in prune:
+                    prune[k] += getattr(ing, "last_prune", {}).get(k, 0)
 
             ing.apply_batch = timed
             t0 = time.monotonic()
@@ -135,6 +141,9 @@ def main() -> None:
                 "wall_s": round(wall, 2),
                 "final_registry_rows": n_reg,
                 "accepted_rows": n_acc,
+                "registry_files_total": prune["files_total"],
+                "registry_files_read": prune["files_read"],
+                "registry_files_pruned": prune["pruned"],
             }
 
         arms: dict[str, list[dict]] = {"fresh": [], "preseeded": []}
@@ -179,9 +188,24 @@ def main() -> None:
             f"- **pre-seeded / fresh = {ratio:.2f}** (≈1 ⇒ per-epoch cost "
             "independent of registry size; an O(registry) shuffle/LWW term — "
             f"the round-3 shape — would put this near {reg_ratio:.0f}x). "
-            "Remaining registry term: one narrow single-column scan, no "
-            "exchange (pinned by test_registry_is_never_shuffled_or_"
-            "aggregated).",
+            "No registry row is ever shuffled (pinned by "
+            "test_registry_is_never_shuffled_or_aggregated).",
+            "- zone-map pruning (`read_keys(probes=...)`, parquet footer "
+            "bounds): fresh arm read "
+            f"{best['fresh']['registry_files_read']}/"
+            f"{best['fresh']['registry_files_total']} registry file-scans "
+            "over the run; pre-seeded arm read "
+            f"{best['preseeded']['registry_files_read']}/"
+            f"{best['preseeded']['registry_files_total']} — the seed files' "
+            "compacted [min, max] bounds exclude every batch probe, so the "
+            f"{seed_hashes:,}-hash registry bulk is never opened.  (Range "
+            "bounds prune when probes miss a file's key range — always for "
+            "out-of-domain bulk like this seed, and O(min(batch, files)) "
+            "for uniform content hashes, i.e. only once files outnumber a "
+            "trigger-bounded batch; a uniform-hash registry smaller than "
+            "that keeps every file, conservatively, and flatness then "
+            "rests on the broadcast-semi probe alone — which this arm's "
+            "ratio already demonstrated pre-pruning at 1.03.)",
         ]
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
             f.write("\n".join(lines) + "\n")

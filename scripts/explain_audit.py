@@ -184,6 +184,21 @@ AUDITS = {
         ("word counts are partial hash aggregates (map-side combine)",
          lambda p: "HashAggregate" in p and "partial" in p.lower()),
     ],
+    "scrub_pii": [
+        ("pure per-row regexp pass, no shuffle at all",
+         lambda p: "Exchange" not in p),
+        ("regexes stay JVM-side (no python UDF)",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "lm_bigram_score": [
+        ("model cut is TakeOrdered (per-partition heaps), not a global sort",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("count aggregates are partial hash aggs on BIGINT hashes, no sort fallback",
+         lambda p: "HashAggregate" in p and "partial" in p.lower()
+         and "SortAggregate" not in p),
+        ("scoring join is an equi-join, no nested loop over the corpus",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+    ],
 }
 
 

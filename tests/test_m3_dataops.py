@@ -991,3 +991,81 @@ def test_mix_rates_waterfilling_and_corpus_composition(spark):
     assert by_src["a"] == 40                      # binding source fully kept
     assert 15 <= by_src["b"] <= 33                # 3/5 * 40 = 24 expected
     assert 9 <= by_src["c"] <= 23                 # 2/5 * 40 = 16 expected
+
+
+def test_scrub_pii_redacts_sequentially(spark):
+    """Redaction rules apply IN ORDER, each counted against the text as
+    the previous rules left it: a digit-dotted email localpart must be
+    consumed by the email rule, never double-counted as an IP."""
+    from yadex_spark.operators.text import scrub_pii
+
+    rows = [
+        (0, "reach bob.smith+tag@mail.example.org or 192.168.0.1 call +4915123456789"),
+        (1, "tricky 12.34.56.78@x.com has a dotted-digit localpart"),
+        (2, "no pii here just words"),
+        (3, "two mails a@b.io c@d.net one ip 10.0.0.1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in scrub_pii(docs).collect()}
+
+    assert got[0]["n_email"] == 1 and got[0]["n_ip"] == 1 and got[0]["n_phone"] == 1
+    assert got[0]["clean_text"] == "reach <EMAIL> or <IP> call <PHONE>"
+    # the dotted-digit localpart is ONE email, zero IPs
+    assert got[1]["n_email"] == 1 and got[1]["n_ip"] == 0 and got[1]["n_phone"] == 0
+    assert got[1]["clean_text"] == "tricky <EMAIL> has a dotted-digit localpart"
+    assert got[2] == {
+        "doc_id": 2, "n_email": 0, "n_ip": 0, "n_phone": 0,
+        "clean_text": "no pii here just words",
+    }
+    assert got[3]["n_email"] == 2 and got[3]["n_ip"] == 1
+    assert got[3]["clean_text"] == "two mails <EMAIL> <EMAIL> one ip <IP>"
+
+
+def test_lm_bigram_score_matches_python(spark):
+    """Training (top-k bigram cut incl. the deterministic boundary) and
+    scoring replayed by a pure-python replica; a 1-word doc scores
+    (0, 0, 0, 0) instead of vanishing."""
+    from yadex_spark.operators.text import lm_bigram_score
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran on the mat"),
+        (2, "a dog sat on a log"),
+        (3, "gibberish zz qq xx yy"),
+        (4, "word"),                      # 0 bigrams
+    ]
+    k = 4  # force a real top-k boundary (corpus has >4 distinct bigrams)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in lm_bigram_score(docs, k_bigrams=k).collect()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    import collections
+    uni = collections.Counter()
+    big = collections.Counter()
+    for _, t in rows:
+        ws = t.split(" ")
+        uni.update(h60(w) for w in ws)
+        big.update((h60(f"{a} {b}"), h60(a)) for a, b in zip(ws, ws[1:]))
+    top = sorted(big.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:k]
+    model = {}
+    for (h2, h1), c2 in top:
+        model[h2] = max(model.get(h2, 0), 10_000 * c2 // uni[h1])
+
+    for did, t in rows:
+        ws = t.split(" ")
+        grams = [h60(f"{a} {b}") for a, b in zip(ws, ws[1:])]
+        n = len(grams)
+        hits = [model[g] for g in grams if g in model]
+        want = {
+            "n_bigrams": n,
+            "n_hits": len(hits),
+            "coverage_bp": 10_000 * len(hits) // n if n else 0,
+            "avg_cond_bp": sum(hits) // n if n else 0,
+        }
+        assert {x: got[did][x] for x in want} == want, did
+    assert got[4] == {"doc_id": 4, "n_bigrams": 0, "n_hits": 0,
+                      "coverage_bp": 0, "avg_cond_bp": 0}
+    # the model actually cut: some doc has partial coverage
+    assert any(0 < got[d]["coverage_bp"] < 10_000 for d, _ in rows)

@@ -347,6 +347,120 @@ def vocab_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+#: PII patterns, applied IN ORDER (emails carry dots and digits, so
+#: they must be redacted before the IP/phone rules see the text).
+#: Restricted to constructs Java regex (Spark) and RE2 (DuckDB)
+#: interpret identically: character classes, bounded/unbounded repeats —
+#: no backrefs, lookarounds, or \b.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+)
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    """PII scrubbing pass: redact emails, IPv4 addresses, and
+    international-format phone numbers with typed placeholder tokens,
+    reporting per-doc redaction counts — the pre-training privacy
+    filter every public-web corpus runs before anything else sees the
+    text (the C4/RefinedWeb scrub step).
+
+    Patterns apply sequentially, each counted against the text AS THE
+    PREVIOUS RULES LEFT IT (an email's digit-dotted localpart must not
+    double-count as an IP).  Output: (doc_id, n_email, n_ip, n_phone,
+    clean_text).
+
+    Scale shape: pure per-row regexp expressions — NO shuffle at any
+    scale, whole-stage codegen end-to-end; count+replace per pattern is
+    two passes over the row's own text."""
+    cur = F.col("text")
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .cast("long").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select("doc_id", *counts, cur.alias("clean_text"))
+
+
+def lm_bigram_score(docs: DataFrame, k_bigrams: int = 50_000) -> DataFrame:
+    """Corpus-trained bigram language-model quality score — the
+    KenLM-perplexity-filter shape (CCNet, Wenzek et al. 2020) with an
+    integer-exact statistic: train corpus-wide bigram/unigram counts,
+    keep the top-``k_bigrams`` bigrams (the pruned-LM vocabulary), and
+    score every document by (a) what fraction of its 2-grams the model
+    knows (``coverage_bp``) and (b) the mean conditional probability
+    floor(10000 * c(w1 w2) / c(w1)) over its 2-grams (``avg_cond_bp``,
+    unknown bigrams contribute 0).  Out-of-distribution documents —
+    gibberish, wrong-language, boilerplate soups — score low on both.
+
+    Integer basis points end-to-end, so a DuckDB oracle replays
+    training AND scoring exactly; the unigram denominator is the plain
+    corpus count of w1 (the standard approximation that skips
+    end-of-doc discounting).
+
+    Scale shape: training is two partial HashAggregates keyed by
+    60-bit BIGINT hashes (map-side combine collapses each partition to
+    ~|vocab| rows; raw n-gram strings never shuffle) + a
+    TakeOrderedAndProject top-k with a deterministic (count DESC, hash
+    ASC) boundary; the scoring join's model side is ≤ k_bigrams rows —
+    AQE broadcasts it from its runtime size, so the corpus never
+    shuffles for the join; the per-doc rollup is one partial agg keyed
+    by doc_id.  The corpus is ``spread`` before the CPU-heavy per-word
+    md5 stages (the AQE tiny-by-bytes coalescing guard)."""
+    w = words_col(F.col("text"))
+    g2 = shingles(w, 2)
+    # training: corpus unigram counts ...
+    uni = (
+        spread(docs.select("doc_id", "text"), "doc_id")
+        .select(F.explode(words_col(F.col("text"))).alias("wrd"))
+        .select(_sh_bigint("wrd").alias("h1"))
+        .groupBy("h1")
+        .agg(F.count("*").alias("c1"))
+    )
+    # ... and top-k bigram counts, keyed by (gram hash, first-word hash)
+    big = (
+        spread(docs.select("doc_id", g2.alias("g")), "doc_id")
+        .select(F.explode("g").alias("g"))
+        .select(
+            _sh_bigint("g").alias("h2"),
+            _sh_bigint(F.split(F.col("g"), " ")[0]).alias("h1"),
+        )
+        .groupBy("h2", "h1")
+        .agg(F.count("*").alias("c2"))
+    )
+    top = big.orderBy(F.desc("c2"), F.asc("h2"), F.asc("h1")).limit(k_bigrams)
+    model = (
+        top.join(uni, "h1")
+        .select("h2", F.floor(F.lit(10_000) * F.col("c2") / F.col("c1")).alias("cond_bp"))
+        .groupBy("h2")
+        .agg(F.max("cond_bp").alias("cond_bp"))  # unique h2 under collisions
+    )
+    # scoring: explode_outer keeps 0-bigram docs (score 0 / 0 hits)
+    doc_g = (
+        spread(docs.select("doc_id", g2.alias("g")), "doc_id")
+        .select("doc_id", F.explode_outer("g").alias("g"))
+        .select("doc_id", _sh_bigint("g").alias("h2"))
+    )
+    per_doc = doc_g.join(model, "h2", "left").groupBy("doc_id").agg(
+        F.count("h2").alias("n_bigrams"),
+        F.count("cond_bp").alias("n_hits"),
+        F.coalesce(F.sum("cond_bp"), F.lit(0)).alias("sum_cond"),
+    )
+    nb = F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_hits",
+        F.when(nb > 0, F.floor(F.lit(10_000) * F.col("n_hits") / nb))
+        .otherwise(F.lit(0)).cast("long").alias("coverage_bp"),
+        F.when(nb > 0, F.floor(F.col("sum_cond") / nb))
+        .otherwise(F.lit(0)).cast("long").alias("avg_cond_bp"),
+    )
+
+
 def corpus_stats(docs: DataFrame) -> DataFrame:
     """Per-source corpus composition report — the "what do I have per
     domain" question every mixing/sampling decision starts from: doc

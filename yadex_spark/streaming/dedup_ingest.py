@@ -84,6 +84,8 @@ class DedupIngest:
 
     #: registry subdir — the near-dup subclass swaps in its band registry
     REGISTRY_DIR = "_seen_hashes"
+    #: feed read schema — subclasses with extra feed columns override
+    FEED_SCHEMA = INGEST_SCHEMA
 
     @property
     def seen(self) -> LakeTable:
@@ -204,7 +206,7 @@ class DedupIngest:
 
     def run_available_now(self, timeout_s: int = 600) -> None:
         q = (
-            self.spark.readStream.schema(INGEST_SCHEMA)
+            self.spark.readStream.schema(self.FEED_SCHEMA)
             .option("maxFilesPerTrigger", self.max_files_per_trigger)
             .parquet(self.feed_dir)
             .writeStream.foreachBatch(self.apply_batch)

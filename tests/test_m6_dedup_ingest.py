@@ -216,3 +216,18 @@ def test_file_bounds_pruning_is_conservative(tmp_path):
     f_long = str(tmp_path / "long.parquet")
     pq.write_table(pa.table({"doc_id": ["a" * 64, "b" * 64]}), f_long)
     assert _file_may_contain(f_long, "doc_id", ["zzz"])
+
+
+def test_probe_budget_fallback_keeps_semantics(spark, tmp_path, feed):
+    """A batch with more distinct keys than MAX_PRUNE_PROBES must skip
+    the driver-side probe collect (zone-map pruning off) and still
+    dedup correctly via the executor-side broadcast semi-join — the
+    span/band variants can legitimately exceed the budget."""
+    docs, path = feed
+    ing = DedupIngest(spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+                      max_files_per_trigger=1)
+    ing.MAX_PRUNE_PROBES = 10  # every epoch (200 arrivals) exceeds this
+    ing.run_available_now()
+    assert ing.last_prune == {"fallback": "probe_budget_exceeded"}
+    got = {(r["doc_id"], r["ingest_seq"]) for r in ing.accepted().collect()}
+    assert got == _want(docs)

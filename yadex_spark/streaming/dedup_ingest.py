@@ -86,6 +86,14 @@ class DedupIngest:
     REGISTRY_DIR = "_seen_hashes"
     #: feed read schema — subclasses with extra feed columns override
     FEED_SCHEMA = INGEST_SCHEMA
+    #: driver-side probe budget for zone-map pruning: a batch with more
+    #: distinct keys than this (possible for the span/band variants,
+    #: whose key count is chunks/bands per doc, not docs) skips the
+    #: driver collect and falls back to the executor-side broadcast
+    #: semi-join over the unpruned narrow scan — the pre-pruning shape,
+    #: still O(batch) shuffle.  At that batch size the probes blanket
+    #: the key space anyway, so range pruning could not skip files.
+    MAX_PRUNE_PROBES = 100_000
 
     @property
     def seen(self) -> LakeTable:
@@ -131,9 +139,21 @@ class DedupIngest:
           joining the surviving registry rows map-side.
 
         No registry row is ever shuffled; per-epoch prune counters land
-        in ``self.last_prune``."""
+        in ``self.last_prune``.  Batches with more than
+        ``MAX_PRUNE_PROBES`` distinct keys skip the driver collect and
+        fall back to the executor-side broadcast semi-join over the
+        unpruned scan (pruning could not skip files for a batch that
+        large anyway)."""
         registry = registry if registry is not None else self.seen
-        probes = sorted(r[0] for r in batch_keys.distinct().collect())
+        distinct_keys = batch_keys.distinct()
+        sample = distinct_keys.limit(self.MAX_PRUNE_PROBES + 1).collect()
+        if len(sample) > self.MAX_PRUNE_PROBES:
+            self.last_prune = {"fallback": "probe_budget_exceeded"}
+            seen_keys = registry.read_keys("doc_id").select(
+                F.col("doc_id").alias(key)
+            )
+            return seen_keys.join(F.broadcast(distinct_keys), key, "left_semi")
+        probes = sorted(r[0] for r in sample)
         stats: dict = {}
         seen_keys = registry.read_keys(
             "doc_id", probes=probes, prune_stats=stats

@@ -1404,6 +1404,94 @@ FROM (SELECT * FROM per_doc UNION ALL SELECT * FROM zero)
 """
 
 
+def q_prepare_corpus(spark, sf):
+    """The composed end-to-end corpus-preparation pass, ONE plan:
+    Gopher quality filter (the filter_corpus gate params) -> exact
+    dedup (canonical = min doc_id) -> 8-gram benchmark decontamination
+    against the every-10th-doc eval set (df-cap 100) -> 4:3:2:1
+    domain-mixture waterfilling over the POST-clean composition ->
+    16-shard interleaved deterministic shuffle."""
+    from yadex_spark.operators.prepare import prepare_corpus
+
+    d = _t(spark, sf, "documents")
+    return prepare_corpus(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+        min_words=40, max_words=100_000, min_wlen_c=400, max_wlen_c=700,
+        min_stop=2, max_top_word_bp=1_500, max_dup_2gram_bp=2_000,
+        decontam_n=8, max_bench_df=100,
+        target_bp=_MIX_TARGETS, shuffle_salt="shuf", n_shards=16,
+    )
+
+
+SQL_PREPARE = """
+WITH w0 AS (SELECT doc_id, source, text, string_split(text,' ') AS ws,
+                   CAST(length(text) AS BIGINT) AS nc
+            FROM documents WHERE doc_id % 10 != 0),
+fs AS (SELECT doc_id, source, text,
+              CAST(len(ws) AS BIGINT) AS nw,
+              CAST(100 * nc // len(ws) AS BIGINT) AS wl,
+              CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','in','to'))) AS BIGINT) AS nstop,
+              CAST(10000 * list_max(list_transform(list_distinct(ws),
+                   x -> len(list_filter(ws, y -> y = x)))) // len(ws) AS BIGINT) AS topbp,
+              CAST(CASE WHEN len(ws) >= 2 THEN
+                   10000 * (greatest(len(ws) - 1, 0) - len(list_distinct(
+                       list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1],' ')))))
+                   // greatest(len(ws) - 1, 0)
+                   ELSE 0 END AS BIGINT) AS dup2bp
+       FROM w0),
+k1 AS (SELECT doc_id, source, text FROM fs
+       WHERE nw >= 40 AND nw <= 100000 AND wl >= 400 AND wl <= 700
+         AND nstop >= 2 AND topbp <= 1500 AND dup2bp <= 2000),
+dd AS (SELECT md5(text) AS h, min(doc_id) AS cid FROM k1 GROUP BY 1),
+k2 AS (SELECT k1.doc_id, k1.source, k1.text FROM k1 JOIN dd ON k1.doc_id = dd.cid),
+cw AS (SELECT doc_id, string_split(text,' ') AS ws FROM k2),
+cg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-6),
+              i -> array_to_string(ws[i:i+7],' '))) AS shs
+       FROM cw WHERE len(ws) >= 8),
+ch AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh),1,15) AS BIGINT) AS h
+       FROM (SELECT doc_id, unnest(shs) AS sh FROM cg)),
+bw AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents WHERE doc_id % 10 = 0),
+bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-6),
+              i -> array_to_string(ws[i:i+7],' '))) AS shs
+       FROM bw WHERE len(ws) >= 8),
+bh AS (SELECT DISTINCT doc_id AS bench_id, CAST('0x' || substr(md5(sh),1,15) AS BIGINT) AS h
+       FROM (SELECT doc_id, unnest(shs) AS sh FROM bg)),
+bok AS (SELECT h FROM bh GROUP BY h HAVING count(*) <= 100),
+bf AS (SELECT DISTINCT bh.h FROM bh JOIN bok ON bh.h = bok.h),
+flagged AS (SELECT DISTINCT ch.doc_id FROM ch JOIN bf ON ch.h = bf.h),
+k3 AS (SELECT k2.doc_id, k2.source, k2.text FROM k2
+       LEFT JOIN flagged ON k2.doc_id = flagged.doc_id
+       WHERE flagged.doc_id IS NULL),
+st AS (SELECT source, CAST(sum((length(text)+3)//4) AS BIGINT) AS n_tokens
+       FROM k3 GROUP BY source),
+tt AS (SELECT source, n_tokens,
+              CAST(CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 3000
+                               WHEN 'src2' THEN 2000 WHEN 'src3' THEN 1000
+                               ELSE 0 END AS BIGINT) AS sbp
+       FROM st),
+kk AS (SELECT min(CASE WHEN sbp > 0 THEN (10000 * n_tokens) // sbp END) AS k FROM tt),
+rr AS (SELECT source,
+              CAST(CASE WHEN sbp > 0 THEN least(10000, (sbp * kk.k) // n_tokens)
+                        ELSE 0 END AS BIGINT) AS rate_bp
+       FROM tt, kk),
+k4 AS (SELECT k3.doc_id, k3.source, k3.text FROM k3 JOIN rr ON k3.source = rr.source
+       WHERE CAST('0x' || substr(md5('mix|' || CAST(k3.doc_id AS VARCHAR)),1,8) AS BIGINT) % 10000
+             < rr.rate_bp),
+hh AS (SELECT doc_id, source, CAST((length(text)+3)//4 AS BIGINT) AS n_tok,
+              md5('shuf|' || CAST(doc_id AS VARCHAR)) AS h
+       FROM k4),
+sh2 AS (SELECT doc_id, source, n_tok, h,
+               CAST('0x' || substr(h,1,4) AS BIGINT) % 16 AS shard
+        FROM hh),
+fin AS (SELECT doc_id, source, n_tok, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+                    AS BIGINT) AS rk
+        FROM sh2)
+SELECT doc_id, source, n_tok, shard, rk * 16 + shard AS pos FROM fin
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1466,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": q_mix_corpus,
         "scrub_pii": q_scrub_pii,
         "lm_bigram_score": q_lm_bigram_score,
+        "prepare_corpus": q_prepare_corpus,
     }
 
 
@@ -1521,4 +1610,5 @@ def oracle_sql() -> dict[str, str]:
         "mix_corpus": SQL_MIX_CORPUS,
         "scrub_pii": SQL_SCRUB_PII,
         "lm_bigram_score": SQL_LM_BIGRAM,
+        "prepare_corpus": SQL_PREPARE,
     }

@@ -57,6 +57,7 @@ HEADLINE = [
     "chunk_sequences",
     "shuffle_corpus",
     "train_val_split",
+    "prepare_corpus",
     "cdc_engine_replay",
 ]
 

@@ -190,6 +190,19 @@ AUDITS = {
         ("regexes stay JVM-side (no python UDF)",
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
     ],
+    # audited in its stage_barrier=False (fully declarative) form —
+    # the default lazy-localCheckpoint barriers replace the upstream
+    # stages with ExistingRDD placeholders in a formatted plan
+    "prepare_corpus_declarative": [
+        ("composed pipeline stays equi-joins end-to-end, no nested loop",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+        ("JVM-side end-to-end (no python UDF in any stage)",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+        ("final shuffle windows are per-shard (hash-partitioned)",
+         lambda p: "hashpartitioning(shard" in p),
+        ("dedup/stats aggregates never fall back to SortAggregate",
+         lambda p: "HashAggregate" in p and "SortAggregate" not in p),
+    ],
     "lm_bigram_score": [
         ("model cut is TakeOrdered (per-partition heaps), not a global sort",
          lambda p: "TakeOrderedAndProject" in p),
@@ -232,11 +245,31 @@ def _lake_read_df(spark):
     return tbl.read()
 
 
+def _prepare_declarative_df(spark, sf):
+    """prepare_corpus with stage_barrier=False: the one-plan form whose
+    whole pipeline is visible to a formatted explain."""
+    from pyspark.sql import functions as F
+
+    from yadex_spark.operators.prepare import prepare_corpus
+
+    d = entrymod._t(spark, sf, "documents")
+    return prepare_corpus(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+        min_words=40, max_words=100_000, min_wlen_c=400, max_wlen_c=700,
+        min_stop=2, max_top_word_bp=1_500, max_dup_2gram_bp=2_000,
+        decontam_n=8, max_bench_df=100,
+        target_bp=entrymod._MIX_TARGETS, shuffle_salt="shuf", n_shards=16,
+        stage_barrier=False,
+    )
+
+
 def main() -> None:
     spark = get_spark("explain-audit", cpus=8, shuffle_partitions=8)
     qs = dict(entrymod.queries())
     qs["engine_collapse"] = lambda s, sf: _engine_collapse_df(s)
     qs["lake_read"] = lambda s, sf: _lake_read_df(s)
+    qs["prepare_corpus_declarative"] = lambda s, sf: _prepare_declarative_df(s, sf)
     lines = ["# PLANS — physical-plan audit\n",
              f"Generated by scripts/explain_audit.py at sf dir `{SF}`.\n"]
     failures = 0

@@ -216,7 +216,8 @@ def chunk_sequences(docs: DataFrame, window: int = 128,
 
 
 def shuffle_corpus(docs: DataFrame, salt: str = "shuf",
-                   n_shards: int | None = None) -> DataFrame:
+                   n_shards: int | None = None,
+                   carry: tuple[str, ...] = ()) -> DataFrame:
     """Deterministic global training-order shuffle — assign every doc a
     unique position in a pseudorandom read order without a single-
     partition bottleneck.
@@ -235,14 +236,16 @@ def shuffle_corpus(docs: DataFrame, salt: str = "shuf",
     epoch order.
 
     ``n_shards`` defaults to ``defaultParallelism`` (scales with the
-    cluster); the gate pins it for oracle stability.
+    cluster); the gate pins it for oracle stability.  ``carry`` names
+    extra input columns passed through unchanged (a composed pipeline
+    shuffles its final corpus without a join-back).
 
-    Output: (doc_id, shard, shard_rank, pos)."""
+    Output: (doc_id, shard, shard_rank, pos, *carry)."""
     if n_shards is None:
         n_shards = docs.sparkSession.sparkContext.defaultParallelism
     h = F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
-    d = docs.select("doc_id", h.alias("h")).select(
-        "doc_id", "h",
+    d = docs.select("doc_id", *carry, h.alias("h")).select(
+        "doc_id", *carry, "h",
         (F.conv(F.substring("h", 1, 4), 16, 10).cast("long") % n_shards).alias("shard"),
     )
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
@@ -250,6 +253,7 @@ def shuffle_corpus(docs: DataFrame, salt: str = "shuf",
     return d.select(
         "doc_id", "shard", r.alias("shard_rank"),
         (r * n_shards + F.col("shard")).cast("long").alias("pos"),
+        *carry,
     )
 
 

@@ -262,7 +262,8 @@ def filter_corpus(docs: DataFrame, min_words: int = 50,
                   max_words: int = 100_000, min_wlen_c: int = 300,
                   max_wlen_c: int = 1_000, min_stop: int = 2,
                   max_top_word_bp: int = 2_000,
-                  max_dup_2gram_bp: int = 2_000) -> DataFrame:
+                  max_dup_2gram_bp: int = 2_000,
+                  carry: tuple[str, ...] = ()) -> DataFrame:
     """The composed quality-filter PASS — the Gopher rule set (Rae et
     al. 2021 Table A1 / RefinedWeb §3.1) as one per-doc keep/drop
     report: word-count window, mean-word-length window (centichars),
@@ -277,9 +278,13 @@ def filter_corpus(docs: DataFrame, min_words: int = 50,
     Scale shape: every signal is a per-row HOF over the doc's own word
     array — NO shuffle at any scale, whole-stage codegen end-to-end;
     integer arithmetic (basis points / centichars) so the DuckDB oracle
-    matches exactly."""
+    matches exactly.
+
+    ``carry`` names extra input columns passed through unchanged (e.g.
+    ``("text", "source")`` when a composed pipeline filters and keeps
+    working on the surviving documents — no join-back needed)."""
     w = words_col(F.col("text"))
-    d = docs.select("doc_id", w.alias("w"), F.length("text").alias("nc"))
+    d = docs.select("doc_id", *carry, w.alias("w"), F.length("text").alias("nc"))
     nw = F.size("w").cast("long")
     wlen_c = F.floor(F.lit(100) * F.col("nc") / nw)
     nstop = F.size(F.filter(F.col("w"), lambda x: x.isin(*STOPWORDS["en"]))).cast("long")
@@ -308,6 +313,7 @@ def filter_corpus(docs: DataFrame, min_words: int = 50,
         keep = c if keep is None else (keep & c)
     return d.select(
         "doc_id",
+        *carry,
         nw.alias("n_words"),
         wlen_c.alias("avg_wlen_c"),
         nstop.alias("n_stop"),

@@ -380,7 +380,17 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
     Scale shape: pure per-row regexp expressions — NO shuffle at any
     scale, whole-stage codegen end-to-end; count+replace per pattern is
     two passes over the row's own text."""
-    cur = F.col("text")
+    counts, clean = scrub_exprs(F.col("text"))
+    return docs.select("doc_id", *counts, clean.alias("clean_text"))
+
+
+def scrub_exprs(text):
+    """The sequential PII redaction as reusable column expressions:
+    returns (per-pattern count columns aliased ``n_<name>``, the fully
+    redacted text column).  Each pattern counts against the text AS THE
+    PREVIOUS RULES LEFT IT — the :func:`scrub_pii` contract, shared by
+    the streaming clean-ingest pre-pass."""
+    cur = text
     counts = []
     for name, pat, repl in PII_PATTERNS:
         counts.append(
@@ -388,7 +398,7 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
             .cast("long").alias(f"n_{name}")
         )
         cur = F.regexp_replace(cur, pat, repl)
-    return docs.select("doc_id", *counts, cur.alias("clean_text"))
+    return counts, cur
 
 
 def lm_bigram_score(docs: DataFrame, k_bigrams: int = 50_000) -> DataFrame:

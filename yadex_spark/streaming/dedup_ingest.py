@@ -108,6 +108,15 @@ class DedupIngest:
 
         return checkpoint_scope(self.checkpoint_dir)
 
+    def _preprocess(self, batch: DataFrame) -> DataFrame:
+        """Per-batch stateless pre-pass hook, applied before the
+        first-arrival collapse.  The base class is the identity; the
+        clean-ingest subclass scrubs/filters/decontaminates here.  Must
+        return the INGEST_SCHEMA columns and must be deterministic and
+        per-row (no cross-epoch state) so crash replay recomputes the
+        identical batch."""
+        return batch
+
     def _first_arrivals(self, batch: DataFrame) -> DataFrame:
         """Batch-local first arrival per content hash: min ingest_seq —
         a narrow BIGINT agg + join-back, the CDC collapse shape.  The
@@ -183,7 +192,7 @@ class DedupIngest:
         # branches (batch-keys broadcast under each registry-file semi
         # join + the anti-join probe side) — cached, the feed files are
         # hashed and collapsed exactly once per epoch
-        first = self._first_arrivals(batch).persist()
+        first = self._first_arrivals(self._preprocess(batch)).persist()
         accepted = self._not_seen(first, self.seen).persist()
         try:
             # 1) accepted docs — LakeTable delta keyed by the CONTENT

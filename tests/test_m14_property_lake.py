@@ -1,0 +1,125 @@
+"""M14 — property-based test of the lake table's apply algebra.
+
+The exactly-once core's CLAIMS, tested on arbitrary histories instead
+of the fixed crash fixtures:
+
+For ANY event history split into micro-batches, the final
+``LakeTable.read()`` state equals a driver-side LWW fold of the raw
+events, and is INVARIANT under
+
+- the order the batches are committed in (out-of-order epoch arrival —
+  table.py commit_truncate/_active_chain docstrings),
+- replaying any batch any number of times (idempotence by batch_id),
+- where in the apply sequence a seq-scoped drop barrier lands
+  (order-free ``_seq >= barrier`` read predicate),
+- an optional initial snapshot clone at as_of_seq=-1 (loses LWW to
+  every replayed event, dies under any barrier >= 0).
+
+hypothesis shrinks violations to a minimal history; the fixed m0/m1
+crash tests pin specific orchestrations, this pins the algebra.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from yadex_spark.lake.table import LakeTable
+
+DOCS = [f"d{i}" for i in range(6)]
+
+SETTINGS = dict(
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    print_blob=True,
+)
+
+
+@st.composite
+def histories(draw):
+    n_batches = draw(st.integers(1, 4))
+    seq = 0
+    batches = []
+    for _ in range(n_batches):
+        evs = []
+        for _ in range(draw(st.integers(0, 6))):
+            evs.append(
+                (
+                    draw(st.sampled_from(DOCS)),
+                    draw(st.sampled_from(["insert", "update", "delete"])),
+                    seq,
+                )
+            )
+            seq += 1
+        batches.append(evs)
+    apply_seq = list(draw(st.permutations(range(n_batches)))) + draw(
+        st.lists(st.integers(0, n_batches - 1), max_size=3)  # replays
+    )
+    trunc = draw(st.one_of(st.none(), st.integers(0, max(seq, 1))))
+    trunc_pos = draw(st.integers(0, len(apply_seq)))
+    clone = draw(st.booleans())
+    return batches, apply_seq, trunc, trunc_pos, clone
+
+
+def _collapse_py(evs):
+    best = {}
+    for doc, op, s in evs:
+        if doc not in best or s > best[doc][1]:
+            best[doc] = (op, s)
+    return [(doc, op, s) for doc, (op, s) in best.items()]
+
+
+def _oracle(batches, trunc, clone):
+    rows = []
+    if clone:
+        rows += [(d, -1, False, "init") for d in DOCS[:3]]
+    for evs in batches:
+        rows += [
+            (doc, s, op == "delete", f"v{s}") for doc, op, s in _collapse_py(evs)
+        ]
+    if trunc is not None:
+        rows = [r for r in rows if r[1] >= trunc]
+    best = {}
+    for doc, s, dead, val in rows:
+        if doc not in best or s > best[doc][0]:
+            best[doc] = (s, dead, val)
+    return sorted(
+        (doc, val) for doc, (s, dead, val) in best.items() if not dead
+    )
+
+
+@settings(max_examples=6, **SETTINGS)
+@given(h=histories())
+def test_lake_state_invariant_under_order_replay_and_barriers(spark, h):
+    batches, apply_seq, trunc, trunc_pos, clone = h
+    root = tempfile.mkdtemp(prefix="prop-lake-")
+    try:
+        tbl = LakeTable(spark, root)
+        if clone:
+            tbl.commit_append(
+                spark.createDataFrame(
+                    [(d, "init") for d in DOCS[:3]], "doc_id string, val string"
+                ),
+                batch_id="clone",
+            )
+        for pos, bi in enumerate(apply_seq):
+            if trunc is not None and pos == trunc_pos:
+                tbl.commit_truncate(batch_id="tr", trunc_seq=trunc)
+            rows = [
+                (doc, op, s, f"v{s}") for doc, op, s in _collapse_py(batches[bi])
+            ]
+            if rows:
+                tbl.commit_delta(
+                    spark.createDataFrame(
+                        rows, "doc_id string, op string, op_seq long, val string"
+                    ),
+                    batch_id=f"b{bi}",
+                )
+        if trunc is not None and trunc_pos == len(apply_seq):
+            tbl.commit_truncate(batch_id="tr", trunc_seq=trunc)
+        got = sorted((r.doc_id, r.val) for r in tbl.read().collect())
+        assert got == _oracle(batches, trunc, clone)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -184,6 +184,68 @@ def test_pack_sequences_equals_sequential_packer(spark, docs, budget, n_shards):
         assert 0 <= off < budget and b >= 0
 
 
+_NAN = float("nan")
+_INF = float("inf")
+specials = st.sampled_from([None, 0.0, -0.0, 1.5, 2.0, 2.4, -3.0, _NAN, _INF, -_INF])
+
+
+def _eqns(a, b):
+    """Spark eqNullSafe semantics: null==null, NaN==NaN, else ==."""
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if a != a and b != b:  # both NaN
+            return True
+    return a == b
+
+
+def _py_field_diff(exp, act, tol):
+    out = set()
+    for k in exp.keys() & act.keys():
+        (lx, ls), (rx, rs) = exp[k], act[k]
+        if not (_eqns(lx, rx) and _eqns(ls, rs)):  # row status 'changed'
+            if tol is not None and lx is not None and rx is not None:
+                d = lx - rx
+                x_ch = not (_eqns(lx, rx) or (-tol <= d <= tol))
+            else:
+                x_ch = not _eqns(lx, rx)
+            if x_ch:
+                out.add((k, "x"))
+            if not _eqns(ls, rs):
+                out.add((k, "s"))
+    return out
+
+
+sides = st.dictionaries(
+    keys=st.sampled_from([f"k{i}" for i in range(6)]),
+    values=st.tuples(specials, st.sampled_from([None, "a", "b"])),
+    max_size=6,
+)
+
+
+@settings(max_examples=12, **SETTINGS)
+@given(exp=sides, act=sides, tol=st.sampled_from([None, 0.0, 0.5, 1.0]))
+def test_field_diff_tolerance_nan_null_semantics(spark, exp, act, tol):
+    """field_diff == the documented V2 rule on arbitrary NaN/Inf/null/
+    tolerance combinations: tolerance applies only when both sides are
+    non-null, equal NaN/Inf are never reported, null<->non-null always
+    is (verify.py field_diff docstring)."""
+    from yadex_spark.verify import field_diff
+
+    schema = "doc_id string, x double, s string"
+    e = spark.createDataFrame(
+        [(k, x, s) for k, (x, s) in sorted(exp.items())], schema
+    )
+    a = spark.createDataFrame(
+        [(k, x, s) for k, (x, s) in sorted(act.items())], schema
+    )
+    got = {
+        (r.doc_id, r.field)
+        for r in field_diff(e, a, float_tolerance=tol).collect()
+    }
+    assert got == _py_field_diff(exp, act, tol)
+
+
 @settings(max_examples=10, **SETTINGS)
 @given(docs=doc_lists, extra=doc_lists, val_pct=st.integers(0, 100))
 def test_train_val_split_stable_under_corpus_growth(spark, docs, extra, val_pct):

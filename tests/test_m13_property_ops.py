@@ -126,6 +126,59 @@ def test_winnow_equals_schleimer_reference(spark, docs, k, w):
     assert got == exp
 
 
+@st.composite
+def embedding_corpora(draw):
+    dim = draw(st.integers(1, 4))
+    n = draw(st.integers(3, 12))
+    comp = st.integers(-2000, 2000)
+    vecs = []
+    for _ in range(n):
+        v = [draw(comp) for _ in range(dim)]
+        if not any(v):
+            v[0] = 1  # zero vectors make cosine undefined — exclude
+        vecs.append(v)
+    return vecs, draw(st.integers(1, 5))
+
+
+@settings(max_examples=8, **SETTINGS)
+@given(c=embedding_corpora())
+def test_cosine_topk_equals_exact_oracle(spark, c):
+    """cosine_topk == brute-force float64 oracle, bit-exact: the
+    1/1000-grid quantization makes dot/norms exact BIGINTs (components
+    here are exact milli-units, so float32 storage round-trips), and
+    the final divide/sqrt are correctly-rounded IEEE ops identical
+    across engines — similarity.py's portable-math contract."""
+    import math
+
+    from yadex_spark.operators.similarity import cosine_topk
+
+    vecs, k = c
+    n_q = 2
+    df = spark.createDataFrame(
+        [(i, [x / 1000.0 for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rnk, r.cos)
+        for r in cosine_topk(df, n_queries=n_q, k=k).collect()
+    )
+    exp = []
+    for qid in range(n_q):
+        q = vecs[qid]
+        na2 = sum(x * x for x in q)
+        scored = []
+        for nid in range(n_q, len(vecs)):
+            v = vecs[nid]
+            dot = sum(x * y for x, y in zip(q, v))
+            nb2 = sum(x * x for x in v)
+            scored.append((nid, float(dot) / math.sqrt(float(na2 * nb2))))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        exp += [
+            (qid, nid, rnk + 1, cos) for rnk, (nid, cos) in enumerate(scored[:k])
+        ]
+    assert got == sorted(exp)
+
+
 def _py_mix_rates(docs, target_bp):
     toks: dict[str, int] = {}
     for _, src, text in docs:

@@ -975,6 +975,27 @@ SELECT query_id, neighbor_id, rnk, cos FROM
 """
 
 
+def q_embed_semdedup(spark, sf):
+    """SemDeDup: k-means clusters (k=8, 2 Lloyd iterations), intra-
+    cluster cosine >= 0.45 pairs, drop the larger vec_id of every
+    qualifying pair — every vector labeled keep/drop with its cluster."""
+    from yadex_spark.operators.similarity import semdedup
+
+    return semdedup(_t(spark, sf, "embeddings"), k=8, iters=2, threshold=0.45)
+
+
+SQL_SEMDEDUP = f"""
+WITH {_QVEC},
+{_KM_CTES},
+dropped AS (SELECT DISTINCT b.vec_id FROM afin a JOIN afin b
+            ON a.cl = b.cl AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) >= 0.45)
+SELECT f.vec_id, f.cl AS cluster,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM afin f LEFT JOIN dropped d ON f.vec_id = d.vec_id
+"""
+
+
 def q_decontaminate_fuzzy(spark, sf):
     """Fuzzy (MinHash-LSH) decontamination against the same every-10th
     eval split as `decontaminate` — catches near-duplicate paraphrases
@@ -1530,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_near_dup": q_embed_lsh_near_dup,
         "embed_kmeans_assign": q_embed_kmeans_assign,
         "embed_ivf_topk": q_embed_ivf_topk,
+        "embed_semdedup": q_embed_semdedup,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_token_count": q_text_token_count,
@@ -1586,6 +1608,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_lsh_near_dup": SQL_EMBED_LSH,
         "embed_kmeans_assign": SQL_KMEANS_ASSIGN,
         "embed_ivf_topk": SQL_IVF_TOPK,
+        "embed_semdedup": SQL_SEMDEDUP,
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": SQL_TEXT_LANGID,
         "text_token_count": SQL_TEXT_TOKENS,

@@ -1069,3 +1069,73 @@ def test_lm_bigram_score_matches_python(spark):
                       "coverage_bp": 0, "avg_cond_bp": 0}
     # the model actually cut: some doc has partial coverage
     assert any(0 < got[d]["coverage_bp"] < 10_000 for d, _ in rows)
+
+
+def test_semdedup_matches_python_and_pins_caveats(spark):
+    """SemDeDup vs a pure-python replica of the rule (drop iff a
+    smaller-id SAME-CLUSTER vector has cosine >= threshold), plus pins
+    for both documented approximations: a cross-cluster near-dup pair
+    is invisible, and max_cluster exempts hot clusters from pairing."""
+    import math
+
+    from yadex_spark.operators.similarity import semdedup, train_kmeans
+
+    centers = [[8.0, 0.0, 0.0, 0.0], [0.0, 8.0, 0.0, 0.0]]
+    rows = []
+    for i in range(20):
+        c = centers[i % 2]
+        off = [0.125 * ((i * 7 + j * 3) % 5 - 2) for j in range(4)]
+        rows.append((i, [c[j] + off[j] for j in range(4)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    K, ITERS, THR = 2, 2, 0.45
+    cents = train_kmeans(emb, k=K, iters=ITERS)
+
+    # --- python replica of the keep/drop rule on quantized ints ---
+    q = {i: [round(v * 1000) for v in vec] for i, vec in rows}
+
+    def cl(v):
+        return min(
+            (sum((a - b) * (a - b) for a, b in zip(v, c)), cid)
+            for cid, c in sorted(cents.items())
+        )[1]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    assign = {i: cl(v) for i, v in q.items()}
+    want = {}
+    for i in q:
+        dropped = any(
+            j < i and assign[j] == assign[i] and cos(q[j], q[i]) >= THR
+            for j in q
+        )
+        want[i] = (assign[i], 0 if dropped else 1)
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semdedup(emb, k=K, iters=ITERS, threshold=THR).collect()
+    }
+    assert got == want
+    # each blob is internally near-identical: exactly one keeper per blob
+    keeps = [i for i, (_, k) in got.items() if k == 1]
+    assert sorted(keeps) == [0, 1]
+
+    # --- caveat 1: a cross-cluster near-dup pair is invisible ---
+    # v0/v1 have cosine 0.96 but straddle the centroid boundary
+    pair = spark.createDataFrame(
+        [(0, [8.0, 6.0, 0.0, 0.0]), (1, [6.0, 8.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    fixed = {0: [8000, 0, 0, 0], 1: [0, 8000, 0, 0]}
+    got2 = {r["vec_id"]: (r["cluster"], r["keep"])
+            for r in semdedup(pair, threshold=THR, cents=fixed).collect()}
+    assert cos([8000, 6000, 0, 0], [6000, 8000, 0, 0]) > 0.9
+    assert got2 == {0: (0, 1), 1: (1, 1)}  # both keep: pair never met
+
+    # --- caveat 2: max_cluster exempts hot clusters ---
+    got3 = {r["vec_id"]: r["keep"]
+            for r in semdedup(emb, k=K, iters=ITERS, threshold=THR,
+                              max_cluster=5).collect()}
+    assert all(k == 1 for k in got3.values())  # both blobs exceed the cap

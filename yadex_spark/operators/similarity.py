@@ -445,3 +445,79 @@ def ivf_topk(emb: DataFrame, k: int = 8, iters: int = 2, n_queries: int = 8,
         .where(F.col("rnk") <= topk)
         .select("query_id", "neighbor_id", "rnk", "cos")
     )
+
+
+def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
+             threshold: float = 0.45,
+             cents: dict[int, list[int]] | None = None,
+             max_cluster: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    via embedding clusters — every vector labeled keep/drop.
+
+    The scale idea is the paper's: candidate pairs are generated ONLY
+    within a k-means cluster (an equi-join on the learned cluster id),
+    never corpus-wide, so pair cost is sum-of-cluster-squares instead
+    of n².  At 10^9 vectors k grows ~sqrt(n) and clusters stay ~sqrt(n)
+    — the same envelope as :func:`ivf_topk`.  Unlike the 2-dim grid of
+    :func:`near_dup_pairs`, centroids live in ALL dims, so pairs whose
+    similarity lives outside dims 1-2 are still candidates.
+
+    Deterministic survivor rule (engine-portable, mirrors the
+    exact-dedup canonical-min convention): a vector is DROPPED iff some
+    SAME-CLUSTER vector with a smaller vec_id has cosine >= threshold
+    with it.  The paper keeps one exemplar per duplicate group chosen
+    by centroid distance; min-id is the order any engine reproduces.
+    Two documented approximations, both inherent to SemDeDup: a
+    near-dup pair split across two clusters is invisible (recall cost
+    of the cluster partition), and drop-if-any-smaller-near-dup is not
+    the sequential chain-greedy rule (a dropped doc can still shadow a
+    later one — exactly the band-registry semantics of the streaming
+    near-dup member, `streaming/neardup_ingest.py`).
+
+    ``max_cluster``: optional hot-cluster guard — clusters with more
+    members than this generate no pairs (their members all keep), the
+    standard LSH hot-bucket trade; None (gate/default) disables so a
+    SQL oracle can mirror the query without the cap.
+
+    Output: (vec_id, cluster, keep) for EVERY input vector — drops are
+    attributable, all-integer so the oracle matches exactly.
+    """
+    if cents is None:
+        cents = train_kmeans(emb, k, iters)
+    # spread before the per-row k x dim argmin: CPU-heavy tiny-by-bytes
+    # rows, same guard as training/ivf_topk
+    assigned = _spread(_prepared(emb), "vec_id").withColumn(
+        "cluster", _nearest(F.col("q"), cents)["cl"]
+    )
+    if max_cluster is not None:
+        w = Window.partitionBy("cluster")
+        assigned = assigned.withColumn("_cn", F.count(F.lit(1)).over(w))
+        pairable = assigned.where(F.col("_cn") <= max_cluster).drop("_cn")
+        assigned = assigned.drop("_cn")
+    else:
+        pairable = assigned
+    a = pairable.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
+        F.col("n2").alias("na2"), "cluster",
+    )
+    b = pairable.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"), "cluster",
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", _cosine(_dot(F.col("qa"), F.col("qb")),
+                                   F.col("na2"), F.col("nb2")))
+        .where(F.col("cos") >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id", "cluster",
+            F.when(F.col("_drop").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        )
+    )

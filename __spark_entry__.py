@@ -1374,6 +1374,46 @@ FROM s2
 """
 
 
+def q_dsir_weights(spark, sf):
+    """DSIR importance weighting: hashed unigram+bigram bag-of-words
+    models over the every-10th-doc target split vs the raw corpus,
+    per-doc mean likelihood ratio in basis points + deterministic
+    resample flag."""
+    from yadex_spark.operators.text import dsir_weights
+
+    d = _t(spark, sf, "documents")
+    return dsir_weights(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+        n_buckets=1024,
+    )
+
+
+SQL_DSIR_WEIGHTS = """
+WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+fe AS (SELECT doc_id, CAST('0x' || substr(md5(g),1,15) AS BIGINT) % 1024 AS b
+       FROM (SELECT doc_id, unnest(list_concat(ws,
+               CASE WHEN len(ws) >= 2
+                    THEN list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1],' '))
+                    ELSE [] END)) AS g FROM w)),
+tb AS (SELECT b, count(*) AS c_t FROM fe WHERE doc_id % 10 = 0 GROUP BY b),
+rb AS (SELECT b, count(*) AS c_r FROM fe WHERE doc_id % 10 != 0 GROUP BY b),
+bu AS (SELECT coalesce(tb.b, rb.b) AS b, coalesce(c_t, 0) AS c_t, coalesce(c_r, 0) AS c_r
+       FROM tb FULL OUTER JOIN rb ON tb.b = rb.b),
+tot AS (SELECT sum(c_t) AS n_t, sum(c_r) AS n_r FROM bu),
+wt AS (SELECT b, (10000::HUGEINT * (c_t + 1) * (n_r + 1024)) //
+                 (CAST(c_r + 1 AS HUGEINT) * (n_t + 1024)) AS w
+       FROM bu, tot),
+pd AS (SELECT fe.doc_id, count(*) AS n_feats, sum(w) AS sum_w
+       FROM fe JOIN wt USING (b) WHERE fe.doc_id % 10 != 0 GROUP BY fe.doc_id)
+SELECT doc_id, n_feats, CAST(sum_w // n_feats AS BIGINT) AS weight_bp,
+       CASE WHEN CAST('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+                 % 10000 < least(sum_w // n_feats, 10000)
+            THEN 1 ELSE 0 END AS keep
+FROM pd
+"""
+
+
 def q_lm_bigram_score(spark, sf):
     """Corpus-trained bigram-LM quality score: top-500 bigram model
     (count DESC, hash ASC boundary), per-doc coverage and mean
@@ -1576,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": q_mix_corpus,
         "scrub_pii": q_scrub_pii,
         "lm_bigram_score": q_lm_bigram_score,
+        "dsir_weights": q_dsir_weights,
         "prepare_corpus": q_prepare_corpus,
     }
 
@@ -1633,5 +1674,6 @@ def oracle_sql() -> dict[str, str]:
         "mix_corpus": SQL_MIX_CORPUS,
         "scrub_pii": SQL_SCRUB_PII,
         "lm_bigram_score": SQL_LM_BIGRAM,
+        "dsir_weights": SQL_DSIR_WEIGHTS,
         "prepare_corpus": SQL_PREPARE,
     }

@@ -1139,3 +1139,67 @@ def test_semdedup_matches_python_and_pins_caveats(spark):
             for r in semdedup(emb, k=K, iters=ITERS, threshold=THR,
                               max_cluster=5).collect()}
     assert all(k == 1 for k in got3.values())  # both blobs exceed the cap
+
+
+def test_dsir_weights_matches_python_and_orders_by_targetness(spark):
+    """DSIR importance weights vs a pure-python replica of the whole
+    recipe (hashed unigram+bigram bags, add-one smoothing, exact
+    integral bp ratios, salted resample), plus the semantic property:
+    a doc written in target vocabulary outweighs an off-target doc."""
+    import hashlib
+
+    from yadex_spark.operators.text import dsir_weights
+
+    tgt_words = ["alpha", "beta", "gamma", "delta"]
+    off_words = ["omega", "sigma", "tau", "rho"]
+    target_rows = [(100 + i, " ".join(tgt_words[j % 4] for j in range(i, i + 6)))
+                   for i in range(4)]
+    corpus_rows = (
+        [(i, " ".join(tgt_words[j % 4] for j in range(i, i + 8))) for i in range(5)]
+        + [(10 + i, " ".join(off_words[j % 4] for j in range(i, i + 8))) for i in range(5)]
+        + [(20, "alpha omega beta sigma")]  # mixed
+    )
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+
+    B, SALT = 64, "dsir"
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def feats(text: str) -> list[int]:
+        ws = text.split(" ")
+        grams = ws + [" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)]
+        return [h60(g) % B for g in grams]
+
+    c_t: dict[int, int] = {}
+    for _, t in target_rows:
+        for b in feats(t):
+            c_t[b] = c_t.get(b, 0) + 1
+    c_r: dict[int, int] = {}
+    for _, t in corpus_rows:
+        for b in feats(t):
+            c_r[b] = c_r.get(b, 0) + 1
+    n_t, n_r = sum(c_t.values()), sum(c_r.values())
+
+    def w(b: int) -> int:
+        return (10_000 * (c_t.get(b, 0) + 1) * (n_r + B)) // (
+            (c_r.get(b, 0) + 1) * (n_t + B))
+
+    want = {}
+    for i, t in corpus_rows:
+        fs = feats(t)
+        weight = sum(w(b) for b in fs) // len(fs)
+        keep = 1 if h60(f"{SALT}|{i}") % 10_000 < min(weight, 10_000) else 0
+        want[i] = (len(fs), weight, keep)
+
+    got = {
+        r["doc_id"]: (r["n_feats"], r["weight_bp"], r["keep"])
+        for r in dsir_weights(corpus, target, n_buckets=B).collect()
+    }
+    assert got == want
+
+    # semantic ordering: pure-target docs > mixed > pure-off-target
+    tgt_w = min(got[i][1] for i in range(5))
+    off_w = max(got[10 + i][1] for i in range(5))
+    assert tgt_w > got[20][1] > off_w

@@ -517,3 +517,93 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("band") == "ge256", 1).otherwise(0)).alias("n_ge256w"),
         )
     )
+
+
+def dsir_weights(corpus: DataFrame, target: DataFrame,
+                 n_buckets: int = 1024, salt: str = "dsir") -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169):
+    score every raw-corpus document by how target-like its hashed
+    n-gram feature distribution is, with a deterministic resample flag.
+
+    The paper's recipe, integer-exact so a SQL oracle replays it:
+
+    - features are word unigrams + bigrams hashed into ``n_buckets``
+      buckets (the 60-bit house hash mod B — nonnegative, so plain %
+      is portable);
+    - two bag-of-words models: per-bucket occurrence counts over the
+      TARGET set (c_t, total N_t) and over the RAW corpus (c_r, N_r),
+      add-one smoothed;
+    - per-bucket importance ratio in basis points, exact integral
+      arithmetic (DECIMAL(38,0) products, ``div`` — DuckDB mirrors with
+      HUGEINT ``//``; products stay < 1e38 for any real corpus):
+      w(b) = (10000 * (c_t+1) * (N_r+B)) div ((c_r+1) * (N_t+B));
+    - per-doc weight = (sum of w over the doc's feature OCCURRENCES)
+      div n_feats — the mean likelihood ratio (the paper sums log
+      ratios; the bp-ratio mean is the integer-portable analogue,
+      monotone in the same direction for the filtering decision);
+    - deterministic resample: keep iff
+      hash60(salt|doc_id) % 10000 < min(weight_bp, 10000) — keep
+      probability proportional to the truncated weight, stable under
+      corpus growth (content-keyed like train_val_split), no RNG state.
+
+    Scale shape: both models are partial HashAggregates over BIGINT
+    buckets (map-side combine -> <= B rows each; raw grams never
+    shuffle); the weight table is <= B rows and joins the corpus
+    feature stream via an AQE broadcast, so the corpus shuffles only
+    for the per-doc rollup (one partial agg keyed by doc_id).  The
+    corpus is ``spread`` before the CPU-heavy per-gram md5 stages.
+
+    Output: (doc_id, n_feats, weight_bp, keep) for every corpus doc.
+    """
+    B = n_buckets
+
+    def feats(df: DataFrame) -> DataFrame:
+        w = words_col(F.col("text"))
+        both = F.concat(w, shingles(w, 2))
+        return (
+            spread(df.select("doc_id", "text"), "doc_id")
+            .select("doc_id", F.explode_outer(both).alias("g"))
+            .select("doc_id", (_sh_bigint("g") % B).alias("b"))
+        )
+
+    tb = feats(target).where(F.col("b").isNotNull()) \
+        .groupBy("b").agg(F.count("*").alias("c_t"))
+    corpus_feats = feats(corpus)
+    rb = corpus_feats.where(F.col("b").isNotNull()) \
+        .groupBy("b").agg(F.count("*").alias("c_r"))
+    buckets = tb.join(rb, "b", "full_outer").select(
+        "b",
+        F.coalesce("c_t", F.lit(0)).alias("c_t"),
+        F.coalesce("c_r", F.lit(0)).alias("c_r"),
+    )
+    totals = buckets.agg(
+        F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"),
+        F.coalesce(F.sum("c_r"), F.lit(0)).alias("n_r"),
+    )
+    wt = buckets.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.expr(
+            f"(CAST(10000 AS DECIMAL(38,0)) * (c_t + 1) * (n_r + {B})) div "
+            f"(CAST(c_r + 1 AS DECIMAL(38,0)) * (n_t + {B}))"
+        ).alias("w"),
+    )
+    per_doc = (
+        corpus_feats.join(F.broadcast(wt), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("b").alias("n_feats"),
+            F.coalesce(F.sum("w"), F.lit(0)).alias("sum_w"),
+        )
+    )
+    nf = F.col("n_feats")
+    weight = F.when(nf > 0, F.expr("sum_w div n_feats")).otherwise(F.lit(0))
+    return per_doc.select(
+        "doc_id",
+        "n_feats",
+        weight.cast("long").alias("weight_bp"),
+        (
+            _sh_bigint(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
+            % 10_000
+            < F.least(weight, F.lit(10_000))
+        ).cast("int").alias("keep"),
+    )

@@ -212,6 +212,24 @@ AUDITS = {
         ("scoring join is an equi-join, no nested loop over the corpus",
          lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
     ],
+    "embed_semdedup": [
+        ("intra-cluster candidates via equi-join, no all-pairs cross join",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+        ("centroid argmin is a literal projection (no python, no model join)",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "dsir_weights": [
+        ("bucket models are partial hash aggs, no sort fallback",
+         lambda p: "HashAggregate" in p and "partial" in p.lower()
+         and "SortAggregate" not in p),
+        ("weight-table join broadcasts the <= n_buckets side",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no nested loop / cross join anywhere (totals ride a bucket-table window)",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+        ("corpus scanned at most 3x (target model, raw model, scoring); "
+         "formatted plans list each scan twice (tree + detail)",
+         lambda p: p.count("Scan parquet") <= 6),
+    ],
 }
 
 

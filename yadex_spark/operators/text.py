@@ -7,7 +7,7 @@ oracle must match exactly (ratios reported in basis points via floor).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from yadex_spark.operators.common import spread
@@ -536,7 +536,9 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
     - per-bucket importance ratio in basis points, exact integral
       arithmetic (DECIMAL(38,0) products, ``div`` — DuckDB mirrors with
       HUGEINT ``//``; products stay < 1e38 for any real corpus):
-      w(b) = (10000 * (c_t+1) * (N_r+B)) div ((c_r+1) * (N_t+B));
+      w(b) = (10000 * (c_t+1) * (N_r+B)) div ((c_r+1) * (N_t+B)),
+      totals attached by a window over the <= B bucket rows (bounded
+      by the model size, never the corpus — no second corpus pass);
     - per-doc weight = (sum of w over the doc's feature OCCURRENCES)
       div n_feats — the mean likelihood ratio (the paper sums log
       ratios; the bp-ratio mean is the integer-portable analogue,
@@ -576,16 +578,21 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
         F.coalesce("c_t", F.lit(0)).alias("c_t"),
         F.coalesce("c_r", F.lit(0)).alias("c_r"),
     )
-    totals = buckets.agg(
-        F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"),
-        F.coalesce(F.sum("c_r"), F.lit(0)).alias("n_r"),
-    )
-    wt = buckets.crossJoin(F.broadcast(totals)).select(
-        "b",
-        F.expr(
-            f"(CAST(10000 AS DECIMAL(38,0)) * (c_t + 1) * (n_r + {B})) div "
-            f"(CAST(c_r + 1 AS DECIMAL(38,0)) * (n_t + {B}))"
-        ).alias("w"),
+    # totals ride a window over the BUCKET table (<= B rows — bounded
+    # by the model size, never the corpus), so the bucket subtree is
+    # computed once and no cross join / second corpus pass exists
+    wall = Window.partitionBy()
+    wt = (
+        buckets
+        .withColumn("n_t", F.sum("c_t").over(wall))
+        .withColumn("n_r", F.sum("c_r").over(wall))
+        .select(
+            "b",
+            F.expr(
+                f"(CAST(10000 AS DECIMAL(38,0)) * (c_t + 1) * (n_r + {B})) div "
+                f"(CAST(c_r + 1 AS DECIMAL(38,0)) * (n_t + {B}))"
+            ).alias("w"),
+        )
     )
     per_doc = (
         corpus_feats.join(F.broadcast(wt), "b", "left")

@@ -1094,6 +1094,29 @@ SELECT doc_id, source, bucket, rate_bp FROM s WHERE bucket < rate_bp
 """
 
 
+def q_cap_per_source(spark, sf):
+    """Exact per-source cap of 10 docs via the sharded-rank
+    construction (16 shards pinned for oracle stability); the oracle
+    is the equivalent plain per-source window ordered by
+    (shard, hash, doc_id)."""
+    from yadex_spark.operators.packing import cap_per_source
+
+    return cap_per_source(_t(spark, sf, "documents"), cap=10, n_shards=16)
+
+
+SQL_CAP_PER_SOURCE = """
+WITH s AS (SELECT doc_id, source, md5('cap|' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY
+               CAST('0x' || substr(h,1,4) AS BIGINT) % 16, h, doc_id) - 1 AS src_rank
+      FROM s)
+SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+       CASE WHEN src_rank < 10 THEN 1 ELSE 0 END AS keep
+FROM r
+"""
+
+
 #: gate mixture targets (bp of 10,000 output-token share; others 0)
 _MIX_TARGETS = {"src0": 4_000, "src1": 3_000, "src2": 2_000, "src3": 1_000}
 
@@ -1607,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "text_repetition": q_text_repetition,
         "sample_by_source": q_sample_by_source,
+        "cap_per_source": q_cap_per_source,
         "corpus_stats": q_corpus_stats,
         "chunk_sequences": q_chunk_sequences,
         "shuffle_corpus": q_shuffle_corpus,
@@ -1665,6 +1689,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_fuzzy": SQL_DECONTAM_FUZZY,
         "text_repetition": SQL_REPETITION,
         "sample_by_source": SQL_SAMPLE,
+        "cap_per_source": SQL_CAP_PER_SOURCE,
         "corpus_stats": SQL_CORPUS_STATS,
         "chunk_sequences": SQL_CHUNK,
         "shuffle_corpus": SQL_SHUFFLE,

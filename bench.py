@@ -42,13 +42,16 @@ HEADLINE = [
     "embed_near_dup",
     "embed_lsh_near_dup",
     "embed_ivf_topk",
+    "embed_semdedup",
     "text_quality",
     "text_repetition",
     "decontaminate",
     "decontaminate_fuzzy",
     "sample_by_source",
+    "cap_per_source",
     "scrub_pii",
     "lm_bigram_score",
+    "dsir_weights",
     "mix_corpus",
     "corpus_stats",
     "filter_corpus",

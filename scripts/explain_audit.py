@@ -212,6 +212,12 @@ AUDITS = {
         ("scoring join is an equi-join, no nested loop over the corpus",
          lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
     ],
+    "cap_per_source": [
+        ("rank windows are per-(source, shard) hash-partitioned (no per-source funnel)",
+         lambda p: "hashpartitioning(source" in p),
+        ("offsets attach via equi-join, no nested loop",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+    ],
     "embed_semdedup": [
         ("intra-cluster candidates via equi-join, no all-pairs cross join",
          lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),

@@ -1203,3 +1203,45 @@ def test_dsir_weights_matches_python_and_orders_by_targetness(spark):
     tgt_w = min(got[i][1] for i in range(5))
     off_w = max(got[10 + i][1] for i in range(5))
     assert tgt_w > got[20][1] > off_w
+
+
+def test_cap_per_source_matches_python_and_caps_exactly(spark):
+    """cap_per_source vs a python replica of the induced global order
+    (shard, hash, doc_id), plus the cap invariants: per-source keeps =
+    min(cap, n) at ANY shard count, and src_rank is a permutation of
+    0..n-1 within each source."""
+    import hashlib
+
+    from yadex_spark.operators.packing import cap_per_source
+
+    rows = [(i, f"s{i % 3}", "x") for i in range(40)]  # 14/13/13 per source
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    CAP, SHARDS = 5, 8
+
+    def h(i: int) -> str:
+        return hashlib.md5(f"cap|{i}".encode()).hexdigest()
+
+    order = {}
+    for src in {s for _, s, _ in rows}:
+        members = [i for i, s, _ in rows if s == src]
+        members.sort(key=lambda i: (int(h(i)[:4], 16) % SHARDS, h(i), i))
+        for r, i in enumerate(members):
+            order[i] = (src, r, 1 if r < CAP else 0)
+
+    got = {
+        r["doc_id"]: (r["source"], r["src_rank"], r["keep"])
+        for r in cap_per_source(docs, cap=CAP, n_shards=SHARDS).collect()
+    }
+    assert got == order
+
+    # invariants hold at other shard counts (kept SET may differ; size may not)
+    for ns in (1, 3, 16):
+        res = cap_per_source(docs, cap=CAP, n_shards=ns).collect()
+        per_src: dict[str, list[int]] = {}
+        keeps: dict[str, int] = {}
+        for r in res:
+            per_src.setdefault(r["source"], []).append(r["src_rank"])
+            keeps[r["source"]] = keeps.get(r["source"], 0) + r["keep"]
+        for src, ranks in per_src.items():
+            assert sorted(ranks) == list(range(len(ranks)))
+            assert keeps[src] == min(CAP, len(ranks))

@@ -283,3 +283,65 @@ def sample_by_source(docs: DataFrame, rates_bp: dict[str, int],
         )
         .where(F.col("bucket") < F.col("rate_bp"))
     )
+
+
+def cap_per_source(docs: DataFrame, cap: int, salt: str = "cap",
+                   n_shards: int | None = None) -> DataFrame:
+    """Exact per-source document cap — no source may contribute more
+    than ``cap`` docs (the per-domain cap of C4/Gopher-style pipelines,
+    bounding any single domain's share of the corpus) — without a
+    per-source global window.
+
+    A naive ``row_number() OVER (PARTITION BY source ORDER BY hash)``
+    funnels each source through ONE partition's sort; with a handful
+    of giant sources (the 100 TB reality: one crawl domain can be a
+    third of the corpus) that is the skewed-window bottleneck.  The
+    sharded construction from :func:`shuffle_corpus` instead:
+
+    - shard each doc by a salted content hash (uniform, so per-shard
+      skew is bounded by n_shards regardless of source skew);
+    - rank within (source, shard) — parallel windows;
+    - per-(source, shard) counts roll into running offsets via a
+      window over COUNT rows (n_shards rows per source, parallel
+      across sources, never corpus rows);
+    - global per-source rank = shard offset + shard rank, which equals
+      row_number ordered by (shard, hash, doc_id) — so a SQL oracle
+      reproduces the exact surviving set with one plain window.
+
+    Selection is content-stable (salted hash, no RNG): the same docs
+    survive under any partitioning, ingest order, or cluster size.
+
+    Output: (doc_id, source, src_rank, keep) for every input doc —
+    drops attributable, all-integer."""
+    if n_shards is None:
+        n_shards = docs.sparkSession.sparkContext.defaultParallelism
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
+    d = docs.select(
+        "doc_id", "source", h.alias("h")
+    ).withColumn(
+        "shard", (F.conv(F.substring("h", 1, 4), 16, 10).cast("long") % n_shards)
+    )
+    w = Window.partitionBy("source", "shard").orderBy("h", "doc_id")
+    ranked = d.withColumn("sr", (F.row_number().over(w) - 1).cast("long"))
+    counts = d.groupBy("source", "shard").agg(F.count("*").alias("n"))
+    wo = (
+        Window.partitionBy("source").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "source", "shard",
+        F.coalesce(F.sum("n").over(wo), F.lit(0)).alias("off"),
+    )
+    rank = (F.col("off") + F.col("sr")).cast("long")
+    # no broadcast hint: offsets are #sources x n_shards rows — tiny for
+    # few sources (AQE broadcasts from runtime size) but potentially
+    # millions of rows for per-domain caps, where the equi-join must
+    # stay a shuffle join
+    return (
+        ranked.join(offs, ["source", "shard"])
+        .select(
+            "doc_id", "source",
+            rank.alias("src_rank"),
+            (rank < cap).cast("int").alias("keep"),
+        )
+    )

@@ -519,8 +519,23 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def dsir_features(df: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, b): one row per word unigram/bigram OCCURRENCE, hashed
+    into ``n_buckets`` buckets (60-bit house hash mod B — nonnegative,
+    so plain % is engine-portable).  The shared feature extractor of
+    batch ``dsir_weights`` and the streaming model maintainer."""
+    w = words_col(F.col("text"))
+    both = F.concat(w, shingles(w, 2))
+    return (
+        spread(df.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode_outer(both).alias("g"))
+        .select("doc_id", (_sh_bigint("g") % n_buckets).alias("b"))
+    )
+
+
 def dsir_weights(corpus: DataFrame, target: DataFrame,
-                 n_buckets: int = 1024, salt: str = "dsir") -> DataFrame:
+                 n_buckets: int = 1024, salt: str = "dsir",
+                 raw_counts: DataFrame | None = None) -> DataFrame:
     """DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169):
     score every raw-corpus document by how target-like its hashed
     n-gram feature distribution is, with a deterministic resample flag.
@@ -555,24 +570,24 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
     for the per-doc rollup (one partial agg keyed by doc_id).  The
     corpus is ``spread`` before the CPU-heavy per-gram md5 stages.
 
+    ``raw_counts``: optional precomputed raw-corpus bucket model —
+    (b, c_r) rows, as maintained incrementally by
+    ``streaming/dsir_ingest.py`` — used instead of a fresh corpus
+    model pass (2 corpus scans instead of 3).  Caller's contract:
+    the counts cover exactly ``corpus``.
+
     Output: (doc_id, n_feats, weight_bp, keep) for every corpus doc.
     """
     B = n_buckets
 
-    def feats(df: DataFrame) -> DataFrame:
-        w = words_col(F.col("text"))
-        both = F.concat(w, shingles(w, 2))
-        return (
-            spread(df.select("doc_id", "text"), "doc_id")
-            .select("doc_id", F.explode_outer(both).alias("g"))
-            .select("doc_id", (_sh_bigint("g") % B).alias("b"))
-        )
-
-    tb = feats(target).where(F.col("b").isNotNull()) \
+    tb = dsir_features(target, B).where(F.col("b").isNotNull()) \
         .groupBy("b").agg(F.count("*").alias("c_t"))
-    corpus_feats = feats(corpus)
-    rb = corpus_feats.where(F.col("b").isNotNull()) \
-        .groupBy("b").agg(F.count("*").alias("c_r"))
+    corpus_feats = dsir_features(corpus, B)
+    if raw_counts is None:
+        rb = corpus_feats.where(F.col("b").isNotNull()) \
+            .groupBy("b").agg(F.count("*").alias("c_r"))
+    else:
+        rb = raw_counts.select("b", F.col("c_r").cast("long").alias("c_r"))
     buckets = tb.join(rb, "b", "full_outer").select(
         "b",
         F.coalesce("c_t", F.lit(0)).alias("c_t"),

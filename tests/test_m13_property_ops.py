@@ -233,3 +233,155 @@ def test_mix_rates_equals_waterfilling_oracle(spark, docs, target_bp):
     assert got == exp
     for _, _, w, rate in got:
         assert 0 <= rate <= 10000 and (w > 0 or rate == 0)
+
+
+# --- resumed-session operators: cap_per_source / semdedup / dsir_weights ---
+
+cap_rows = st.lists(
+    st.tuples(st.integers(0, 30), st.sampled_from(["s0", "s1", "s2"])),
+    min_size=1, max_size=20, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=8, **SETTINGS)
+@given(rows=cap_rows, cap=st.integers(0, 6), n_shards=st.integers(1, 8))
+def test_cap_per_source_equals_sharded_rank_oracle(spark, rows, cap, n_shards):
+    """cap_per_source == the plain (shard, hash, doc_id) per-source
+    window for ANY doc/source multiset, cap, and shard count; keeps are
+    exactly min(cap, n) per source."""
+    from yadex_spark.operators.packing import cap_per_source
+
+    docs = spark.createDataFrame(
+        [(i, s, "x") for i, s in rows], "doc_id long, source string, text string"
+    )
+
+    def h(i):
+        return hashlib.md5(f"cap|{i}".encode()).hexdigest()
+
+    want = {}
+    for src in {s for _, s in rows}:
+        ms = sorted(
+            (i for i, s in rows if s == src),
+            key=lambda i: (int(h(i)[:4], 16) % n_shards, h(i), i),
+        )
+        for r, i in enumerate(ms):
+            want[i] = (src, r, 1 if r < cap else 0)
+
+    got = {
+        r["doc_id"]: (r["source"], r["src_rank"], r["keep"])
+        for r in cap_per_source(docs, cap=cap, n_shards=n_shards).collect()
+    }
+    assert got == want
+
+
+vecs = st.lists(
+    st.tuples(
+        st.integers(0, 15),
+        st.tuples(
+            st.sampled_from([-2.0, -1.0, -0.5, 0.5, 1.0, 2.0]),  # nonzero lead
+            st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0]),
+            st.sampled_from([-1.0, 0.0, 1.0]),
+        ),
+    ),
+    min_size=1, max_size=10, unique_by=lambda t: t[0],
+)
+
+CENTS3 = {0: [1000, 0, 0], 1: [-1000, 0, 0]}
+
+
+@settings(max_examples=8, **SETTINGS)
+@given(rows=vecs, thr=st.sampled_from([0.3, 0.7, 0.95]))
+def test_semdedup_equals_rule_oracle(spark, rows, thr):
+    """semdedup (fixed centroids) == the drop-iff-smaller-id-same-
+    cluster-near-dup rule for ANY vector set and threshold."""
+    import math
+
+    from yadex_spark.operators.similarity import semdedup
+
+    emb = spark.createDataFrame(
+        [(i, list(v)) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    q = {i: [round(x * 1000) for x in v] for i, v in rows}
+
+    def cl(v):
+        return min(
+            (sum((a - b) ** 2 for a, b in zip(v, c)), cid)
+            for cid, c in sorted(CENTS3.items())
+        )[1]
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    assign = {i: cl(v) for i, v in q.items()}
+    want = {
+        i: (
+            assign[i],
+            0 if any(j < i and assign[j] == assign[i] and cos(q[j], q[i]) >= thr
+                     for j in q) else 1,
+        )
+        for i in q
+    }
+    got = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semdedup(emb, threshold=thr, cents=CENTS3).collect()
+    }
+    assert got == want
+
+
+word_texts = st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1,
+                      max_size=6).map(" ".join)
+
+
+@settings(max_examples=6, **SETTINGS)
+@given(
+    corpus=st.dictionaries(st.integers(0, 9), word_texts, min_size=1, max_size=6)
+    .map(lambda d: sorted(d.items())),
+    target=st.dictionaries(st.integers(100, 104), word_texts, min_size=1,
+                           max_size=3).map(lambda d: sorted(d.items())),
+)
+def test_dsir_weights_equals_python_oracle(spark, corpus, target):
+    """dsir_weights == the integer DSIR recipe for ANY tiny word-soup
+    corpus/target pair (B=16 forces heavy bucket collisions — the
+    collision handling must match too)."""
+    from yadex_spark.operators.text import dsir_weights
+
+    B = 16
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def feats(text):
+        ws = text.split(" ")
+        return [h60(g) % B for g in ws + [" ".join(ws[i:i + 2])
+                                          for i in range(len(ws) - 1)]]
+
+    c_t, c_r = {}, {}
+    for _, t in target:
+        for b in feats(t):
+            c_t[b] = c_t.get(b, 0) + 1
+    for _, t in corpus:
+        for b in feats(t):
+            c_r[b] = c_r.get(b, 0) + 1
+    n_t, n_r = sum(c_t.values()), sum(c_r.values())
+
+    want = {}
+    for i, t in corpus:
+        fs = feats(t)
+        wsum = sum(
+            (10_000 * (c_t.get(b, 0) + 1) * (n_r + B))
+            // ((c_r.get(b, 0) + 1) * (n_t + B))
+            for b in fs
+        )
+        weight = wsum // len(fs)
+        keep = 1 if h60(f"dsir|{i}") % 10_000 < min(weight, 10_000) else 0
+        want[i] = (len(fs), weight, keep)
+
+    got = {
+        r["doc_id"]: (r["n_feats"], r["weight_bp"], r["keep"])
+        for r in dsir_weights(cdf, tdf, n_buckets=B).collect()
+    }
+    assert got == want

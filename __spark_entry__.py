@@ -1094,6 +1094,32 @@ SELECT doc_id, source, bucket, rate_bp FROM s WHERE bucket < rate_bp
 """
 
 
+def q_mask_spans(spark, sf):
+    """T5-style span-corruption span selection: grid-aligned 3-token
+    spans, ~15% mask rate, salted content-stable — one row per masked
+    span."""
+    from yadex_spark.operators.packing import mask_spans
+
+    return mask_spans(_t(spark, sf, "documents"), mask_rate_bp=1_500,
+                      span_len=3, salt="mask")
+
+
+SQL_MASK_SPANS = """
+WITH d AS (SELECT doc_id, CAST(floor((length(text) + 3) / 4) AS BIGINT) AS n_tok
+           FROM documents),
+e AS (SELECT doc_id, n_tok, k
+      FROM (SELECT doc_id, n_tok FROM d WHERE n_tok > 0) d2,
+           unnest(range(0, CAST(floor((n_tok + 2) / 3) AS BIGINT))) t(k)),
+m AS (SELECT * FROM e
+      WHERE CAST('0x' || substr(md5('mask|' || CAST(doc_id AS VARCHAR) || '|'
+                                    || CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+            % 10000 < 1500)
+SELECT doc_id, CAST(k AS BIGINT) AS span_k, CAST(k * 3 AS BIGINT) AS span_start,
+       least(3, n_tok - k * 3) AS span_len_eff, n_tok
+FROM m
+"""
+
+
 def q_cap_per_source(spark, sf):
     """Exact per-source cap of 10 docs via the sharded-rank
     construction (16 shards pinned for oracle stability); the oracle
@@ -1631,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "sample_by_source": q_sample_by_source,
         "cap_per_source": q_cap_per_source,
+        "mask_spans": q_mask_spans,
         "corpus_stats": q_corpus_stats,
         "chunk_sequences": q_chunk_sequences,
         "shuffle_corpus": q_shuffle_corpus,
@@ -1690,6 +1717,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": SQL_REPETITION,
         "sample_by_source": SQL_SAMPLE,
         "cap_per_source": SQL_CAP_PER_SOURCE,
+        "mask_spans": SQL_MASK_SPANS,
         "corpus_stats": SQL_CORPUS_STATS,
         "chunk_sequences": SQL_CHUNK,
         "shuffle_corpus": SQL_SHUFFLE,

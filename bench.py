@@ -58,6 +58,7 @@ HEADLINE = [
     "vocab_topk",
     "pack_sequences",
     "chunk_sequences",
+    "mask_spans",
     "shuffle_corpus",
     "train_val_split",
     "prepare_corpus",

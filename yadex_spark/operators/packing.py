@@ -345,3 +345,109 @@ def cap_per_source(docs: DataFrame, cap: int, salt: str = "cap",
             (rank < cap).cast("int").alias("keep"),
         )
     )
+
+
+def _span_grid(n_tok, span_len: int, mask_rate_bp: int, salt: str):
+    """Shared deterministic span-corruption rule: positions are grouped
+    into a grid of ``span_len``-token cells; cell k of a doc is MASKED
+    iff hash60(salt|doc_id|k) % 10000 < mask_rate_bp.  Grid alignment
+    makes spans non-overlapping by construction (the T5 sampler's
+    non-overlap constraint, made deterministic and engine-portable),
+    and the masked-token fraction equals mask_rate_bp in expectation.
+    Returns (cells, masked) column builders over a doc row."""
+    # integer ceil as floor((n + s - 1) / s): exact double division of
+    # ints < 2^53, identical in any engine
+    n_cells = F.floor((n_tok + (span_len - 1)) / span_len).cast("long")
+    cells = F.sequence(F.lit(0).cast("long"), n_cells - 1)
+
+    def masked(k):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"),
+                               F.lit("|"), k.cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long")
+        return (h % 10_000) < mask_rate_bp
+
+    return cells, masked
+
+
+def mask_spans(docs: DataFrame, mask_rate_bp: int = 1_500, span_len: int = 3,
+               salt: str = "mask") -> DataFrame:
+    """T5-style span-corruption span SELECTION (Raffel et al. 2020,
+    §3.1.4 "span corruption"): choose ~mask_rate_bp/10000 of each
+    document's tokens as non-overlapping spans to mask, deterministically
+    (salted content hash, no RNG state — the same spans under any
+    partitioning, replay, or engine).
+
+    One output row per masked span: (doc_id, span_k, span_start,
+    span_len_eff, n_tok) — ``span_k`` is the grid-cell ordinal (unique,
+    monotone within a doc; the sentinel id domain), ``span_len_eff``
+    trims the last cell to the doc end.  Token counts use the house
+    chars/4 estimate (the `chunk_sequences` convention) so the operator
+    runs on plain text tables; :func:`apply_span_mask` applies the SAME
+    rule to real token arrays.
+
+    Scale shape: pure per-row arithmetic + one explode over n_tok /
+    span_len cells — NO shuffle at any scale; the oracle replays the
+    hash rule exactly."""
+    d = docs.select(
+        "doc_id", token_estimate(F.col("text")).alias("n_tok")
+    ).where(F.col("n_tok") > 0)
+    cells, masked = _span_grid(F.col("n_tok"), span_len, mask_rate_bp, salt)
+    e = d.select("doc_id", "n_tok", F.explode(cells).alias("span_k"))
+    start = (F.col("span_k") * span_len).cast("long")
+    return (
+        e.where(masked(F.col("span_k")))
+        .select(
+            "doc_id",
+            F.col("span_k").cast("long").alias("span_k"),
+            start.alias("span_start"),
+            F.least(F.lit(span_len).cast("long"), F.col("n_tok") - start)
+            .alias("span_len_eff"),
+            "n_tok",
+        )
+    )
+
+
+def apply_span_mask(seqs: DataFrame, mask_rate_bp: int = 1_500,
+                    span_len: int = 3, salt: str = "mask") -> DataFrame:
+    """Apply the :func:`mask_spans` rule to REAL token arrays — the
+    (doc_id, tokens array<int>) shape of the CDC lake's pre-tokenized
+    sequences — producing trainer-ready span-corruption pairs:
+
+    - ``input_tokens``: each masked span replaced by its sentinel
+      (-1 - span_k: negative ids, disjoint from any vocab);
+    - ``target_tokens``: sentinel followed by the span's original
+      tokens, concatenated over masked spans in order (the T5 target).
+
+    Reconstruction law (test-pinned): substituting each sentinel in
+    input_tokens with its target span reproduces ``tokens`` exactly.
+
+    Scale shape: pure per-row HOFs (one transform over the cell grid +
+    flatten per output) — no shuffle, no python, O(n_tok) per row."""
+    d = seqs.select("doc_id", "tokens").where(F.size("tokens") > 0)
+    cells, masked = _span_grid(F.size("tokens"), span_len, mask_rate_bp, salt)
+
+    def cell_slice(k):
+        # slice is 1-based; the last cell is short automatically
+        return F.slice(F.col("tokens"), k * span_len + 1, span_len)
+
+    def sentinel(k):
+        return (F.lit(-1) - k).cast("int")
+
+    inp = F.flatten(F.transform(
+        cells,
+        lambda k: F.when(masked(k), F.array(sentinel(k))).otherwise(cell_slice(k)),
+    ))
+    tgt = F.flatten(F.transform(
+        cells,
+        lambda k: F.when(masked(k),
+                         F.concat(F.array(sentinel(k)), cell_slice(k)))
+        .otherwise(F.array().cast("array<int>")),
+    ))
+    return d.select(
+        "doc_id",
+        inp.alias("input_tokens"),
+        tgt.alias("target_tokens"),
+    )

@@ -385,3 +385,54 @@ def test_dsir_weights_equals_python_oracle(spark, corpus, target):
         for r in dsir_weights(cdf, tdf, n_buckets=B).collect()
     }
     assert got == want
+
+
+tok_rows = st.lists(
+    st.tuples(
+        st.integers(0, 9),
+        st.lists(st.integers(0, 1_000_000), min_size=1, max_size=17),
+    ),
+    min_size=1, max_size=6, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=8, **SETTINGS)
+@given(rows=tok_rows, rate=st.sampled_from([0, 2_000, 5_000, 10_000]),
+       span_len=st.integers(1, 5))
+def test_apply_span_mask_reconstruction_law(spark, rows, rate, span_len):
+    """For ANY token arrays, mask rate, and span length: substituting
+    each sentinel in input_tokens with its target span reproduces the
+    original array; sentinels are unique and negative; rate 0 masks
+    nothing and rate 10000 masks everything."""
+    from yadex_spark.operators.packing import apply_span_mask
+
+    seqs = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in rows], "doc_id string, tokens array<int>"
+    )
+    got = {
+        r["doc_id"]: (r["input_tokens"], r["target_tokens"])
+        for r in apply_span_mask(seqs, mask_rate_bp=rate,
+                                 span_len=span_len).collect()
+    }
+    assert set(got) == {f"d{i}" for i, _ in rows}
+    for i, toks in rows:
+        inp, tgt = got[f"d{i}"]
+        sents = [x for x in inp if x < 0]
+        assert len(sents) == len(set(sents))
+        if rate == 0:
+            assert inp == toks and tgt == []
+        if rate == 10_000:
+            assert all(x < 0 for x in inp)
+        spans, j = {}, 0
+        while j < len(tgt):
+            assert tgt[j] < 0
+            k = j + 1
+            while k < len(tgt) and tgt[k] >= 0:
+                k += 1
+            spans[tgt[j]] = tgt[j + 1:k]
+            j = k
+        assert sorted(spans) == sorted(sents)
+        rebuilt = []
+        for x in inp:
+            rebuilt.extend(spans[x] if x < 0 else [x])
+        assert rebuilt == toks

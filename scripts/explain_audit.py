@@ -220,7 +220,8 @@ AUDITS = {
     ],
     "cap_per_source": [
         ("rank windows are per-(source, shard) hash-partitioned (no per-source funnel)",
-         lambda p: "hashpartitioning(source" in p),
+         lambda p: __import__("re").search(
+             r"hashpartitioning\(source#\d+[^)]*\bshard#", p) is not None),
         ("offsets attach via equi-join, no nested loop",
          lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
     ],

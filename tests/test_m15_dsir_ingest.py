@@ -140,3 +140,55 @@ def test_crash_replay_does_not_double_add(spark, tmp_path, feed):
         for r in ing2.weights(docs, _target(spark)).collect()
     }
     assert got == want
+
+
+def test_weights_over_unsynced_doc_uses_smoothed_default(spark, tmp_path, feed):
+    """A corpus doc whose features are NOT yet in the accumulated model
+    (feed landed after the last drain) must score by the exact c_r=0
+    add-one-smoothed formula — the dense bucket spine guarantees every
+    possible bucket has a weight row, so nothing is silently dropped
+    from the per-doc mean."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    docs, path = feed
+    ing = DsirIngest(spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+                     max_files_per_trigger=4, n_buckets=B)
+    ing.run_available_now()
+
+    extra = Row(doc_id="doc-late", text="zz qq zz")  # vocab the model never saw
+    corpus_plus = docs.select("doc_id", "text").union(
+        spark.createDataFrame([extra])
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["weight_bp"])
+        for r in ing.weights(corpus_plus, _target(spark)).collect()
+    }
+    assert len(got) == N_DOCS + 1
+
+    # python replica: model from the INGESTED docs only, late doc scored
+    # with c_r = 0 for its unseen buckets
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def feats(text):
+        ws = text.split(" ")
+        return [h60(g) % B for g in ws + [" ".join(ws[i:i + 2])
+                                          for i in range(len(ws) - 1)]]
+
+    c_t, c_r = {}, {}
+    for r in _target(spark).collect():
+        for b in feats(r["text"]):
+            c_t[b] = c_t.get(b, 0) + 1
+    for r in docs.select("text").collect():
+        for b in feats(r["text"]):
+            c_r[b] = c_r.get(b, 0) + 1
+    n_t, n_r = sum(c_t.values()), sum(c_r.values())
+    fs = feats("zz qq zz")
+    want = sum(
+        (10_000 * (c_t.get(b, 0) + 1) * (n_r + B))
+        // ((c_r.get(b, 0) + 1) * (n_t + B))
+        for b in fs
+    ) // len(fs)
+    assert got["doc-late"] == (len(fs), want)

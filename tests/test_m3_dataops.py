@@ -1282,9 +1282,9 @@ def test_span_mask_reconstruction_and_python_replica(spark):
                                  salt=SALT).collect()
     }
     assert got == {d: replica(d, t) for d, t in rows}
-    # fixture exercises both branches
+    # fixture exercises both branches: some cell masked, some kept
     assert any(any(x < 0 for x in inp) for inp, _ in got.values())
-    assert any(tgt == [] for _, tgt in got.values()) or True
+    assert any(any(x >= 0 for x in inp) for inp, _ in got.values())
 
     # reconstruction law
     for d, toks in rows:

@@ -37,6 +37,16 @@ def token_estimate(text):
     return F.floor((F.length(text) + 3) / 4).cast("long")
 
 
+def _salted_shard(doc_id, salt: str, n_shards: int):
+    """(h, shard): salted content hash and its shard id — the one
+    canonical form of the engine-portability-critical shard rule
+    (md5(salt|id), first 4 hex chars mod n_shards), shared by
+    shuffle_corpus and cap_per_source and mirrored verbatim by their
+    SQL oracles."""
+    h = F.md5(F.concat(F.lit(salt + "|"), doc_id.cast("string")))
+    return h, (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_shards)
+
+
 def pack_sequences(docs: DataFrame, budget: int = 2048,
                    n_shards: int | None = None) -> DataFrame:
     """Assign each document to a fixed-token-budget training bin.
@@ -243,11 +253,8 @@ def shuffle_corpus(docs: DataFrame, salt: str = "shuf",
     Output: (doc_id, shard, shard_rank, pos, *carry)."""
     if n_shards is None:
         n_shards = docs.sparkSession.sparkContext.defaultParallelism
-    h = F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
-    d = docs.select("doc_id", *carry, h.alias("h")).select(
-        "doc_id", *carry, "h",
-        (F.conv(F.substring("h", 1, 4), 16, 10).cast("long") % n_shards).alias("shard"),
-    )
+    h, shard = _salted_shard(F.col("doc_id"), salt, n_shards)
+    d = docs.select("doc_id", *carry, h.alias("h"), shard.alias("shard"))
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     r = (F.row_number().over(w) - 1).cast("long")
     return d.select(
@@ -308,19 +315,20 @@ def cap_per_source(docs: DataFrame, cap: int, salt: str = "cap",
       row_number ordered by (shard, hash, doc_id) — so a SQL oracle
       reproduces the exact surviving set with one plain window.
 
-    Selection is content-stable (salted hash, no RNG): the same docs
-    survive under any partitioning, ingest order, or cluster size.
+    Selection is content-stable (salted hash, no RNG) — the same docs
+    survive under any partitioning or ingest order — but it DOES
+    depend on ``n_shards`` (the rank order is (shard, hash, doc_id)),
+    and the default tracks ``defaultParallelism``.  Callers needing
+    the identical surviving set across cluster sizes pin ``n_shards``
+    explicitly (the gate pins 16), exactly as :func:`pack_sequences`
+    and :func:`shuffle_corpus` do.
 
     Output: (doc_id, source, src_rank, keep) for every input doc —
     drops attributable, all-integer."""
     if n_shards is None:
         n_shards = docs.sparkSession.sparkContext.defaultParallelism
-    h = F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
-    d = docs.select(
-        "doc_id", "source", h.alias("h")
-    ).withColumn(
-        "shard", (F.conv(F.substring("h", 1, 4), 16, 10).cast("long") % n_shards)
-    )
+    h, shard = _salted_shard(F.col("doc_id"), salt, n_shards)
+    d = docs.select("doc_id", "source", h.alias("h"), shard.alias("shard"))
     w = Window.partitionBy("source", "shard").orderBy("h", "doc_id")
     ranked = d.withColumn("sr", (F.row_number().over(w) - 1).cast("long"))
     counts = d.groupBy("source", "shard").agg(F.count("*").alias("n"))

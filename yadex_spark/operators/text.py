@@ -588,7 +588,14 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
             .groupBy("b").agg(F.count("*").alias("c_r"))
     else:
         rb = raw_counts.select("b", F.col("c_r").cast("long").alias("c_r"))
-    buckets = tb.join(rb, "b", "full_outer").select(
+    # dense bucket spine 0..B-1: every possible feature bucket gets a
+    # weight row, so the scoring join can never miss (a caller-supplied
+    # raw_counts that lacks a bucket would otherwise leave w NULL —
+    # sum skips it while count('b') doesn't, silently deflating the
+    # weight; with the spine such buckets get the exact c_r=0 smoothed
+    # default instead).  B rows — model-sized, adds zeros to totals.
+    spine = corpus.sparkSession.range(B).select(F.col("id").alias("b"))
+    buckets = spine.join(tb, "b", "left").join(rb, "b", "left").select(
         "b",
         F.coalesce("c_t", F.lit(0)).alias("c_t"),
         F.coalesce("c_r", F.lit(0)).alias("c_r"),

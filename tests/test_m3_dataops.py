@@ -1318,3 +1318,41 @@ def test_span_mask_reconstruction_and_python_replica(spark):
                             salt=SALT).collect()
     }
     assert got_ks == want_ks
+
+
+def test_cdc_lake_state_feeds_span_corruption(spark, tmp_path):
+    """Integration pin across the engine's two halves: the CDC lake's
+    committed token sequences (the north-rule (doc_id, tokens, n_tok,
+    source) schema) feed apply_span_mask directly, and every produced
+    pair reconstructs its lake row's token array exactly."""
+    from yadex_spark.lake.table import LakeTable
+    from yadex_spark.operators.collapse import collapse
+    from yadex_spark.operators.packing import apply_span_mask
+    from yadex_spark.sources.genlog import gen_oplog
+
+    live = gen_oplog(spark, 5_000, 800, seed=7).where("op != 'drop'")
+    tbl = LakeTable(spark, str(tmp_path / "lake"))
+    tbl.commit_delta(collapse(live).drop("table"), "e0")
+    state = tbl.read()
+    assert {"doc_id", "tokens", "n_tok", "source"} <= set(state.columns)
+
+    pairs = apply_span_mask(state, mask_rate_bp=3_000, span_len=4)
+    toks = {r["doc_id"]: r["tokens"] for r in state.collect()}
+    got = {r["doc_id"]: (r["input_tokens"], r["target_tokens"])
+           for r in pairs.collect()}
+    assert set(got) == {d for d, t in toks.items() if t}  # all non-empty docs
+    masked_somewhere = False
+    for d, (inp, tgt) in got.items():
+        spans, j = {}, 0
+        while j < len(tgt):
+            k = j + 1
+            while k < len(tgt) and tgt[k] >= 0:
+                k += 1
+            spans[tgt[j]] = tgt[j + 1:k]
+            j = k
+        rebuilt = []
+        for x in inp:
+            rebuilt.extend(spans[x] if x < 0 else [x])
+        assert rebuilt == list(toks[d])
+        masked_somewhere = masked_somewhere or bool(spans)
+    assert masked_somewhere

@@ -192,3 +192,42 @@ def test_weights_over_unsynced_doc_uses_smoothed_default(spark, tmp_path, feed):
         for b in fs
     ) // len(fs)
     assert got["doc-late"] == (len(fs), want)
+
+
+def test_epoch_never_reads_partial_rows(spark, tmp_path, feed):
+    """The O(batch) per-epoch claim, pinned structurally: apply_batch
+    must not read the partials table's DATA at all (only the manifest
+    list for batch-id idempotence) — so per-epoch cost cannot carry an
+    O(accumulated-model) term.  Any data-read path raising proves it
+    is never taken."""
+    from yadex_spark.lake.table import LakeTable
+
+    docs, path = feed
+    ing = DsirIngest(spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+                     max_files_per_trigger=1, n_buckets=B)
+
+    def boom(*a, **k):
+        raise AssertionError("apply_batch read partial data rows")
+
+    orig_apply = ing.apply_batch
+
+    def guarded(batch, eid):
+        unpatched_read, unpatched_keys = LakeTable.read, LakeTable.read_keys
+        LakeTable.read = boom
+        LakeTable.read_keys = boom
+        try:
+            orig_apply(batch, eid)
+        finally:
+            LakeTable.read, LakeTable.read_keys = unpatched_read, unpatched_keys
+
+    ing.apply_batch = guarded
+    ing.run_available_now()
+    # and the model is still complete afterwards
+    from yadex_spark.operators.text import dsir_features
+
+    want = {
+        r["b"]: r["c"]
+        for r in dsir_features(docs, B).groupBy("b")
+        .agg(F.count("*").alias("c")).collect()
+    }
+    assert {r["b"]: r["c_r"] for r in ing.raw_model().collect()} == want

@@ -823,6 +823,39 @@ FROM documents
 """
 
 
+def q_multimodal_byte_features(spark, sf):
+    """Real (codec-free) byte-level triage over the binary column:
+    numpy 16-bin high-nibble histogram + distinct-byte count + dominant
+    bin share in bp, Arrow-batched.  The stand-in payloads are ASCII
+    text bytes, so the oracle re-derives every feature from
+    codepoints."""
+    from yadex_spark.operators.multimodal import byte_features, to_binary_assets
+
+    return byte_features(to_binary_assets(_t(spark, sf, "documents")))
+
+
+_HSUM = ",\n       ".join(
+    f"CAST(sum(CASE WHEN o >> 4 = {i} THEN 1 ELSE 0 END) AS INT) AS h{i}"
+    for i in range(16)
+)
+_HMAX = "greatest(" + ", ".join(f"h{i}" for i in range(16)) + ")"
+
+SQL_MULTI_BYTES = f"""
+WITH c AS (SELECT doc_id, ord(ch) AS o
+           FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+                 FROM documents)
+           WHERE ch != ''),
+g AS (SELECT doc_id, CAST(count(*) AS INT) AS n_bytes,
+             CAST(count(DISTINCT o) AS INT) AS n_distinct,
+       {_HSUM}
+      FROM c GROUP BY doc_id)
+SELECT doc_id, n_bytes, n_distinct,
+       CAST(10000 * {_HMAX} // n_bytes AS INT) AS max_bin_bp,
+       {", ".join(f"h{i}" for i in range(16))}
+FROM g
+"""
+
+
 def q_pack_sequences(spark, sf):
     from yadex_spark.operators.packing import pack_sequences
 
@@ -1647,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_byte_features": q_multimodal_byte_features,
         "pack_sequences": q_pack_sequences,
         "train_val_split": q_train_val_split,
         "dedup_clusters": q_dedup_clusters,
@@ -1707,6 +1741,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "text_winnow": SQL_TEXT_WINNOW,
         "multimodal_decode": SQL_MULTIMODAL,
+        "multimodal_byte_features": SQL_MULTI_BYTES,
         "pack_sequences": SQL_PACK,
         "train_val_split": SQL_SPLIT,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,

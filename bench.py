@@ -59,6 +59,7 @@ HEADLINE = [
     "pack_sequences",
     "chunk_sequences",
     "mask_spans",
+    "multimodal_byte_features",
     "shuffle_corpus",
     "train_val_split",
     "prepare_corpus",

@@ -1356,3 +1356,42 @@ def test_cdc_lake_state_feeds_span_corruption(spark, tmp_path):
         assert rebuilt == list(toks[d])
         masked_somewhere = masked_somewhere or bool(spans)
     assert masked_somewhere
+
+
+def test_byte_features_matches_numpy_on_arbitrary_binary(spark):
+    """byte_features vs a python replica over REAL binary payloads
+    (including bytes > 127 and an empty blob — the domain the
+    ASCII-text gate oracle cannot reach)."""
+    from collections import Counter
+
+    from yadex_spark.operators.multimodal import byte_features
+
+    payloads = {
+        0: bytes(range(256)) * 2,
+        1: b"\x00" * 37,
+        2: b"",
+        3: bytes([255, 128, 7, 7, 7, 200]),
+        4: "héllo wörld".encode("utf-8"),
+    }
+    assets = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in payloads.items()],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r.asDict() for r in byte_features(assets).collect()}
+
+    for i, b in payloads.items():
+        hist = [0] * 16
+        for x in b:
+            hist[x >> 4] += 1
+        want = {
+            "doc_id": i,
+            "n_bytes": len(b),
+            "n_distinct": len(set(b)),
+            "max_bin_bp": (10_000 * max(hist)) // len(b) if b else 0,
+            **{f"h{j}": hist[j] for j in range(16)},
+        }
+        assert got[i] == want, i
+    # sanity: the uniform blob has a flat histogram, the constant one a peak
+    assert got[0]["max_bin_bp"] == 625  # 32/512 exactly
+    assert got[1]["max_bin_bp"] == 10_000 and got[1]["n_distinct"] == 1
+    assert Counter(got[3][f"h{j}"] for j in range(16))[0] == 12  # 4 bins hit

@@ -1456,6 +1456,58 @@ FROM s2
 """
 
 
+#: gate vocab for wordpiece_tokenize — every lowercase letter EXCEPT
+#: 'q' (so 'query' exercises the [UNK] path) plus common corpus words
+#: and subwords (exercising longest-match over shorter alternatives);
+#: ids are 1-based positions in this list, shared verbatim with the
+#: SQL oracle's VALUES table
+_WP_VOCAB = (
+    [c for c in "abcdefghijklmnoprstuvwxyz"]  # no 'q'
+    + ["row", "scan", "join", "hash", "batch", "column", "value",
+       "table", "filter", "vector", "customer", "er", "an", "ta",
+       "sm", "all", "fast", "slow"]
+)
+
+
+def q_wordpiece_tokenize(spark, sf):
+    """Greedy longest-match subword tokenization (WordPiece inference)
+    over a fixed 43-entry vocab; 'q' is absent so [UNK] (id 0) is
+    exercised.  The oracle replays the sequential recurrence as a
+    recursive CTE with a longest-first LATERAL vocab probe."""
+    from yadex_spark.operators.text import wordpiece_tokenize
+
+    return wordpiece_tokenize(_t(spark, sf, "documents"), _WP_VOCAB)
+
+
+_WP_VALUES = ", ".join(f"('{t}', {i + 1})" for i, t in enumerate(_WP_VOCAB))
+
+SQL_WORDPIECE = f"""
+WITH RECURSIVE
+vocab(tok, tid) AS (VALUES {_WP_VALUES}),
+ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+words AS (SELECT doc_id, wi, l[wi] AS word
+          FROM ws, unnest(range(1, len(l) + 1)) t(wi)),
+step(doc_id, wi, word, pos, toks) AS (
+  SELECT doc_id, wi, word, 1, CAST([] AS INT[]) FROM words
+  UNION ALL
+  SELECT s.doc_id, s.wi, s.word,
+         s.pos + coalesce(length(b.tok), 1),
+         list_append(s.toks, CAST(coalesce(b.tid, 0) AS INT))
+  FROM step s LEFT JOIN LATERAL (
+    SELECT tok, tid FROM vocab
+    WHERE substr(s.word, s.pos, length(tok)) = tok
+    ORDER BY length(tok) DESC, tok LIMIT 1
+  ) b ON true
+  WHERE s.pos <= length(s.word)
+),
+done AS (SELECT doc_id, wi, toks FROM step WHERE pos > length(word))
+SELECT doc_id,
+       CAST(len(flatten(list(toks ORDER BY wi))) AS INT) AS n_tok,
+       flatten(list(toks ORDER BY wi)) AS tokens
+FROM done GROUP BY doc_id
+"""
+
+
 def q_dsir_weights(spark, sf):
     """DSIR importance weighting: hashed unigram+bigram bag-of-words
     models over the every-10th-doc target split vs the raw corpus,
@@ -1702,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "lm_bigram_score": q_lm_bigram_score,
         "dsir_weights": q_dsir_weights,
+        "wordpiece_tokenize": q_wordpiece_tokenize,
         "prepare_corpus": q_prepare_corpus,
     }
 
@@ -1763,5 +1816,6 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": SQL_SCRUB_PII,
         "lm_bigram_score": SQL_LM_BIGRAM,
         "dsir_weights": SQL_DSIR_WEIGHTS,
+        "wordpiece_tokenize": SQL_WORDPIECE,
         "prepare_corpus": SQL_PREPARE,
     }

@@ -52,6 +52,7 @@ HEADLINE = [
     "scrub_pii",
     "lm_bigram_score",
     "dsir_weights",
+    "wordpiece_tokenize",
     "mix_corpus",
     "corpus_stats",
     "filter_corpus",

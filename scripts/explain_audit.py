@@ -212,6 +212,12 @@ AUDITS = {
         ("scoring join is an equi-join, no nested loop over the corpus",
          lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
     ],
+    "wordpiece_tokenize": [
+        ("python surface is Arrow-batched (MapInPandas), never row-at-a-time",
+         lambda p: ("MapInPandas" in p or "ArrowEvalPython" in p)
+         and "BatchEvalPython" not in p),
+        ("text-only pruned scan under the UDF", lambda p: "ReadSchema" in p),
+    ],
     "multimodal_byte_features": [
         ("python surface is Arrow-batched (MapInPandas), never row-at-a-time",
          lambda p: ("MapInPandas" in p or "ArrowEvalPython" in p)

@@ -1395,3 +1395,66 @@ def test_byte_features_matches_numpy_on_arbitrary_binary(spark):
     assert got[0]["max_bin_bp"] == 625  # 32/512 exactly
     assert got[1]["max_bin_bp"] == 10_000 and got[1]["n_distinct"] == 1
     assert Counter(got[3][f"h{j}"] for j in range(16))[0] == 12  # 4 bins hit
+
+
+def test_wordpiece_tokenize_greedy_rule_and_composition(spark):
+    """wordpiece_tokenize vs a python replica of greedy longest-match,
+    with explicit pins: longest entry beats shorter alternatives, [UNK]
+    advances one char, and the output composes directly with
+    apply_span_mask (reconstruction holds on tokenizer output)."""
+    from yadex_spark.operators.packing import apply_span_mask
+    from yadex_spark.operators.text import wordpiece_tokenize
+
+    vocab = ["a", "b", "c", "d", "ab", "abc", "row", "rows"]
+    vmap = {t: i + 1 for i, t in enumerate(vocab)}
+
+    def replica(text):
+        out = []
+        for word in text.split(" "):
+            pos = 0
+            while pos < len(word):
+                for ln in range(min(4, len(word) - pos), 0, -1):
+                    if word[pos:pos + ln] in vmap:
+                        out.append(vmap[word[pos:pos + ln]])
+                        pos += ln
+                        break
+                else:
+                    out.append(0)
+                    pos += 1
+        return out
+
+    rows = [
+        (0, "abcab rows row"),   # longest-match: abc+ab, rows beats row
+        (1, "xyz"),              # all [UNK]
+        (2, "a"),                # single char
+        (3, "abca abcd dcba"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tok"], r["tokens"])
+           for r in wordpiece_tokenize(docs, vocab).collect()}
+    for i, t in rows:
+        want = replica(t)
+        assert got[i] == (len(want), want), i
+    assert got[0][1] == [6, 5, 8, 7]          # abc, ab, rows, row
+    assert got[1][1] == [0, 0, 0]             # x y z all unknown
+
+    # tokenizer output feeds the span masker directly
+    toks = wordpiece_tokenize(docs, vocab).selectExpr(
+        "cast(doc_id as string) doc_id", "tokens"
+    )
+    pairs = {r["doc_id"]: (r["input_tokens"], r["target_tokens"])
+             for r in apply_span_mask(toks, mask_rate_bp=5_000,
+                                      span_len=2).collect()}
+    for i, t in rows:
+        inp, tgt = pairs[str(i)]
+        spans, j = {}, 0
+        while j < len(tgt):
+            k = j + 1
+            while k < len(tgt) and tgt[k] >= 0:
+                k += 1
+            spans[tgt[j]] = tgt[j + 1:k]
+            j = k
+        rebuilt = []
+        for x in inp:
+            rebuilt.extend(spans[x] if x < 0 else [x])
+        assert rebuilt == replica(t)

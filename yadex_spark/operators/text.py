@@ -636,3 +636,70 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
             < F.least(weight, F.lit(10_000))
         ).cast("int").alias("keep"),
     )
+
+
+def wordpiece_tokenize(docs: DataFrame, vocab: list[str]) -> DataFrame:
+    """Greedy longest-match subword tokenization — the WordPiece
+    inference rule (Wu et al. 2016; the continuation-marker variant
+    differs only in the vocab's spelling) — turning text into the
+    (doc_id, tokens array<int>) shape the token-domain suite consumes
+    (:func:`packing.apply_span_mask`, pack/chunk, the CDC lake's
+    north-rule schema).
+
+    This is the suite's one deliberate Arrow-UDF text operator: greedy
+    per-position longest-match is a sequential recurrence that Spark
+    built-ins cannot express, and production tokenizers are native
+    libraries behind exactly this batch interface — so the Python
+    surface is architecturally right here, not a compromise.  The
+    vocab rides the closure (model-sized, broadcast with the task),
+    and a per-batch word→ids memo exploits natural-language repetition
+    (each distinct word tokenizes once per Arrow batch).
+
+    Rule: at each position take the LONGEST vocab entry matching at
+    that offset; if none matches, emit id 0 ([UNK]) and advance one
+    character.  Ids are 1-based positions in ``vocab``.  The DuckDB
+    oracle replays the recurrence exactly as a recursive CTE with a
+    longest-first LATERAL vocab probe.
+
+    Output: (doc_id, n_tok, tokens array<int>)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    vmap = {t: i + 1 for i, t in enumerate(vocab)}
+    max_len = max(len(t) for t in vocab)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[int]] = {}
+
+        def word_ids(word: str) -> list[int]:
+            got = memo.get(word)
+            if got is None:
+                got, pos = [], 0
+                while pos < len(word):
+                    for ln in range(min(max_len, len(word) - pos), 0, -1):
+                        tid = vmap.get(word[pos:pos + ln])
+                        if tid is not None:
+                            got.append(tid)
+                            pos += ln
+                            break
+                    else:
+                        got.append(0)  # [UNK]
+                        pos += 1
+                memo[word] = got
+            return got
+
+        for pdf in batches:
+            toks = [
+                [t for w in text.split(" ") for t in word_ids(w)]
+                for text in pdf["text"]
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_tok": pd.Series([len(t) for t in toks], dtype="int32"),
+                "tokens": toks,
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, n_tok int, tokens array<int>"
+    )

@@ -1,6 +1,15 @@
 """Local replica of the driver's correctness gate: run each queries()
 entry on Spark and its oracle_sql() on DuckDB over the same parquet
-tables, compare row count, column set, and order-insensitive values.
+tables, compare row count, column set, COLUMN TYPES, and
+order-insensitive values.
+
+The type check exists because the driver's value hash is
+type-sensitive where stringified comparison is not: round 4's only
+red row was a DuckDB HUGEINT (uncast sum()) hashing differently from
+Spark's bigint while every stringified value matched.  Types are
+taken from ``DESCRIBE <oracle sql>`` and compared against the Spark
+schema through an exact map — any DuckDB type outside the map
+(HUGEINT, UBIGINT, ...) fails loudly.
 
 Usage: python scripts/compare_oracle.py [sf_dir] [query ...]
 """
@@ -39,6 +48,47 @@ def rowset(cols, rows):
     return sorted("|".join(norm(r[i]) for i in idx) for r in rows)
 
 
+#: Spark simpleString -> the DuckDB type(s) that hash identically in
+#: the driver's comparator.  Anything unmapped / unmatched is a FAIL.
+_TYPE_MAP = {
+    "tinyint": {"TINYINT"},
+    "smallint": {"SMALLINT"},
+    "int": {"INTEGER"},
+    "bigint": {"BIGINT"},
+    "float": {"FLOAT"},
+    "double": {"DOUBLE"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "binary": {"BLOB"},
+}
+
+
+def _duck_type_ok(spark_t: str, duck_t: str) -> bool:
+    if spark_t.startswith("decimal"):
+        return duck_t.replace(" ", "") == spark_t.upper().replace(" ", "")
+    if spark_t.startswith("array<"):
+        inner = spark_t[len("array<"):-1]
+        return duck_t.endswith("[]") and _duck_type_ok(inner, duck_t[:-2])
+    return duck_t in _TYPE_MAP.get(spark_t, set())
+
+
+def check_types(df, con, sql):
+    """[(col, spark_type, duck_type)] for every type-incompatible col."""
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    bad = []
+    for f in df.schema.fields:
+        dt = duck.get(f.name)
+        st = f.dataType.simpleString()
+        if dt is not None and not _duck_type_ok(st, dt):
+            bad.append((f.name, st, dt))
+    return bad
+
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -74,6 +124,11 @@ def main():
             continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            failures += 1
+            continue
+        badtypes = check_types(df, con, sql)
+        if badtypes:
+            print(f"FAIL {name}: type mismatch (col, spark, duck): {badtypes}")
             failures += 1
             continue
         if len(srows) != len(drows):

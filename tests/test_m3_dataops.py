@@ -1397,6 +1397,22 @@ def test_byte_features_matches_numpy_on_arbitrary_binary(spark):
     assert Counter(got[3][f"h{j}"] for j in range(16))[0] == 12  # 4 bins hit
 
 
+def test_fixture_payloads_are_ascii(spark):
+    """Pin the gate oracle's two assumptions about the documents
+    fixture (SQL_MULTI_BYTES / the BPE delimiter): every text is
+    non-empty pure ASCII, so DuckDB's per-character ord() equals the
+    byte value and the '·' (U+00B7) BPE token delimiter can never
+    collide with corpus text.  If a future generator emits non-ASCII
+    or empty docs this fails HERE, not as a silent gate hash skew."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bad = docs.where(
+        (F.length("text") == 0) | F.col("text").rlike("[^\\x01-\\x7f]")
+    ).count()
+    assert bad == 0
+
+
 def test_wordpiece_tokenize_greedy_rule_and_composition(spark):
     """wordpiece_tokenize vs a python replica of greedy longest-match,
     with explicit pins: longest entry beats shorter alternatives, [UNK]

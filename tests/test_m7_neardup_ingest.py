@@ -266,3 +266,94 @@ def test_embed_dedup_ingest_matches_greedy_oracle(spark, tmp_path):
     rep = ing.maintain()
     assert rep["seen"]["compacted_version"] is not None
     assert {r["ingest_seq"] for r in ing.accepted().collect()} == got
+
+
+def _bridge_feed(spark, tmp_path):
+    """Adversarial-order corpus for reconcile(): D (seq 0) and E
+    (seq 1) share no band at arrival, later bridge docs F1 = D-with-
+    one-edit (seq 4) and F2 = E's words with D's F1-edit word (seq 5)
+    connect {D, F1} and {E, F2}; F1 and F2 share the edit-word
+    shingles... the point is the BRIDGE arrives after both D and E are
+    already accepted.  The test asserts the band-level preconditions
+    explicitly so a signature-scheme change fails loudly here, not as
+    a silent vacuous pass."""
+    d_words = [w + "dd" for w in WORDS[:12]]
+    e_words = [w + "ee" for w in WORDS[:12]]
+    d = " ".join(d_words)
+    e = " ".join(e_words)
+    # bridge: first half of D, second half of E — shares shingle runs
+    # (hence, w.h.p. over the fixed md5 scheme, bands) with BOTH
+    bridge = " ".join(d_words[:6] + e_words[6:])
+    filler1 = " ".join(w + "f1" for w in WORDS[:10])
+    filler2 = " ".join(w + "f2" for w in WORDS[2:12])
+    texts = [d, e, filler1, filler2, bridge]
+    rows = [(i, f"doc{i:05d}", t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "ingest_seq long, doc_id string, text string")
+    path = str(tmp_path / "docs")
+    base = time.time() - 600
+    for i, lo in enumerate([0, 2, 4]):  # bridge arrives in the LAST epoch
+        docs.where(
+            (F.col("ingest_seq") >= lo) & (F.col("ingest_seq") < lo + 2)
+        ).repartition(1).write.mode("append").parquet(path)
+        for f in os.listdir(path):
+            fp = os.path.join(path, f)
+            if f.endswith(".parquet") and os.path.getmtime(fp) > base + 10:
+                os.utime(fp, (base + i, base + i))
+    return docs, path
+
+
+def test_reconcile_repairs_online_overaccept(spark, tmp_path):
+    """VERDICT r4 #6: the out-of-band reconcile() job relabels the
+    accepted set to the batch dedup_clusters canonical assignment on a
+    corpus where a FUTURE bridge arrival merges two already-accepted
+    docs — the one documented online-vs-batch divergence."""
+    docs, path = _bridge_feed(spark, tmp_path)
+    ing = NearDupIngest(spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+                        max_files_per_trigger=1)
+
+    # --- precondition pins (band level, independent of the ingest run)
+    bands = {
+        seq: set(g["band"] for g in grp)
+        for seq, grp in __import__("itertools").groupby(
+            sorted(ing._bands(docs).collect(), key=lambda r: r["ingest_seq"]),
+            key=lambda r: r["ingest_seq"],
+        )
+    }
+    assert not (bands[0] & bands[1])          # D, E dissimilar at arrival
+    assert bands[4] & bands[0]                # bridge hits D
+    assert bands[4] & bands[1]                # bridge hits E
+
+    ing.run_available_now()
+    got = {r["ingest_seq"] for r in ing.accepted().collect()}
+    assert {0, 1} <= got          # both accepted online (the over-accept)
+    assert 4 not in got           # bridge itself rejected
+
+    # --- independent batch truth: python union-find over shared bands
+    parent = {s: s for s in bands}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    band_first: dict = {}
+    for s in sorted(bands):
+        for b in bands[s]:
+            if b in band_first:
+                ra, rb = find(band_first[b]), find(s)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            else:
+                band_first[b] = s
+    canonical = {s for s in bands if find(s) == s}
+
+    rep = ing.reconcile()
+    assert rep["divergent"] >= 1                    # E was over-accepted
+    assert rep["repaired"] == rep["divergent"]
+    after = {r["ingest_seq"] for r in ing.accepted().collect()}
+    assert after == (got & canonical) == canonical & got
+    assert 1 not in after and 0 in after            # E repaired away, D kept
+
+    # idempotent: a second pass finds nothing
+    rep2 = ing.reconcile()
+    assert rep2["divergent"] == 0 and rep2["repaired"] == 0
+    assert {r["ingest_seq"] for r in ing.accepted().collect()} == after

@@ -490,10 +490,16 @@ def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
         "cluster", _nearest(F.col("q"), cents)["cl"]
     )
     if max_cluster is not None:
-        w = Window.partitionBy("cluster")
-        assigned = assigned.withColumn("_cn", F.count(F.lit(1)).over(w))
-        pairable = assigned.where(F.col("_cn") <= max_cluster).drop("_cn")
-        assigned = assigned.drop("_cn")
+        # per-cluster sizes via a partial hash agg on the narrow
+        # cluster column, semi-joined back — the previous window form
+        # funneled exactly the hot cluster this guard exists for
+        # through ONE task carrying the wide q-vector rows (r4 ADVICE)
+        small = (
+            assigned.groupBy("cluster").count()
+            .where(F.col("count") <= max_cluster)
+            .select("cluster")
+        )
+        pairable = assigned.join(small, "cluster", "left_semi")
     else:
         pairable = assigned
     a = pairable.select(

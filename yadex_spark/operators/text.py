@@ -549,11 +549,17 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
       TARGET set (c_t, total N_t) and over the RAW corpus (c_r, N_r),
       add-one smoothed;
     - per-bucket importance ratio in basis points, exact integral
-      arithmetic (DECIMAL(38,0) products, ``div`` — DuckDB mirrors with
-      HUGEINT ``//``; products stay < 1e38 for any real corpus):
-      w(b) = (10000 * (c_t+1) * (N_r+B)) div ((c_r+1) * (N_t+B)),
-      totals attached by a window over the <= B bucket rows (bounded
-      by the model size, never the corpus — no second corpus pass);
+      arithmetic (Python bigints — arbitrary precision, the same
+      floor-div DuckDB computes with HUGEINT ``//``):
+      w(b) = (10000 * (c_t+1) * (N_r+B)) // ((c_r+1) * (N_t+B)).
+      The bucket model is <= B rows — MODEL-sized, never corpus-sized
+      — so it is collected to the driver and the ratios are computed
+      there (the k-means-centroid pattern, ``similarity.py:316``); the
+      resulting weight table ships back as <= B DECIMAL(38,0)
+      literals.  This replaces a previous window-over-spine +
+      DECIMAL(38,0) expression-tree formulation whose whole-stage
+      codegen COMPILE cost dominated cold runs (measured 14.4 s cold
+      vs 2.07 s warm for the same plan);
     - per-doc weight = (sum of w over the doc's feature OCCURRENCES)
       div n_feats — the mean likelihood ratio (the paper sums log
       ratios; the bp-ratio mean is the integer-portable analogue,
@@ -565,10 +571,14 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
 
     Scale shape: both models are partial HashAggregates over BIGINT
     buckets (map-side combine -> <= B rows each; raw grams never
-    shuffle); the weight table is <= B rows and joins the corpus
-    feature stream via an AQE broadcast, so the corpus shuffles only
-    for the per-doc rollup (one partial agg keyed by doc_id).  The
-    corpus is ``spread`` before the CPU-heavy per-gram md5 stages.
+    shuffle); the weight table is <= B driver-computed literal rows
+    broadcast against the corpus feature stream, so the corpus
+    shuffles only for the per-doc rollup (one partial agg keyed by
+    doc_id).  The corpus is ``spread`` before the CPU-heavy per-gram
+    md5 stages.  ``n_buckets`` is capped at 2**20 (the driver collect
+    and the broadcast are both O(n_buckets) — the hash-bucket model
+    loses nothing past ~1M buckets, and an uncapped value would turn
+    the broadcast hint into an OOM-by-construction).
 
     ``raw_counts``: optional precomputed raw-corpus bucket model —
     (b, c_r) rows, as maintained incrementally by
@@ -579,6 +589,8 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
     Output: (doc_id, n_feats, weight_bp, keep) for every corpus doc.
     """
     B = n_buckets
+    if B > 1 << 20:
+        raise ValueError(f"n_buckets={B} exceeds the 2**20 model-size cap")
 
     tb = dsir_features(target, B).where(F.col("b").isNotNull()) \
         .groupBy("b").agg(F.count("*").alias("c_t"))
@@ -588,33 +600,37 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
             .groupBy("b").agg(F.count("*").alias("c_r"))
     else:
         rb = raw_counts.select("b", F.col("c_r").cast("long").alias("c_r"))
-    # dense bucket spine 0..B-1: every possible feature bucket gets a
-    # weight row, so the scoring join can never miss (a caller-supplied
-    # raw_counts that lacks a bucket would otherwise leave w NULL —
-    # sum skips it while count('b') doesn't, silently deflating the
-    # weight; with the spine such buckets get the exact c_r=0 smoothed
-    # default instead).  B rows — model-sized, adds zeros to totals.
-    spine = corpus.sparkSession.range(B).select(F.col("id").alias("b"))
-    buckets = spine.join(tb, "b", "left").join(rb, "b", "left").select(
-        "b",
-        F.coalesce("c_t", F.lit(0)).alias("c_t"),
-        F.coalesce("c_r", F.lit(0)).alias("c_r"),
-    )
-    # totals ride a window over the BUCKET table (<= B rows — bounded
-    # by the model size, never the corpus), so the bucket subtree is
-    # computed once and no cross join / second corpus pass exists
-    wall = Window.partitionBy()
-    wt = (
-        buckets
-        .withColumn("n_t", F.sum("c_t").over(wall))
-        .withColumn("n_r", F.sum("c_r").over(wall))
-        .select(
-            "b",
-            F.expr(
-                f"(CAST(10000 AS DECIMAL(38,0)) * (c_t + 1) * (n_r + {B})) div "
-                f"(CAST(c_r + 1 AS DECIMAL(38,0)) * (n_t + {B}))"
-            ).alias("w"),
+    # Both models are <= B rows — collect them and build the dense
+    # weight table 0..B-1 on the driver with exact Python-int floor
+    # division (== DuckDB HUGEINT // == the old DECIMAL(38,0) div).
+    # Every possible bucket gets a row, so the scoring join can never
+    # miss (a caller-supplied raw_counts that lacks a bucket gets the
+    # exact c_r=0 smoothed default instead of a NULL that would
+    # silently deflate the doc weight).
+    from decimal import Decimal
+    from pyspark.sql.types import DecimalType, LongType, StructField, StructType
+
+    ct = {r["b"]: r["c_t"] for r in tb.collect()}
+    cr = {r["b"]: r["c_r"] for r in rb.collect()}
+    n_t, n_r = sum(ct.values()), sum(cr.values())
+    rows = [
+        (
+            b,
+            Decimal(
+                (10_000 * (ct.get(b, 0) + 1) * (n_r + B))
+                // ((cr.get(b, 0) + 1) * (n_t + B))
+            ),
         )
+        for b in range(B)
+    ]
+    wt = corpus.sparkSession.createDataFrame(
+        rows,
+        StructType([
+            StructField("b", LongType(), False),
+            # DECIMAL(38,0) so the per-doc sum cannot overflow int64
+            # even for degenerate c_r=0 / huge-N_r buckets
+            StructField("w", DecimalType(38, 0), False),
+        ]),
     )
     per_doc = (
         corpus_feats.join(F.broadcast(wt), "b", "left")

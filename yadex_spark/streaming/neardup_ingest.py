@@ -40,7 +40,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from yadex_spark.operators.dedup import doc_shingles
+from yadex_spark.operators.dedup import dedup_clusters, doc_shingles
 from yadex_spark.streaming.dedup_ingest import DedupIngest
 
 
@@ -151,3 +151,121 @@ class NearDupIngest(DedupIngest):
                 accepted.unpersist()
         finally:
             bands.unpersist()
+
+    def reconcile(self, arrivals: DataFrame | None = None,
+                  repair: bool = True) -> dict:
+        """Out-of-band batch reconciliation of the ONLINE band-registry
+        rule against the BATCH-canonical clustering — closes the one
+        documented online-vs-batch caveat (module docstring): two docs
+        accepted at their arrival times can later be bridged into one
+        cluster by a FUTURE arrival sharing bands with both, which the
+        batch ``dedup_clusters`` pass sees and no streaming rule can.
+
+        Run with the stream stopped, under the shared nonce-confirmed
+        maintenance lease (the same discipline as ``maintain()``).
+
+        Direction of divergence (provable, test-pinned): the online rule
+        only ever OVER-accepts.  A doc rejected online shares a band
+        with a strictly earlier arrival, so batch clustering puts it in
+        that arrival's component and it is never the component min —
+        batch-canonical ⊆ accepted.  Reconciliation therefore only
+        DELETES from the accepted table, never resurrects.
+
+        Algorithm (all relational, no n² stage):
+
+        1. re-derive every arrival's bands with the SAME ``_bands``
+           scheme the online path used (identical candidate relation);
+        2. docs sharing a band form a clique, so per-band STAR edges
+           (first holder -> each later holder) give the same connected
+           components with O(arrivals·k) edges;
+        3. ``dedup_clusters`` (pointer-jumping min-label) labels every
+           arrival; batch-canonical = label == own ingest_seq;
+        4. accepted rows whose ingest_seq is not canonical are the
+           divergence; with ``repair`` they are tombstoned (LWW seq
+           above every insert) and the table is immediately compacted
+           WITHOUT tombstones — safe here because any re-arrival of the
+           same content is rejected by the band registry long before
+           the accepted table, and required because ``accepted()``
+           uses the insert-only ``read_keys`` fast path.
+
+        ``arrivals``: the processed arrival log (INGEST_SCHEMA).
+        Defaults to every chunk in ``feed_dir`` — correct once the
+        stream has drained (AvailableNow); callers reconciling mid-feed
+        must pass the processed prefix themselves.
+
+        Returns {accepted, canonical_accepted, divergent, repaired}.
+        """
+        from yadex_spark.lake.lease import maintenance_lease
+
+        if arrivals is None:
+            arrivals = self.spark.read.schema(self.FEED_SCHEMA).parquet(
+                self.feed_dir
+            )
+        with maintenance_lease(self.lake_dir):
+            bands = self._bands(arrivals)
+            first = bands.groupBy("band").agg(
+                F.min("ingest_seq").alias("first_seq")
+            )
+            pairs = (
+                bands.join(first, "band")
+                .where(F.col("ingest_seq") > F.col("first_seq"))
+                .select(
+                    F.col("first_seq").alias("doc_a"),
+                    F.col("ingest_seq").alias("doc_b"),
+                )
+                .distinct()
+            )
+            labels = dedup_clusters(
+                pairs,
+                all_docs=arrivals.select(F.col("ingest_seq").alias("doc_id")),
+            )
+            canonical = labels.where(
+                F.col("doc_id") == F.col("cluster_id")
+            ).select(F.col("doc_id").alias("canon_seq"))
+
+            acc = self.accepted().persist()
+            try:
+                n_acc = acc.count()
+                divergent = acc.join(
+                    canonical, acc["ingest_seq"] == canonical["canon_seq"],
+                    "left_anti",
+                ).persist()
+                try:
+                    n_div = divergent.count()
+                    repaired = 0
+                    if repair and n_div:
+                        max_seq = arrivals.agg(
+                            F.max("ingest_seq")
+                        ).collect()[0][0]
+                        tbl = self.accepted_table
+                        dele = divergent.select(
+                            F.md5("text").alias("doc_id"),
+                            F.lit("delete").alias("op"),
+                            F.lit(max_seq + 1).cast("long").alias("op_seq"),
+                            F.struct(
+                                F.lit(None).cast("string")
+                                .alias("accepted_doc_id"),
+                                F.lit(None).cast("string").alias("text"),
+                                F.lit(None).cast("long").alias("ingest_seq"),
+                            ).alias("after"),
+                        )
+                        tbl.commit_delta(
+                            dele,
+                            batch_id=f"{self._scope()}/reconcile-v"
+                                     f"{tbl.latest_version()}",
+                        )
+                        # restore the insert-only invariant read_keys
+                        # relies on: fold the tombstones away now
+                        tbl.compact(keep_tombstones=False)
+                        tbl.vacuum()
+                        repaired = n_div
+                finally:
+                    divergent.unpersist()
+            finally:
+                acc.unpersist()
+            return {
+                "accepted": n_acc,
+                "canonical_accepted": n_acc - n_div,
+                "divergent": n_div,
+                "repaired": repaired,
+            }

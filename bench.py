@@ -63,6 +63,7 @@ HEADLINE = [
     "multimodal_byte_features",
     "shuffle_corpus",
     "train_val_split",
+    "bpe_train",
     "prepare_corpus",
     "cdc_engine_replay",
 ]

@@ -61,6 +61,9 @@ _TYPE_MAP = {
     "boolean": {"BOOLEAN"},
     "date": {"DATE"},
     "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    # Spark's naive timestamp; session tz is pinned UTC so it compares
+    # bit-equal to DuckDB's (UTC-naive) TIMESTAMP
+    "timestamp_ntz": {"TIMESTAMP"},
     "binary": {"BLOB"},
 }
 

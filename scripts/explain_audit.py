@@ -244,16 +244,34 @@ AUDITS = {
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
     ],
     "dsir_weights": [
-        ("bucket models are partial hash aggs, no sort fallback",
+        # the two bucket models are EAGER model-sized jobs at build time
+        # (driver computes the <= n_buckets weight literals); the
+        # returned plan is scoring only
+        ("per-doc rollup is a partial hash agg, no sort fallback",
          lambda p: "HashAggregate" in p and "partial" in p.lower()
          and "SortAggregate" not in p),
-        ("weight-table join broadcasts the <= n_buckets side",
+        ("weight-table join broadcasts the <= n_buckets literal side",
          lambda p: "BroadcastHashJoin" in p),
-        ("no nested loop / cross join anywhere (totals ride a bucket-table window)",
+        ("no nested loop / cross join anywhere",
          lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
-        ("corpus scanned at most 3x (target model, raw model, scoring); "
-         "formatted plans list each scan twice (tree + detail)",
-         lambda p: p.count("Scan parquet") <= 6),
+        ("scoring plan scans the corpus exactly once (models were "
+         "separate model-sized jobs); formatted plans list each scan "
+         "twice (tree + detail)",
+         lambda p: p.count("Scan parquet") <= 2),
+        ("no window over the weight table (the old cold-codegen shape)",
+         lambda p: "Window" not in p),
+    ],
+    "bpe_pair_count": [
+        # one BPE training iteration's pair-count + argmax job (the
+        # returned bpe_train df is a literal merge table, so the audit
+        # drives the iteration plan directly)
+        ("pair counts are a partial hash agg, no sort fallback",
+         lambda p: "HashAggregate" in p and "partial" in p.lower()
+         and "SortAggregate" not in p),
+        ("argmax is TakeOrdered (per-partition heaps), never a global sort",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("no python in the loop (HOF explode, string replace)",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
     ],
 }
 
@@ -307,12 +325,46 @@ def _prepare_declarative_df(spark, sf):
     )
 
 
+def _bpe_pair_count_df(spark, sf):
+    """One BPE training iteration's pair-count+argmax plan over the
+    initial symbol table (the loop body bpe_train runs per merge)."""
+    from pyspark.sql import functions as F
+
+    from yadex_spark.operators.bpe import DELIM, _initial_syms, bpe_word_freq
+
+    wf = bpe_word_freq(entrymod._t(spark, sf, "documents"))
+    words = wf.select(_initial_syms(F.col("word")).alias("syms"), "freq")
+    toks = F.filter(F.split("syms", DELIM * 2), lambda x: x != "")
+    pair_rows = (
+        words.where(F.size(toks) >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.get(toks, i).alias("lhs"),
+                        F.get(toks, i + 1).alias("rhs"),
+                    ),
+                )
+            ).alias("p"),
+        )
+    )
+    return (
+        pair_rows.groupBy("p.lhs", "p.rhs")
+        .agg(F.sum("freq").alias("f"))
+        .orderBy(F.desc("f"), "lhs", "rhs")
+        .limit(1)
+    )
+
+
 def main() -> None:
     spark = get_spark("explain-audit", cpus=8, shuffle_partitions=8)
     qs = dict(entrymod.queries())
     qs["engine_collapse"] = lambda s, sf: _engine_collapse_df(s)
     qs["lake_read"] = lambda s, sf: _lake_read_df(s)
     qs["prepare_corpus_declarative"] = lambda s, sf: _prepare_declarative_df(s, sf)
+    qs["bpe_pair_count"] = _bpe_pair_count_df
     lines = ["# PLANS — physical-plan audit\n",
              f"Generated by scripts/explain_audit.py at sf dir `{SF}`.\n"]
     failures = 0

@@ -1372,18 +1372,12 @@ FROM k GROUP BY doc_id
 """
 
 
-def q_cdc_engine_replay(spark, sf):
-    """The REAL engine end-to-end under the correctness gate: derive an
-    oplog from events (op_seq=event_id, doc_id='u'||user_id, payload
-    tokens from value), collapse with the production operator, apply
-    through a LakeTable, read the committed state back."""
-    import tempfile
-
-    from yadex_spark.lake.table import LakeTable
-    from yadex_spark.operators.collapse import collapse
-
+def _events_oplog(spark, sf):
+    """Events table -> north-rule oplog (op_seq=event_id,
+    doc_id='u'||user_id, tokens from value) — shared by the engine
+    replay / time-travel / change-feed gates."""
     e = _t(spark, sf, "events").withColumn("op", _op_col())
-    oplog = e.select(
+    return e.select(
         F.col("event_id").alias("op_seq"),
         F.col("ts").cast("timestamp").alias("op_ts"),
         "op",
@@ -1395,6 +1389,39 @@ def q_cdc_engine_replay(spark, sf):
             F.col("event_type").alias("source"),
         ).alias("after"),
     )
+
+
+def _two_epoch_table(spark, sf, prefix):
+    """Commit the derived oplog as TWO epochs split at half max op_seq;
+    returns (table, v_epoch_a, v_epoch_b)."""
+    import tempfile
+
+    from yadex_spark.lake.table import LakeTable
+    from yadex_spark.operators.collapse import collapse
+
+    oplog = _events_oplog(spark, sf)
+    half = oplog.agg(F.floor(F.max("op_seq") / 2)).first()[0]
+    tbl = LakeTable(spark, tempfile.mkdtemp(prefix=prefix))
+    v_a = tbl.commit_delta(
+        collapse(oplog.where(F.col("op_seq") <= half)).drop("table"), batch_id="A"
+    )
+    v_b = tbl.commit_delta(
+        collapse(oplog.where(F.col("op_seq") > half)).drop("table"), batch_id="B"
+    )
+    return tbl, v_a, v_b
+
+
+def q_cdc_engine_replay(spark, sf):
+    """The REAL engine end-to-end under the correctness gate: derive an
+    oplog from events (op_seq=event_id, doc_id='u'||user_id, payload
+    tokens from value), collapse with the production operator, apply
+    through a LakeTable, read the committed state back."""
+    import tempfile
+
+    from yadex_spark.lake.table import LakeTable
+    from yadex_spark.operators.collapse import collapse
+
+    oplog = _events_oplog(spark, sf)
     tbl = LakeTable(spark, tempfile.mkdtemp(prefix="engine-replay-"))
     tbl.commit_delta(collapse(oplog).drop("table"), batch_id="replay")
     # tokens emitted as a comma-joined string: the harness canonicalizer
@@ -1417,6 +1444,75 @@ FROM (SELECT *, {_OP_CASE_SQL} AS op,
              row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
       FROM events)
 WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q_cdc_time_travel(spark, sf):
+    """Snapshot-isolation time travel (Iceberg `VERSION AS OF`): the
+    oplog committed as two epochs, read back AS OF the first epoch's
+    version — must equal the half-replay state exactly, independent of
+    everything epoch B wrote on top (LakeTable.read(version=...),
+    yadex_spark/lake/table.py)."""
+    tbl, v_a, _ = _two_epoch_table(spark, sf, "time-travel-")
+    return tbl.read(version=v_a).select(
+        "doc_id",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
+
+
+SQL_TIME_TRAVEL = f"""
+WITH half AS (SELECT CAST(floor(max(event_id)/2) AS BIGINT) h FROM events)
+SELECT 'u' || CAST(user_id AS VARCHAR) AS doc_id,
+       array_to_string([CAST(floor(value * 100) AS INT)], ',') AS tokens_csv,
+       1 AS n_tok, event_type AS source
+FROM (SELECT *, {_OP_CASE_SQL} AS op,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      FROM events, half WHERE event_id <= h)
+WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q_cdc_change_feed(spark, sf):
+    """Incremental change feed (Delta-CDF / Iceberg-changelog read,
+    LakeTable.table_changes): one row per key whose LIVE state changed
+    in epoch B, classified insert/update/delete with pre/post images —
+    the incremental consumer the reference lacks (compare-dbs.go
+    re-reads the full target instead)."""
+    tbl, v_a, v_b = _two_epoch_table(spark, sf, "change-feed-")
+    ch = tbl.table_changes(v_a, v_b)
+    return ch.select(
+        "doc_id",
+        "change_type",
+        F.array_join("pre_tokens", ",").alias("pre_tokens_csv"),
+        F.array_join("post_tokens", ",").alias("post_tokens_csv"),
+        "post_source",
+    )
+
+
+SQL_CHANGE_FEED = f"""
+WITH half AS (SELECT CAST(floor(max(event_id)/2) AS BIGINT) h FROM events),
+ev AS (SELECT *, {_OP_CASE_SQL} AS op FROM events),
+pre AS (SELECT user_id, value FROM
+          (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+           FROM ev, half WHERE event_id <= h)
+        WHERE rn = 1 AND op <> 'delete'),
+post AS (SELECT user_id, op, value, event_type FROM
+           (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+            FROM ev, half WHERE event_id > h)
+         WHERE rn = 1)
+SELECT 'u' || CAST(post.user_id AS VARCHAR) AS doc_id,
+       CASE WHEN post.op = 'delete' THEN 'delete'
+            WHEN pre.user_id IS NOT NULL THEN 'update'
+            ELSE 'insert' END AS change_type,
+       CASE WHEN pre.user_id IS NOT NULL
+            THEN array_to_string([CAST(floor(pre.value * 100) AS INT)], ',') END AS pre_tokens_csv,
+       CASE WHEN post.op <> 'delete'
+            THEN array_to_string([CAST(floor(post.value * 100) AS INT)], ',') END AS post_tokens_csv,
+       CASE WHEN post.op <> 'delete' THEN post.event_type END AS post_source
+FROM post LEFT JOIN pre ON post.user_id = pre.user_id
+WHERE NOT (post.op = 'delete' AND pre.user_id IS NULL)
 """
 
 
@@ -1773,7 +1869,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   embed_ann_grid     ⊂ embed_near_dup (same grid-cell machinery)
     #   multimodal_decode  = the env-blocked fake codec; the REAL byte
     #                        path (multimodal_byte_features) is graded
-    # All 58 still run under tests/ and scripts/compare_oracle.py.
+    #   vocab_topk         ⊂ bpe_train (bpe_word_freq IS the same
+    #                        word-frequency aggregate, plus merges)
+    #   mix_rates          ⊂ mix_corpus (calls mix_rates internally,
+    #                        packing.py:172, and grades its rate_bp)
+    # All 60 still run under tests/ and scripts/compare_oracle.py.
     return {
         # --- graded window (1-50) ---
         "cdc_lww_collapse": q_cdc_lww_collapse,
@@ -1790,6 +1890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "events_sessionize": q_events_sessionize,
         "cdc_engine_replay": q_cdc_engine_replay,
+        "cdc_time_travel": q_cdc_time_travel,
+        "cdc_change_feed": q_cdc_change_feed,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1816,9 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "chunk_sequences": q_chunk_sequences,
         "shuffle_corpus": q_shuffle_corpus,
-        "vocab_topk": q_vocab_topk,
         "filter_corpus": q_filter_corpus,
-        "mix_rates": q_mix_rates,
         "mix_corpus": q_mix_corpus,
         "scrub_pii": q_scrub_pii,
         "lm_bigram_score": q_lm_bigram_score,
@@ -1827,6 +1927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "prepare_corpus": q_prepare_corpus,
         # --- tail (51+): subsumed by graded rows, see header comment ---
+        "vocab_topk": q_vocab_topk,
+        "mix_rates": q_mix_rates,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1855,6 +1957,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders_per_customer": SQL_TOPK,
         "events_sessionize": SQL_SESSIONIZE,
         "cdc_engine_replay": SQL_ENGINE_REPLAY,
+        "cdc_time_travel": SQL_TIME_TRAVEL,
+        "cdc_change_feed": SQL_CHANGE_FEED,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_LSH,
         "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
@@ -1881,9 +1985,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": SQL_CORPUS_STATS,
         "chunk_sequences": SQL_CHUNK,
         "shuffle_corpus": SQL_SHUFFLE,
-        "vocab_topk": SQL_VOCAB,
         "filter_corpus": SQL_FILTER_CORPUS,
-        "mix_rates": SQL_MIX_RATES,
         "mix_corpus": SQL_MIX_CORPUS,
         "scrub_pii": SQL_SCRUB_PII,
         "lm_bigram_score": SQL_LM_BIGRAM,
@@ -1891,6 +1993,8 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_tokenize": SQL_WORDPIECE,
         "bpe_train": SQL_BPE_TRAIN,
         "prepare_corpus": SQL_PREPARE,
+        "vocab_topk": SQL_VOCAB,
+        "mix_rates": SQL_MIX_RATES,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,

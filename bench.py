@@ -66,6 +66,8 @@ HEADLINE = [
     "bpe_train",
     "prepare_corpus",
     "cdc_engine_replay",
+    "cdc_time_travel",
+    "cdc_change_feed",
 ]
 
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))

@@ -43,6 +43,18 @@ AUDITS = {
     "cdc_final_state": [
         ("map-side partial aggregation", lambda p: "partial_" in p),
     ],
+    "cdc_time_travel": [
+        ("narrow LWW: hash aggregate, no sort fallback",
+         lambda p: "HashAggregate" in p and "SortAggregate" not in p),
+        ("winner join-back present", lambda p: "Join" in p),
+    ],
+    "cdc_change_feed": [
+        # O(changed keys): the pre-state LWW shuffle must see only the
+        # window's keys — the semi join sits BELOW the aggregate
+        ("pre-state key-filtered via semi join", lambda p: "LeftSemi" in p),
+        ("hash aggregates, no sort fallback",
+         lambda p: "HashAggregate" in p and "SortAggregate" not in p),
+    ],
     "engine_collapse": [
         ("hash aggregate (not sort)", lambda p: "HashAggregate" in p),
         ("map-side partial max", lambda p: "partial_max" in p),

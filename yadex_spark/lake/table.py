@@ -440,6 +440,243 @@ class LakeTable:
             out = out.where(F.col(SEQ_COL) >= kill_seq)
         return out.where(~F.col(DELETED_COL)).select(*cols)
 
+    # ---------- incremental change feed ----------
+
+    CHANGE_TYPE_COL = "change_type"
+    COMMIT_VERSION_COL = "_commit_version"
+
+    def table_changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Changelog between two committed versions (Delta CDF / Iceberg
+        ``create_changelog_view`` semantics): one row per key whose live
+        state changed in versions ``(v_from, v_to]``, with ``change_type``
+        ∈ {insert, update, delete}, pre-image columns (``pre_<col>``,
+        null for inserts), post-image columns (``post_<col>``, null for
+        deletes) and ``_commit_version`` — the snapshot that committed
+        the terminal change.  ``v_from=0`` means "since table creation"
+        (every live row classifies as insert).
+
+        This is the incremental-consumer read the reference lacks
+        entirely (yadex re-reads the full target to verify,
+        /root/reference/cmd/compare-dbs.go): downstream jobs tail the
+        lake the way the pipeline tails the oplog.
+
+        Scale shape — O(changed keys), never O(table):
+
+        - only the delta/append files committed INSIDE the window are
+          read in full (that union IS the change set);
+        - the pre-state LWW materialization at ``v_from`` is key-filtered
+          with a semi-join placed BELOW the per-key aggregate, so its
+          shuffle carries affected keys only (the scan itself prunes via
+          parquet footers once ``compact()`` has range-clustered the
+          base — same file-skip as :meth:`read_keys`);
+        - out-of-order replay safe: a window row that LOSES last-writer-
+          wins against the pre-state (a late epoch committing old
+          op_seqs) emits NO change row, because the live state did not
+          change.  Ordinal comparison uses the same packed
+          ``_seq << 20 | chain-rank`` BIGINT as :meth:`_materialize`,
+          with window ranks offset above the pre-chain's.
+
+        If the window contains a compaction or truncate, per-commit
+        attribution is gone (the same limitation as Iceberg CDF across
+        rewrites); falls back to a value-based full state diff between
+        the two versions — still correct as a change set, but an update
+        that rewrote an identical payload is then (correctly) absent.
+        """
+        all_snaps = self.snapshots()
+        if v_to is None:
+            v_to = all_snaps[-1].version if all_snaps else 0
+        if not (0 <= v_from <= v_to):
+            raise ValueError(f"need 0 <= v_from <= v_to, got ({v_from}, {v_to})")
+        window = [s for s in all_snaps if v_from < s.version <= v_to]
+        if any(s.action in ("truncate", "compact") for s in window):
+            return self._changes_by_diff(v_from, v_to)
+
+        pre_files, pre_kill = self._active_chain(v_from)
+        win_files = [s for s in window if s.files_dir is not None]
+        n_chain = len(pre_files) + len(win_files)
+        if n_chain >= (1 << self.ORD_VERSION_BITS):
+            raise RuntimeError(
+                f"chain of {n_chain} snapshots exceeds the ordering tiebreak "
+                f"capacity (2^{self.ORD_VERSION_BITS}) — run compact()"
+            )
+        # the window's drop barriers were excluded above, but a barrier
+        # committed AT OR BEFORE v_from still kills late pre-barrier rows
+        # arriving inside the window (barriers are seq-scoped, order-free)
+        _, kill_to = self._active_chain(v_to)
+
+        pre_payload = self._chain_payload_cols(pre_files)
+        win_payload = self._chain_payload_cols(win_files)
+        payload = pre_payload + [c for c in win_payload if c not in pre_payload]
+
+        if not win_files:
+            return self._empty_changes(payload)
+
+        post_all = self._union_ranked(win_files, rank_offset=len(pre_files))
+        if kill_to is not None:
+            post_all = post_all.where(F.col(SEQ_COL) >= kill_to)
+        post_w = post_all.groupBy("doc_id").agg(F.max("_ord").alias("_ord"))
+        post = post_all.join(post_w, ["doc_id", "_ord"])
+        # rank -> committing version, via a tiny array literal (the chain
+        # is manifest-sized; no join, no shuffle)
+        ver_by_rank = F.array(*[F.lit(s.version) for s in win_files])
+        post = post.withColumn(
+            self.COMMIT_VERSION_COL,
+            F.element_at(ver_by_rank, F.col(VERSION_COL) - len(pre_files) + 1),
+        )
+        keys = post.select("doc_id")
+
+        if pre_files:
+            pre_all = self._union_ranked(pre_files, rank_offset=0)
+            if pre_kill is not None:
+                pre_all = pre_all.where(F.col(SEQ_COL) >= pre_kill)
+            # key filter BELOW the aggregate: the LWW shuffle carries
+            # changed keys only (AQE broadcasts `keys` from runtime size
+            # on a trigger-bounded window)
+            pre_all = pre_all.join(keys, "doc_id", "left_semi")
+            pre_w = pre_all.groupBy("doc_id").agg(F.max("_ord").alias("_ord"))
+            pre = pre_all.join(pre_w, ["doc_id", "_ord"])
+        else:
+            pre = None
+
+        post_side = post.select(
+            "doc_id",
+            F.col("_ord").alias("_post_ord"),
+            F.col(DELETED_COL).alias("_post_del"),
+            self.COMMIT_VERSION_COL,
+            *[
+                (F.col(c) if c in win_payload else F.lit(None)).alias(f"post_{c}")
+                for c in payload
+            ],
+        )
+        if pre is not None:
+            pre_side = pre.select(
+                "doc_id",
+                F.col("_ord").alias("_pre_ord"),
+                (~F.col(DELETED_COL)).alias("_pre_live"),
+                *[
+                    (F.col(c) if c in pre_payload else F.lit(None)).alias(f"pre_{c}")
+                    for c in payload
+                ],
+            )
+            j = post_side.join(pre_side, "doc_id", "left")
+        else:
+            post_types = {f.name: f.dataType for f in post_side.schema.fields}
+            j = post_side.select(
+                "*",
+                F.lit(None).cast("long").alias("_pre_ord"),
+                F.lit(None).cast("boolean").alias("_pre_live"),
+                *[
+                    F.lit(None).cast(post_types[f"post_{c}"]).alias(f"pre_{c}")
+                    for c in payload
+                ],
+            )
+        pre_live = F.coalesce(F.col("_pre_live"), F.lit(False))
+        # stale window rows (late replay of already-superseded op_seqs)
+        # lose LWW against the pre-state: live state unchanged, no row
+        j = j.where(F.col("_pre_ord").isNull() | (F.col("_post_ord") > F.col("_pre_ord")))
+        change = (
+            F.when(F.col("_post_del") & pre_live, F.lit("delete"))
+            .when(F.col("_post_del"), F.lit(None))  # delete of a dead key
+            .when(pre_live, F.lit("update"))
+            .otherwise(F.lit("insert"))
+        )
+        j = j.withColumn(self.CHANGE_TYPE_COL, change).where(
+            F.col(self.CHANGE_TYPE_COL).isNotNull()
+        )
+        out_pre = [
+            F.when(pre_live, F.col(f"pre_{c}")).alias(f"pre_{c}") for c in payload
+        ]
+        out_post = [
+            F.when(~F.col("_post_del"), F.col(f"post_{c}")).alias(f"post_{c}")
+            for c in payload
+        ]
+        return j.select(
+            "doc_id", self.CHANGE_TYPE_COL, *out_pre, *out_post,
+            self.COMMIT_VERSION_COL,
+        )
+
+    def _union_ranked(self, snaps: list[Snapshot], rank_offset: int) -> DataFrame:
+        """Union data files with ``_ord = _seq << BITS | chain rank`` —
+        the read-side ordering key of :meth:`_materialize`, offset so
+        ranks stay globally comparable across a chain split."""
+        dfs = []
+        for i, s in enumerate(snaps):
+            df = self.spark.read.parquet(os.path.join(self.path, s.files_dir))
+            dfs.append(df.withColumn(VERSION_COL, F.lit(rank_offset + i)))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out.withColumn(
+            "_ord",
+            F.col(SEQ_COL) * F.lit(1 << self.ORD_VERSION_BITS) + F.col(VERSION_COL),
+        )
+
+    def _chain_payload_cols(self, snaps: list[Snapshot]) -> list[str]:
+        """Payload column names across a chain, from manifest schemas
+        (first-seen order) — no file reads."""
+        from pyspark.sql import types as T
+
+        out: list[str] = []
+        for s in snaps:
+            if not s.schema_ddl:
+                continue
+            dt = T.DataType.fromDDL(s.schema_ddl)
+            if not isinstance(dt, T.StructType):
+                continue
+            for f in dt.fields:
+                if f.name not in (SEQ_COL, DELETED_COL, "doc_id") and f.name not in out:
+                    out.append(f.name)
+        return out
+
+    def _empty_changes(self, payload: list[str]) -> DataFrame:
+        cols = (
+            ["doc_id string", f"{self.CHANGE_TYPE_COL} string"]
+            + [f"pre_{c} string" for c in payload]
+            + [f"post_{c} string" for c in payload]
+            + [f"{self.COMMIT_VERSION_COL} int"]
+        )
+        return self.spark.createDataFrame([], ", ".join(cols))
+
+    def _changes_by_diff(self, v_from: int, v_to: int) -> DataFrame:
+        """Fallback across a compact/truncate boundary: value-based full
+        state diff of the two versions.  O(table), like Iceberg CDF
+        re-derivation across a rewrite; attribution version is v_to."""
+        a, b = self.read(version=v_from), self.read(version=v_to)
+        payload = [c for c in a.columns if c != "doc_id"]
+        payload += [c for c in b.columns if c != "doc_id" and c not in payload]
+        l = a.select(
+            "doc_id", F.lit(True).alias("_pre_live"),
+            *[
+                (F.col(c) if c in a.columns else F.lit(None)).alias(f"pre_{c}")
+                for c in payload
+            ],
+        )
+        r = b.select(
+            "doc_id", F.lit(True).alias("_post_live"),
+            *[
+                (F.col(c) if c in b.columns else F.lit(None)).alias(f"post_{c}")
+                for c in payload
+            ],
+        )
+        j = l.join(r, "doc_id", "full_outer")
+        pre_s = F.struct(*[F.col(f"pre_{c}") for c in payload])
+        post_s = F.struct(*[F.col(f"post_{c}") for c in payload])
+        change = (
+            F.when(F.col("_pre_live").isNull(), F.lit("insert"))
+            .when(F.col("_post_live").isNull(), F.lit("delete"))
+            .when(pre_s.eqNullSafe(post_s), F.lit(None))  # unchanged
+            .otherwise(F.lit("update"))
+        )
+        j = j.withColumn(self.CHANGE_TYPE_COL, change).where(
+            F.col(self.CHANGE_TYPE_COL).isNotNull()
+        )
+        return j.select(
+            "doc_id", self.CHANGE_TYPE_COL,
+            *[F.col(f"pre_{c}") for c in payload],
+            *[F.col(f"post_{c}") for c in payload],
+            F.lit(v_to).alias(self.COMMIT_VERSION_COL),
+        )
+
 
 def prepare_delta(collapsed: DataFrame, keep_table: bool = False) -> DataFrame:
     """Collapsed micro-batch -> storage layout.

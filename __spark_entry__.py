@@ -1843,6 +1843,97 @@ m{i + 1} AS MATERIALIZED (SELECT freq, CASE WHEN b.lhs IS NULL THEN syms
 SQL_BPE_TRAIN = _bpe_oracle(12)
 
 
+_QM_DIM, _QM_ITERS, _QM_LR_SHIFT = 64, 3, 10
+
+#: label rule shared by both quality-model gates: y=1 for even-numbered
+#: sources (src0, src2, ...) — deterministic and source-separable
+_QM_LABEL = "CAST(substr(source, 4) AS INT) % 2 = 0"
+
+
+def _qm_labels(docs):
+    return docs.select(
+        "doc_id",
+        (F.substring("source", 4, 10).cast("int") % 2 == 0).cast("int").alias("y"),
+    )
+
+
+def q_quality_train(spark, sf):
+    """Distributed quality-classifier training (fastText/CCNet shape):
+    hashed bag-of-words features, linear model, 3 full-batch GD
+    iterations in exact integer fixed-point — bit-deterministic, so
+    the whole training run is oracle-checkable.  Output = the dim+1
+    learned weights (idx 64 = bias)."""
+    from yadex_spark.operators.qmodel import train_quality_model
+
+    docs = _t(spark, sf, "documents")
+    w = train_quality_model(
+        docs, _qm_labels(docs), dim=_QM_DIM, iters=_QM_ITERS, lr_shift=_QM_LR_SHIFT
+    )
+    return spark.createDataFrame(
+        [(i, int(x)) for i, x in enumerate(w)], "idx int, w long"
+    )
+
+
+def q_quality_score(spark, sf):
+    """Apply path on top of the full training lineage: train the model,
+    then score EVERY document (w·x fixed-point) — the downstream
+    keep/drop signal.  Grading this pins train + featurize + score."""
+    from yadex_spark.operators.qmodel import score_quality_model, train_quality_model
+
+    docs = _t(spark, sf, "documents")
+    w = train_quality_model(
+        docs, _qm_labels(docs), dim=_QM_DIM, iters=_QM_ITERS, lr_shift=_QM_LR_SHIFT
+    )
+    return score_quality_model(docs, w, dim=_QM_DIM)
+
+
+def _qm_oracle(final: str, dim: int = _QM_DIM, iters: int = _QM_ITERS,
+               lr_shift: int = _QM_LR_SHIFT) -> str:
+    """Unrolled DuckDB replay of the fixed-point GD loop (the BPE-oracle
+    pattern): per iteration a (predict, gradient, update) CTE block.
+    All-integer — DuckDB ``//`` truncates toward zero exactly like the
+    trainer's _trunc_div — so weights match Spark bit-for-bit."""
+    fp = 1 << 20  # qmodel.FP
+    lr = 1 << lr_shift
+    parts = [f"""
+WITH feats AS MATERIALIZED (
+  SELECT doc_id, idx, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5('qf|' || word), 1, 8) AS BIGINT) % {dim} AS INT) AS idx
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+  ) GROUP BY doc_id, idx
+  UNION ALL
+  SELECT doc_id, {dim} AS idx, CAST(1 AS BIGINT) AS cnt FROM documents
+),
+lab AS (SELECT doc_id,
+               CAST(CASE WHEN {_QM_LABEL} THEN 1 ELSE 0 END AS BIGINT) AS y
+        FROM documents),
+n AS (SELECT count(*) AS c FROM documents),
+spine AS (SELECT CAST(unnest(range({dim} + 1)) AS INT) AS idx),
+w0 AS (SELECT idx, CAST(0 AS BIGINT) AS w FROM spine)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+p{t} AS MATERIALIZED (
+  SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS pred
+  FROM feats f JOIN w{t - 1} w USING (idx) GROUP BY f.doc_id),
+g{t} AS MATERIALIZED (
+  SELECT f.idx, CAST(sum((p.pred - l.y * {fp}) * f.cnt) AS BIGINT) AS g
+  FROM feats f JOIN p{t} p USING (doc_id) JOIN lab l USING (doc_id)
+  GROUP BY f.idx),
+w{t} AS (
+  SELECT s.idx, CAST(w.w - (COALESCE(g.g, 0) // (n.c * {lr})) AS BIGINT) AS w
+  FROM spine s JOIN w{t - 1} w USING (idx) LEFT JOIN g{t} g USING (idx), n)""")
+    parts.append(final.format(w=f"w{iters}"))
+    return "".join(parts)
+
+
+SQL_QUALITY_TRAIN = _qm_oracle("\nSELECT idx, w FROM {w}")
+SQL_QUALITY_SCORE = _qm_oracle("""
+SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS score_fp
+FROM feats f JOIN {w} w USING (idx) GROUP BY f.doc_id""")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1873,7 +1964,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                        word-frequency aggregate, plus merges)
     #   mix_rates          ⊂ mix_corpus (calls mix_rates internally,
     #                        packing.py:172, and grades its rate_bp)
-    # All 60 still run under tests/ and scripts/compare_oracle.py.
+    #   decontaminate      ⊂ prepare_corpus (stage 3 IS exact n-gram
+    #                        decontamination, prepare.py:92-94)
+    #   sample_by_source   ⊂ mix_corpus (same salted-bucket keep/drop;
+    #                        mix computes the rates it is given)
+    # All 62 still run under tests/ and scripts/compare_oracle.py.
     return {
         # --- graded window (1-50) ---
         "cdc_lww_collapse": q_cdc_lww_collapse,
@@ -1910,9 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_byte_features": q_multimodal_byte_features,
         "pack_sequences": q_pack_sequences,
         "train_val_split": q_train_val_split,
-        "decontaminate": q_decontaminate,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "sample_by_source": q_sample_by_source,
         "cap_per_source": q_cap_per_source,
         "mask_spans": q_mask_spans,
         "corpus_stats": q_corpus_stats,
@@ -1925,10 +2018,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "wordpiece_tokenize": q_wordpiece_tokenize,
         "bpe_train": q_bpe_train,
+        "quality_train": q_quality_train,
+        "quality_score": q_quality_score,
         "prepare_corpus": q_prepare_corpus,
         # --- tail (51+): subsumed by graded rows, see header comment ---
         "vocab_topk": q_vocab_topk,
         "mix_rates": q_mix_rates,
+        "decontaminate": q_decontaminate,
+        "sample_by_source": q_sample_by_source,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1977,9 +2074,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_byte_features": SQL_MULTI_BYTES,
         "pack_sequences": SQL_PACK,
         "train_val_split": SQL_SPLIT,
-        "decontaminate": SQL_DECONTAM,
         "decontaminate_fuzzy": SQL_DECONTAM_FUZZY,
-        "sample_by_source": SQL_SAMPLE,
         "cap_per_source": SQL_CAP_PER_SOURCE,
         "mask_spans": SQL_MASK_SPANS,
         "corpus_stats": SQL_CORPUS_STATS,
@@ -1992,9 +2087,13 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": SQL_DSIR_WEIGHTS,
         "wordpiece_tokenize": SQL_WORDPIECE,
         "bpe_train": SQL_BPE_TRAIN,
+        "quality_train": SQL_QUALITY_TRAIN,
+        "quality_score": SQL_QUALITY_SCORE,
         "prepare_corpus": SQL_PREPARE,
         "vocab_topk": SQL_VOCAB,
         "mix_rates": SQL_MIX_RATES,
+        "decontaminate": SQL_DECONTAM,
+        "sample_by_source": SQL_SAMPLE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,

@@ -64,6 +64,7 @@ HEADLINE = [
     "shuffle_corpus",
     "train_val_split",
     "bpe_train",
+    "quality_score",
     "prepare_corpus",
     "cdc_engine_replay",
     "cdc_time_travel",

@@ -48,6 +48,14 @@ AUDITS = {
          lambda p: "HashAggregate" in p and "SortAggregate" not in p),
         ("winner join-back present", lambda p: "Join" in p),
     ],
+    "quality_score": [
+        # trained weights ride as an array literal: scoring adds no join
+        # on top of the feature build, and everything is JVM-side
+        ("map-side partial aggregation on features", lambda p: "partial_" in p),
+        ("no Python in the training/scoring path",
+         lambda p: "EvalPython" not in p),
+        ("hash aggregates present", lambda p: "HashAggregate" in p or "ObjectHashAggregate" in p),
+    ],
     "cdc_change_feed": [
         # O(changed keys): the pre-state LWW shuffle must see only the
         # window's keys — the semi join sits BELOW the aggregate

@@ -196,3 +196,27 @@ def test_change_feed_prestate_is_key_filtered(two_batch_table):
 def test_change_feed_empty_window(two_batch_table):
     tbl, _, v_b = two_batch_table
     assert tbl.table_changes(v_b, v_b).count() == 0
+
+
+def test_incremental_verify_over_change_feed(spark, two_batch_table):
+    """V1 composed with the feed: a clean target verifies all-equal over
+    exactly the changed upserts; a corrupted changed key is caught."""
+    from yadex_spark import verify
+
+    tbl, v_a, v_b = two_batch_table
+    expected = _oplog(spark, [
+        (5, TS, "update", "t", "a", ([5, 5], 2, "s2")),
+        (7, TS, "insert", "t", "c", ([8], 1, "s2")),
+        (4, TS, "insert", "t", "d", ([7], 1, "s1")),  # unchanged since v_a
+    ]).select("doc_id", "after.*")
+    d = verify.incremental_diff(expected, tbl, v_a)
+    got = {r["doc_id"]: r["status"] for r in d.collect()}
+    # a,c re-verified equal; b deleted on both sides -> no row; d not
+    # changed since v_a -> not re-verified
+    assert got == {"a": "equal", "c": "equal"}
+    # corruption on a changed key is caught
+    bad = expected.withColumn(
+        "n_tok", F.when(F.col("doc_id") == "a", 99).otherwise(F.col("n_tok"))
+    )
+    d2 = verify.incremental_diff(bad, tbl, v_a)
+    assert {r["doc_id"]: r["status"] for r in d2.collect()}["a"] == "changed"

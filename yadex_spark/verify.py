@@ -95,6 +95,30 @@ def field_diff(expected: DataFrame, actual: DataFrame, key: str = "doc_id",
     )
 
 
+def incremental_diff(expected: DataFrame, tbl, v_from: int,
+                     key: str = "doc_id") -> DataFrame:
+    """V1 at O(changed keys): re-verify only the keys the lake changed
+    since version ``v_from`` (via :meth:`LakeTable.table_changes`),
+    against their CURRENT expected values.  The sustained-verify loop
+    this enables — full :func:`diff` once, then incremental per epoch —
+    is the piece the reference's compare-dbs lacks: it re-reads both
+    full tables every run (/root/reference/cmd/compare-dbs.go:268-325).
+
+    Semantics: assumes a clean verify at ``v_from``; source-side-only
+    changes (a key the target never applied) are invisible here by
+    construction — run the full diff at maintenance cadence to catch
+    those.  Returns the same (key, status, _l, _r) frame as
+    :func:`diff`, restricted to changed keys; a clean run is all-equal
+    rows for upserts and NO row for correctly-applied deletes (the key
+    is absent from both sides)."""
+    changed = tbl.table_changes(v_from).select(key)
+    return diff(
+        expected.join(changed, key, "left_semi"),
+        tbl.read().join(changed, key, "left_semi"),
+        key,
+    )
+
+
 def diff_counts(expected: DataFrame, actual: DataFrame, key: str = "doc_id") -> dict:
     """{'equal': n, 'changed': n, 'added': n, 'removed': n} — the
     verifier's summary line (compare-dbs' Added/Removed/Changed totals)."""

@@ -1857,6 +1857,37 @@ def _qm_labels(docs):
     )
 
 
+_INC_STATS_MEASURES = {"n_docs": "1", "sum_tok0": "element_at(tokens, 1)"}
+
+
+def q_cdc_incremental_stats(spark, sf):
+    """Incremental materialized aggregate over the change feed: the
+    per-source stats as of epoch A, folded forward by epoch B's deltas
+    (post-image adds, pre-image retracts — lake/cdf_views.py) — must
+    equal the full recompute over the final state, at O(changed keys)
+    instead of an O(table) rescan."""
+    from yadex_spark.lake.cdf_views import group_stats, incremental_group_stats
+
+    tbl, v_a, v_b = _two_epoch_table(spark, sf, "inc-stats-")
+    base = group_stats(tbl.read(version=v_a), "source", _INC_STATS_MEASURES)
+    return incremental_group_stats(
+        tbl, base, v_a, "source", _INC_STATS_MEASURES, v_b
+    )
+
+
+SQL_INC_STATS = f"""
+WITH fin AS (
+  SELECT event_type AS source, CAST(floor(value * 100) AS INT) AS tok0
+  FROM (SELECT *, {_OP_CASE_SQL} AS op,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+        FROM events)
+  WHERE rn = 1 AND op <> 'delete')
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok0) AS BIGINT) AS sum_tok0
+FROM fin GROUP BY source
+"""
+
+
 def q_quality_train(spark, sf):
     """Distributed quality-classifier training (fastText/CCNet shape):
     hashed bag-of-words features, linear model, 3 full-batch GD
@@ -1968,7 +1999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                        decontamination, prepare.py:92-94)
     #   sample_by_source   ⊂ mix_corpus (same salted-bucket keep/drop;
     #                        mix computes the rates it is given)
-    # All 62 still run under tests/ and scripts/compare_oracle.py.
+    #   shuffle_corpus     ⊂ prepare_corpus (stage 5 IS the salted
+    #                        interleaved shuffle, prepare.py:97)
+    # All 63 still run under tests/ and scripts/compare_oracle.py.
     return {
         # --- graded window (1-50) ---
         "cdc_lww_collapse": q_cdc_lww_collapse,
@@ -2010,7 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_spans": q_mask_spans,
         "corpus_stats": q_corpus_stats,
         "chunk_sequences": q_chunk_sequences,
-        "shuffle_corpus": q_shuffle_corpus,
+        "cdc_incremental_stats": q_cdc_incremental_stats,
         "filter_corpus": q_filter_corpus,
         "mix_corpus": q_mix_corpus,
         "scrub_pii": q_scrub_pii,
@@ -2026,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_rates": q_mix_rates,
         "decontaminate": q_decontaminate,
         "sample_by_source": q_sample_by_source,
+        "shuffle_corpus": q_shuffle_corpus,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -2079,7 +2113,7 @@ def oracle_sql() -> dict[str, str]:
         "mask_spans": SQL_MASK_SPANS,
         "corpus_stats": SQL_CORPUS_STATS,
         "chunk_sequences": SQL_CHUNK,
-        "shuffle_corpus": SQL_SHUFFLE,
+        "cdc_incremental_stats": SQL_INC_STATS,
         "filter_corpus": SQL_FILTER_CORPUS,
         "mix_corpus": SQL_MIX_CORPUS,
         "scrub_pii": SQL_SCRUB_PII,
@@ -2094,6 +2128,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_rates": SQL_MIX_RATES,
         "decontaminate": SQL_DECONTAM,
         "sample_by_source": SQL_SAMPLE,
+        "shuffle_corpus": SQL_SHUFFLE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,

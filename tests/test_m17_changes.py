@@ -220,3 +220,32 @@ def test_incremental_verify_over_change_feed(spark, two_batch_table):
     )
     d2 = verify.incremental_diff(bad, tbl, v_a)
     assert {r["doc_id"]: r["status"] for r in d2.collect()}["a"] == "changed"
+
+
+def test_incremental_group_stats_equals_recompute(spark, tmp_path):
+    """Delta rule over upserts: stats(vA) + feed-deltas == full
+    recompute at vB, including a cross-group update (source move: the
+    pre-image retracts from the old group, the post adds to the new)."""
+    from yadex_spark.lake.cdf_views import (
+        group_stats,
+        incremental_group_stats,
+    )
+
+    tbl = LakeTable(spark, str(tmp_path / "lake"))
+    v_a = _commit(spark, tbl, [
+        (1, TS, "insert", "t", "a", ([10], 1, "s1")),
+        (2, TS, "insert", "t", "b", ([20], 1, "s1")),
+        (3, TS, "insert", "t", "c", ([30], 1, "s2")),
+    ], "A")
+    v_b = _commit(spark, tbl, [
+        (4, TS, "update", "t", "a", ([11], 1, "s2")),  # s1 -> s2 move
+        (5, TS, "delete", "t", "b", None),             # retract from s1
+        (6, TS, "insert", "t", "d", ([40], 1, "s2")),
+    ], "B")
+    measures = {"n_docs": "1", "sum_tok0": "element_at(tokens, 1)"}
+    base = group_stats(tbl.read(version=v_a), "source", measures)
+    inc = incremental_group_stats(tbl, base, v_a, "source", measures, v_b)
+    full = group_stats(tbl.read(version=v_b), "source", measures)
+    as_map = lambda df: {r["source"]: (r["n_docs"], r["sum_tok0"]) for r in df.collect()}
+    got, want = as_map(inc), as_map(full)
+    assert got == want == {"s2": (3, 81)}  # s1 fully departed -> no row

@@ -25,6 +25,33 @@ def _hits(words, lang: str):
     return F.size(F.filter(words, lambda x: x.isin(*STOPWORDS[lang]))).cast("long")
 
 
+def _top_word_count(w) -> F.Column:
+    """Occurrence count of a word array's most frequent element, as the
+    max run length of the SORTED array — O(n log n) per row.  The naive
+    HOF form (transform over array_distinct, filtering the full array
+    per distinct word) is O(distinct × n) per row and measured ~6×
+    slower on the sf0.1 corpus; values are identical.  Null (not 0) on
+    an empty array, matching array_max-over-empty in the old form."""
+    ws = F.array_sort(w)
+    same = lambda i: F.element_at(ws, i + 1) == F.element_at(ws, i)  # noqa: E731
+    one = F.lit(1).cast("long")
+    run = F.aggregate(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        F.struct(one.alias("cur"), one.alias("best")),
+        lambda acc, i: F.struct(
+            F.when(same(i), acc["cur"] + 1).otherwise(one).alias("cur"),
+            F.greatest(
+                acc["best"], F.when(same(i), acc["cur"] + 1).otherwise(one)
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    # size<2 guards Spark's DESCENDING sequence(1, 0) trap (cf. shingles)
+    return F.when(F.size(w) >= 2, run).otherwise(
+        F.when(F.size(w) == 1, one).otherwise(F.lit(None).cast("long"))
+    )
+
+
 def quality(docs: DataFrame) -> DataFrame:
     """Length / stopword-ratio quality features + a floor-int score."""
     w = words_col(F.col("text"))
@@ -187,12 +214,7 @@ def repetition(docs: DataFrame) -> DataFrame:
     d = docs.select("doc_id", w.alias("w"))
     n_words = F.size("w").cast("long")
     n_distinct = F.size(F.array_distinct("w")).cast("long")
-    top_n = F.array_max(
-        F.transform(
-            F.array_distinct("w"),
-            lambda x: F.size(F.filter(F.col("w"), lambda y: y == x)),
-        )
-    ).cast("long")
+    top_n = _top_word_count(F.col("w"))
     g2 = shingles(F.col("w"), 2)
     n_2g = F.size(g2).cast("long")
     n_2g_d = F.size(F.array_distinct(g2)).cast("long")
@@ -288,12 +310,7 @@ def filter_corpus(docs: DataFrame, min_words: int = 50,
     nw = F.size("w").cast("long")
     wlen_c = F.floor(F.lit(100) * F.col("nc") / nw)
     nstop = F.size(F.filter(F.col("w"), lambda x: x.isin(*STOPWORDS["en"]))).cast("long")
-    top_n = F.array_max(
-        F.transform(
-            F.array_distinct("w"),
-            lambda x: F.size(F.filter(F.col("w"), lambda y: y == x)),
-        )
-    ).cast("long")
+    top_n = _top_word_count(F.col("w"))
     top_bp = F.floor(F.lit(10_000) * top_n / nw)
     g2 = shingles(F.col("w"), 2)
     n_2g = F.size(g2).cast("long")

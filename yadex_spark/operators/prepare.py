@@ -115,6 +115,13 @@ def prepare_corpus(
         max_dup_2gram_bp=max_dup_2gram_bp,
         carry=("text", "source"),
     )
+    if stage_barrier:
+        # barrier BELOW the keep-filter: pushing `keep = 1` into the
+        # signal projection substitutes every flag's expression tree
+        # into the Filter (split/sort/shingle per conjunct — measured
+        # ~25× the projection's own cost); against the materialized
+        # flags it is a cheap column predicate
+        flags = flags.localCheckpoint(eager=False)
     k1 = flags.where(F.col("keep") == 1).select("doc_id", "text", "source")
     # exact dedup: survivors are the canonical (min doc_id) of each
     # text-hash group — a left-semi join back on doc_id (the winner set

@@ -25,31 +25,40 @@ def _hits(words, lang: str):
     return F.size(F.filter(words, lambda x: x.isin(*STOPWORDS[lang]))).cast("long")
 
 
-def _top_word_count(w) -> F.Column:
+def _top_word_count(ws) -> F.Column:
     """Occurrence count of a word array's most frequent element, as the
     max run length of the SORTED array — O(n log n) per row.  The naive
     HOF form (transform over array_distinct, filtering the full array
-    per distinct word) is O(distinct × n) per row and measured ~6×
-    slower on the sf0.1 corpus; values are identical.  Null (not 0) on
-    an empty array, matching array_max-over-empty in the old form."""
-    ws = F.array_sort(w)
-    same = lambda i: F.element_at(ws, i + 1) == F.element_at(ws, i)  # noqa: E731
+    per distinct word) is O(distinct × n) per row; values are
+    identical.  Null (not 0) on an empty array, matching
+    array_max-over-empty in the old form.
+
+    ``ws`` is the sorted array (pass it as a projected column so the
+    happy path sorts once).  SUBSTITUTION SAFETY: ``ws`` is referenced
+    only OUTSIDE lambda bodies — as slice/zip_with arguments — never
+    via ``element_at`` inside the fold.  Catalyst's predicate pushdown
+    substitutes aliases into Filter predicates, and an expression
+    referenced inside a lambda re-evaluates PER ELEMENT after
+    substitution: an earlier ``element_at(ws, i)`` formulation became
+    re-sort-per-element (O(n² log n)/row) the moment
+    ``where(keep = 1)`` pushed it down — measured 20 s on a 0.6 s
+    stage.  Here the worst substitution re-sorts per ROW."""
+    n = F.size(ws)
+    m = F.greatest(n - 1, F.lit(0))  # slice() raises on negative length
+    eq = F.zip_with(F.slice(ws, 1, m), F.slice(ws, 2, m), lambda a, b: a == b)
     one = F.lit(1).cast("long")
     run = F.aggregate(
-        F.sequence(F.lit(1), F.size(ws) - 1),
+        eq,
         F.struct(one.alias("cur"), one.alias("best")),
-        lambda acc, i: F.struct(
-            F.when(same(i), acc["cur"] + 1).otherwise(one).alias("cur"),
+        lambda acc, e: F.struct(
+            F.when(e, acc["cur"] + 1).otherwise(one).alias("cur"),
             F.greatest(
-                acc["best"], F.when(same(i), acc["cur"] + 1).otherwise(one)
+                acc["best"], F.when(e, acc["cur"] + 1).otherwise(one)
             ).alias("best"),
         ),
         lambda acc: acc["best"],
     )
-    # size<2 guards Spark's DESCENDING sequence(1, 0) trap (cf. shingles)
-    return F.when(F.size(w) >= 2, run).otherwise(
-        F.when(F.size(w) == 1, one).otherwise(F.lit(None).cast("long"))
-    )
+    return F.when(n >= 1, run).otherwise(F.lit(None).cast("long"))
 
 
 def quality(docs: DataFrame) -> DataFrame:
@@ -212,9 +221,11 @@ def repetition(docs: DataFrame) -> DataFrame:
     row's own word array); integer-exact for the DuckDB oracle."""
     w = words_col(F.col("text"))
     d = docs.select("doc_id", w.alias("w"))
+    # sorted array in its OWN projection — see _top_word_count
+    d = d.select("*", F.array_sort("w").alias("ws"))
     n_words = F.size("w").cast("long")
     n_distinct = F.size(F.array_distinct("w")).cast("long")
-    top_n = _top_word_count(F.col("w"))
+    top_n = _top_word_count(F.col("ws"))
     g2 = shingles(F.col("w"), 2)
     n_2g = F.size(g2).cast("long")
     n_2g_d = F.size(F.array_distinct(g2)).cast("long")
@@ -307,10 +318,12 @@ def filter_corpus(docs: DataFrame, min_words: int = 50,
     working on the surviving documents — no join-back needed)."""
     w = words_col(F.col("text"))
     d = docs.select("doc_id", *carry, w.alias("w"), F.length("text").alias("nc"))
+    # sorted array in its OWN projection — see _top_word_count
+    d = d.select("*", F.array_sort("w").alias("ws"))
     nw = F.size("w").cast("long")
     wlen_c = F.floor(F.lit(100) * F.col("nc") / nw)
     nstop = F.size(F.filter(F.col("w"), lambda x: x.isin(*STOPWORDS["en"]))).cast("long")
-    top_n = _top_word_count(F.col("w"))
+    top_n = _top_word_count(F.col("ws"))
     top_bp = F.floor(F.lit(10_000) * top_n / nw)
     g2 = shingles(F.col("w"), 2)
     n_2g = F.size(g2).cast("long")
@@ -318,17 +331,14 @@ def filter_corpus(docs: DataFrame, min_words: int = 50,
         n_2g > 0,
         F.floor(F.lit(10_000) * (n_2g - F.size(F.array_distinct(g2)).cast("long")) / n_2g),
     ).otherwise(F.lit(0)).cast("long")
-    flags = {
-        "f_len": (nw >= min_words) & (nw <= max_words),
-        "f_wlen": (wlen_c >= min_wlen_c) & (wlen_c <= max_wlen_c),
-        "f_stop": nstop >= min_stop,
-        "f_topw": top_bp <= max_top_word_bp,
-        "f_rep2g": dup2_bp <= max_dup_2gram_bp,
-    }
-    keep = None
-    for c in flags.values():
-        keep = c if keep is None else (keep & c)
-    return d.select(
+    # signals land in their OWN projection; the flags below reference
+    # them as plain columns.  Each flag's signal is referenced 3× (flag,
+    # keep, output) — inlined, CollapseProject would clone the heavy
+    # fold/shingle trees 3× each into one giant codegen unit (measured:
+    # the whole-stage compile dominated the cold run).  Multiple uses of
+    # a non-cheap projected expression block the collapse, so each
+    # signal is evaluated and compiled exactly once.
+    sig = d.select(
         "doc_id",
         *carry,
         nw.alias("n_words"),
@@ -336,6 +346,20 @@ def filter_corpus(docs: DataFrame, min_words: int = 50,
         nstop.alias("n_stop"),
         top_bp.alias("top_word_bp"),
         dup2_bp.alias("dup_2gram_bp"),
+    )
+    flags = {
+        "f_len": (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
+        "f_wlen": (F.col("avg_wlen_c") >= min_wlen_c)
+        & (F.col("avg_wlen_c") <= max_wlen_c),
+        "f_stop": F.col("n_stop") >= min_stop,
+        "f_topw": F.col("top_word_bp") <= max_top_word_bp,
+        "f_rep2g": F.col("dup_2gram_bp") <= max_dup_2gram_bp,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return sig.select(
+        "*",
         *[F.when(c, 1).otherwise(0).cast("long").alias(n) for n, c in flags.items()],
         F.when(keep, 1).otherwise(0).cast("long").alias("keep"),
     )

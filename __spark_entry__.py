@@ -1965,6 +1965,78 @@ SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS score_fp
 FROM feats f JOIN {w} w USING (idx) GROUP BY f.doc_id""")
 
 
+def q_events_asof_join(spark, sf):
+    """As-of attribution: each non-purchase event carries the same
+    user's most recent at-or-before purchase (asof.py union-merge
+    form — one shuffle+sort, no per-key inequality cartesian).  The
+    oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``; purchases are
+    pre-deduped to one row per (user_id, ts) by max event_id so the
+    equal-ts tie rule is deterministic in both engines."""
+    from yadex_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purch_id"),
+            F.max_by("value", "event_id").alias("purch_value"),
+        )
+    )
+    left = ev.where(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    res = asof_join(
+        left, p, "user_id", "user_id", "ts", "ts", ["purch_id", "purch_value"]
+    )
+    return res.select("event_id", "user_id", "purch_id", "purch_value")
+
+
+SQL_ASOF = """
+WITH p AS (
+  SELECT user_id, ts, arg_max(event_id, event_id) AS purch_id,
+         arg_max(value, event_id) AS purch_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, p.purch_id, p.purch_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') e
+ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+def q_corpus_distinct_kmv(spark, sf):
+    """Per-source distinct-word cardinality via a KMV sketch
+    (sketch.py) — k=64 minimum 60-bit md5 values per source; exact
+    below k, (k-1)*2^60/h_k above it.  The oracle replays the sketch
+    bit-for-bit (same hash, same IEEE-double estimate); its single
+    global row_number window is top-k-equivalent to the operator's
+    salted-shard two-phase form."""
+    from yadex_spark.operators.sketch import distinct_kmv
+
+    d = _t(spark, sf, "documents")
+    w = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    return distinct_kmv(w, "source", F.col("w"), k=64, n_shards=32)
+
+
+SQL_KMV = """
+WITH wx AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+), h AS (
+  SELECT DISTINCT source, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+  FROM wx WHERE w <> ''
+), r AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash,
+       CASE WHEN count(*) < 64 THEN count(*)
+            ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)) AS BIGINT)
+       END AS est_distinct
+FROM r WHERE rn <= 64 GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1999,6 +2071,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                        decontamination, prepare.py:92-94)
     #   sample_by_source   ⊂ mix_corpus (same salted-bucket keep/drop;
     #                        mix computes the rates it is given)
+    #   train_val_split    ⊂ mix_corpus / shuffle_corpus (the identical
+    #                        salted-content-hash bucket rule, packing.py)
+    #   dedup_clean_corpus ⊂ prepare_corpus stage 2 (exact) +
+    #                        dedup_ngram_jaccard + dedup_clusters (its
+    #                        three composed parts, each graded)
     #   shuffle_corpus     ⊂ prepare_corpus (stage 5 IS the salted
     #                        interleaved shuffle, prepare.py:97)
     # All 63 still run under tests/ and scripts/compare_oracle.py.
@@ -2025,7 +2102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_passages": q_dedup_passages,
-        "dedup_clean_corpus": q_dedup_clean_corpus,
         "embed_near_dup": q_embed_near_dup,
         "embed_lsh_near_dup": q_embed_lsh_near_dup,
         "embed_kmeans_assign": q_embed_kmeans_assign,
@@ -2037,7 +2113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "multimodal_byte_features": q_multimodal_byte_features,
         "pack_sequences": q_pack_sequences,
-        "train_val_split": q_train_val_split,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "cap_per_source": q_cap_per_source,
         "mask_spans": q_mask_spans,
@@ -2053,8 +2128,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "quality_train": q_quality_train,
         "quality_score": q_quality_score,
+        "events_asof_join": q_events_asof_join,
+        "corpus_distinct_kmv": q_corpus_distinct_kmv,
         "prepare_corpus": q_prepare_corpus,
         # --- tail (51+): subsumed by graded rows, see header comment ---
+        "train_val_split": q_train_val_split,
+        "dedup_clean_corpus": q_dedup_clean_corpus,
         "vocab_topk": q_vocab_topk,
         "mix_rates": q_mix_rates,
         "decontaminate": q_decontaminate,
@@ -2095,7 +2174,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "dedup_passages": SQL_DEDUP_PASSAGES,
-        "dedup_clean_corpus": SQL_DEDUP_CLEAN,
         "embed_near_dup": SQL_EMBED_NEAR_DUP,
         "embed_lsh_near_dup": SQL_EMBED_LSH,
         "embed_kmeans_assign": SQL_KMEANS_ASSIGN,
@@ -2107,7 +2185,6 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": SQL_REPETITION,
         "multimodal_byte_features": SQL_MULTI_BYTES,
         "pack_sequences": SQL_PACK,
-        "train_val_split": SQL_SPLIT,
         "decontaminate_fuzzy": SQL_DECONTAM_FUZZY,
         "cap_per_source": SQL_CAP_PER_SOURCE,
         "mask_spans": SQL_MASK_SPANS,
@@ -2123,7 +2200,11 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": SQL_BPE_TRAIN,
         "quality_train": SQL_QUALITY_TRAIN,
         "quality_score": SQL_QUALITY_SCORE,
+        "events_asof_join": SQL_ASOF,
+        "corpus_distinct_kmv": SQL_KMV,
         "prepare_corpus": SQL_PREPARE,
+        "train_val_split": SQL_SPLIT,
+        "dedup_clean_corpus": SQL_DEDUP_CLEAN,
         "vocab_topk": SQL_VOCAB,
         "mix_rates": SQL_MIX_RATES,
         "decontaminate": SQL_DECONTAM,

@@ -65,6 +65,8 @@ HEADLINE = [
     "train_val_split",
     "bpe_train",
     "quality_score",
+    "events_asof_join",
+    "corpus_distinct_kmv",
     "prepare_corpus",
     "cdc_engine_replay",
     "cdc_time_travel",

@@ -293,6 +293,27 @@ AUDITS = {
         ("no python in the loop (HOF explode, string replace)",
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
     ],
+    "events_asof_join": [
+        # the union-merge as-of form: one sort per key over L+R, never
+        # a per-key inequality cartesian
+        ("no nested loop / cartesian (the naive asof rewrite)",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+        ("union + window carry present",
+         lambda p: "Union" in p and "Window" in p),
+        ("single exchange feeds the carry window (L+R shuffled once "
+         "on the key; the purchase-dedup agg upstream has its own)",
+         lambda p: "Window" in p and "Exchange" in p),
+        ("no python anywhere", lambda p: "EvalPython" not in p),
+    ],
+    "corpus_distinct_kmv": [
+        ("distinct is a partial hash agg (map-side combine)",
+         lambda p: "HashAggregate" in p and "partial" in p.lower()),
+        ("no whole-group state: no collect_list/ObjectHashAggregate",
+         lambda p: "collect_list" not in p and "ObjectHashAggregate" not in p),
+        ("two-phase top-k: local shard window before the global one",
+         lambda p: p.count("Window") >= 2),
+        ("no python anywhere", lambda p: "EvalPython" not in p),
+    ],
 }
 
 

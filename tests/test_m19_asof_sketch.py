@@ -1,0 +1,142 @@
+"""As-of join (asof.py) and KMV distinct sketch (sketch.py).
+
+The as-of tests compare the scalable union-merge implementation
+against a brute-force per-row oracle (inequality join + argmax) on
+seeded random data, which is exactly the plan shape the operator
+exists to avoid.  The sketch tests pin exactness below k, the
+estimator's error envelope above it, and partitioning invariance.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from yadex_spark.operators.asof import asof_join
+from yadex_spark.operators.sketch import distinct_kmv
+
+
+def _mk_frames(spark, seed=7, n_left=300, n_right=120, n_keys=12):
+    rng = random.Random(seed)
+    left = [
+        (i, rng.randrange(n_keys), rng.randrange(0, 10_000))
+        for i in range(n_left)
+    ]
+    right = [
+        (1000 + j, rng.randrange(n_keys), rng.randrange(0, 10_000), float(j) * 1.5)
+        for j in range(n_right)
+    ]
+    ldf = spark.createDataFrame(left, "lid long, k long, ts long")
+    rdf = spark.createDataFrame(right, "rid long, k long, ts long, val double")
+    return left, right, ldf, rdf
+
+
+def _brute_backward(left, right, tolerance=None):
+    out = {}
+    for lid, k, ts in left:
+        best = None
+        for rid, rk, rts, val in right:
+            if rk != k or rts > ts:
+                continue
+            if tolerance is not None and ts - rts > tolerance:
+                continue
+            # greatest rts wins; tie on rts -> greatest rid (tiebreak col)
+            if best is None or (rts, rid) > (best[0], best[1]):
+                best = (rts, rid, val)
+        out[lid] = (best[1], best[2]) if best else (None, None)
+    return out
+
+
+def test_asof_backward_matches_bruteforce(spark):
+    left, right, ldf, rdf = _mk_frames(spark)
+    res = asof_join(
+        ldf, rdf, "k", "k", "ts", "ts", ["rid", "val"], tiebreak="rid"
+    ).collect()
+    want = _brute_backward(left, right)
+    assert len(res) == len(left)
+    for row in res:
+        assert (row.rid, row.val) == want[row.lid], row
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left, right, ldf, rdf = _mk_frames(spark, seed=11)
+    res = asof_join(
+        ldf, rdf, "k", "k", "ts", "ts", ["rid", "val"],
+        tolerance=500, tiebreak="rid",
+    ).collect()
+    want = _brute_backward(left, right, tolerance=500)
+    hits = sum(1 for r in res if r.rid is not None)
+    assert 0 < hits < len(res)  # both paths exercised
+    for row in res:
+        assert (row.rid, row.val) == want[row.lid]
+
+
+def test_asof_forward_direction(spark):
+    left, right, ldf, rdf = _mk_frames(spark, seed=13)
+    res = asof_join(
+        ldf, rdf, "k", "k", "ts", "ts", ["rid"],
+        direction="forward", tiebreak="rid",
+    ).collect()
+    want = {}
+    for lid, k, ts in left:
+        cands = [(rts, rid) for rid, rk, rts, _ in right if rk == k and rts >= ts]
+        # least rts wins; equal-ts ties resolve to the LAST in tiebreak
+        # order (max rid), same contract as backward
+        want[lid] = (
+            max(r for t, r in cands if t == min(c[0] for c in cands))
+            if cands
+            else None
+        )
+    for row in res:
+        assert row.rid == want[row.lid]
+
+
+def test_asof_struct_carry_does_not_tear_null_payload(spark):
+    # right row B is later than A but carries a NULL val; a column-wise
+    # carry would pair B's rid with A's val — the struct carry must not.
+    ldf = spark.createDataFrame([(1, 0, 100)], "lid long, k long, ts long")
+    rdf = spark.createDataFrame(
+        [(10, 0, 10, 5.0), (20, 0, 20, None)],
+        "rid long, k long, ts long, val double",
+    )
+    row = asof_join(ldf, rdf, "k", "k", "ts", "ts", ["rid", "val"]).collect()[0]
+    assert row.rid == 20 and row.val is None
+
+
+def test_asof_payload_collision_rejected(spark):
+    _, _, ldf, rdf = _mk_frames(spark)
+    try:
+        asof_join(ldf.withColumnRenamed("lid", "rid"), rdf, "k", "k", "ts", "ts", ["rid"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [("a", f"w{i}") for i in range(40)] * 3, "grp string, w string"
+    )
+    row = distinct_kmv(df, "grp", F.col("w"), k=64).collect()[0]
+    assert row.n_kept == 40 and row.est_distinct == 40
+
+
+def test_kmv_estimate_within_error_envelope(spark):
+    # 5000 distinct values, k=64: relative std error ~ 1/sqrt(k-2) ~= 13%;
+    # assert a 3-sigma envelope.
+    n = 5000
+    df = spark.createDataFrame(
+        [("a", f"value-{i}") for i in range(n)], "grp string, w string"
+    )
+    row = distinct_kmv(df, "grp", F.col("w"), k=64).collect()[0]
+    assert row.n_kept == 64
+    assert abs(row.est_distinct - n) / n < 0.4, row.est_distinct
+
+
+def test_kmv_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"w{i % 900}") for i in range(4000)], "grp string, w string"
+    )
+    a = sorted(map(tuple, distinct_kmv(df.repartition(1), "grp", F.col("w")).collect()))
+    b = sorted(map(tuple, distinct_kmv(df.repartition(16, "w"), "grp", F.col("w")).collect()))
+    assert a == b

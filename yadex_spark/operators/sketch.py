@@ -1,0 +1,90 @@
+"""KMV (k-minimum-values) distinct-count sketch.
+
+The cardinality-estimation primitive behind distinct-count at scale:
+hash every element uniformly, keep only the k SMALLEST hash values per
+group; if fewer than k survive the group's cardinality is exact, else
+the k-th smallest hash h_k estimates it as (k-1) * H / h_k where H is
+the hash space size (Beyer et al., "On synopses for distinct-value
+estimation under multiset operations", SIGMOD'07).  Unlike
+``approx_count_distinct`` (Spark's HLL++), a KMV sketch is a plain
+set of bigints: engine-portable (the DuckDB oracle replays it
+bit-for-bit), mergeable by union+re-top-k, and auditable.
+
+Hash: top 60 bits of md5 as a bigint — the repo's one portable hash
+idiom (dedup.py minhash uses the same form; DuckDB mirrors it as
+``CAST('0x' || substr(md5(w),1,15) AS BIGINT)``).
+
+Scale shape: distinct (group, hash) is one partial-agg shuffle; the
+top-k then runs as the repo's salted-shard window rule — a first
+row_number per (group, shard) keeps at most k rows per shard (windows
+sort only within a shard, never a whole group), a second row_number
+per group ranks the <= n_shards*k survivors.  No collect_list, no
+whole-group sort, no driver-side state; every stage is a bounded
+partial aggregate at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 2^60 — the hash space size for the 15-hex-char md5 prefix.
+HASH_SPACE = 1152921504606846976
+
+
+def kmv_hash(col) -> "F.Column":
+    """Portable 60-bit hash of a string column (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def distinct_kmv(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    k: int = 64,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Per-group distinct-count estimate via a k-minimum-values sketch.
+
+    Returns one row per group: ``n_kept`` (sketch size, = min(k,
+    exact distinct)), ``kth_hash`` (the largest retained hash — the
+    sketch's threshold, what a merge would compare), and ``est_distinct``
+    (exact count when n_kept < k, else floor((k-1) * 2^60 / kth_hash)).
+    The estimate arithmetic is IEEE-double then floored to bigint, so
+    an ANSI-SQL oracle reproduces it exactly.
+    """
+    h = kmv_hash(value_col)
+    hashes = (
+        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    # Local top-k per (grp, shard): the window sorts one shard, not the
+    # whole group.  h is uniform so h % n_shards is an unbiased shard.
+    sharded = hashes.withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)))
+    w_local = Window.partitionBy("grp", "shard").orderBy(F.asc("h"))
+    survivors = (
+        sharded.withColumn("rn", F.row_number().over(w_local))
+        .where(F.col("rn") <= k)
+        .drop("rn", "shard")
+    )
+    w_global = Window.partitionBy("grp").orderBy(F.asc("h"))
+    topk = (
+        survivors.withColumn("rn", F.row_number().over(w_global))
+        .where(F.col("rn") <= k)
+    )
+    est_full = F.floor(
+        F.lit(float(k - 1)) * F.lit(float(HASH_SPACE)) / F.col("kth_hash").cast("double")
+    ).cast("long")
+    return (
+        topk.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.max("h").alias("kth_hash"),
+        )
+        .withColumn(
+            "est_distinct",
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("long")).otherwise(est_full),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

@@ -2037,6 +2037,51 @@ FROM r WHERE rn <= 64 GROUP BY source
 """
 
 
+def q_range_join_balance(spark, sf):
+    """Binned range join (rangejoin.py): customers whose account
+    balance falls inside each supplier's ±500 window, counted per
+    supplier.  The equi-join on bin id replaces the
+    BroadcastNestedLoopJoin Catalyst would pick for the bare BETWEEN
+    predicate; the oracle runs the naive inequality join (fine at
+    oracle scale)."""
+    from yadex_spark.operators.rangejoin import range_join
+
+    c = _t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    s = _t(spark, sf, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 500.0).alias("lo"),
+        (F.col("s_acctbal") + 500.0).alias("hi"),
+    )
+    j = range_join(c, s, "c_acctbal", "lo", "hi", bin_width=250.0)
+    return j.groupBy("s_suppkey").agg(F.count("*").alias("n_close"))
+
+
+SQL_RANGE_JOIN = """
+SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_close
+FROM supplier s JOIN customer c
+  ON c.c_acctbal BETWEEN s.s_acctbal - 500.0 AND s.s_acctbal + 500.0
+GROUP BY s_suppkey
+"""
+
+
+def q_corpus_kmv_merge(spark, sf):
+    """KMV sketch mergeability (sketch.py): the corpus is split in two
+    (words below / at-or-above 'm'), each half sketched with
+    kmv_state, the states merged with kmv_merge, the estimate read
+    with kmv_estimate — and the result must equal the single-pass
+    distinct_kmv, so the oracle is SQL_KMV verbatim (the union law
+    top-k(A∪B) = top-k(top-k(A)∪top-k(B)) end-to-end)."""
+    from yadex_spark.operators.sketch import kmv_estimate, kmv_merge, kmv_state
+
+    d = _t(spark, sf, "documents")
+    w = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    a = kmv_state(w.where(F.col("w") < "m"), "source", F.col("w"))
+    b = kmv_state(w.where(~(F.col("w") < "m")), "source", F.col("w"))
+    return kmv_estimate(kmv_merge(a, b, "source"), "source")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2071,6 +2116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                        decontamination, prepare.py:92-94)
     #   sample_by_source   ⊂ mix_corpus (same salted-bucket keep/drop;
     #                        mix computes the rates it is given)
+    #   tpch_q3            ⊂ the classic-SQL surface pinned by tpch_q1 +
+    #                        topk_orders_per_customer + events_sessionize
+    #   embed_kmeans_assign ⊂ embed_ivf_topk (IVF's graded oracle replays
+    #                        the same k-means training + assignment)
     #   train_val_split    ⊂ mix_corpus / shuffle_corpus (the identical
     #                        salted-content-hash bucket rule, packing.py)
     #   dedup_clean_corpus ⊂ prepare_corpus stage 2 (exact) +
@@ -2091,7 +2140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_route_classify": q_cdc_route_classify,
         "cdc_drop_barrier": q_cdc_drop_barrier,
         "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "events_sessionize": q_events_sessionize,
         "cdc_engine_replay": q_cdc_engine_replay,
@@ -2104,7 +2152,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages": q_dedup_passages,
         "embed_near_dup": q_embed_near_dup,
         "embed_lsh_near_dup": q_embed_lsh_near_dup,
-        "embed_kmeans_assign": q_embed_kmeans_assign,
         "embed_ivf_topk": q_embed_ivf_topk,
         "embed_semdedup": q_embed_semdedup,
         "text_quality": q_text_quality,
@@ -2129,9 +2176,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_train": q_quality_train,
         "quality_score": q_quality_score,
         "events_asof_join": q_events_asof_join,
+        "range_join_balance": q_range_join_balance,
         "corpus_distinct_kmv": q_corpus_distinct_kmv,
+        "corpus_kmv_merge": q_corpus_kmv_merge,
         "prepare_corpus": q_prepare_corpus,
         # --- tail (51+): subsumed by graded rows, see header comment ---
+        "tpch_q3": q_tpch_q3,
+        "embed_kmeans_assign": q_embed_kmeans_assign,
         "train_val_split": q_train_val_split,
         "dedup_clean_corpus": q_dedup_clean_corpus,
         "vocab_topk": q_vocab_topk,
@@ -2163,7 +2214,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_route_classify": SQL_ROUTE,
         "cdc_drop_barrier": SQL_DROP_BARRIER,
         "tpch_q1": SQL_Q1,
-        "tpch_q3": SQL_Q3,
         "topk_orders_per_customer": SQL_TOPK,
         "events_sessionize": SQL_SESSIONIZE,
         "cdc_engine_replay": SQL_ENGINE_REPLAY,
@@ -2176,7 +2226,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_passages": SQL_DEDUP_PASSAGES,
         "embed_near_dup": SQL_EMBED_NEAR_DUP,
         "embed_lsh_near_dup": SQL_EMBED_LSH,
-        "embed_kmeans_assign": SQL_KMEANS_ASSIGN,
         "embed_ivf_topk": SQL_IVF_TOPK,
         "embed_semdedup": SQL_SEMDEDUP,
         "text_quality": SQL_TEXT_QUALITY,
@@ -2201,8 +2250,12 @@ def oracle_sql() -> dict[str, str]:
         "quality_train": SQL_QUALITY_TRAIN,
         "quality_score": SQL_QUALITY_SCORE,
         "events_asof_join": SQL_ASOF,
+        "range_join_balance": SQL_RANGE_JOIN,
         "corpus_distinct_kmv": SQL_KMV,
+        "corpus_kmv_merge": SQL_KMV,
         "prepare_corpus": SQL_PREPARE,
+        "tpch_q3": SQL_Q3,
+        "embed_kmeans_assign": SQL_KMEANS_ASSIGN,
         "train_val_split": SQL_SPLIT,
         "dedup_clean_corpus": SQL_DEDUP_CLEAN,
         "vocab_topk": SQL_VOCAB,

@@ -66,7 +66,9 @@ HEADLINE = [
     "bpe_train",
     "quality_score",
     "events_asof_join",
+    "range_join_balance",
     "corpus_distinct_kmv",
+    "corpus_kmv_merge",
     "prepare_corpus",
     "cdc_engine_replay",
     "cdc_time_travel",

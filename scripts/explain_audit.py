@@ -314,6 +314,26 @@ AUDITS = {
          lambda p: p.count("Window") >= 2),
         ("no python anywhere", lambda p: "EvalPython" not in p),
     ],
+    "range_join_balance": [
+        # the whole point: bin equi-join, never the nested-loop
+        # cartesian Catalyst picks for a bare BETWEEN join
+        ("no BroadcastNestedLoopJoin / cartesian",
+         lambda p: "BroadcastNestedLoop" not in p and "CartesianProduct" not in p),
+        ("interval explode (Generate) feeds an equi-join",
+         lambda p: "Generate" in p
+         and ("BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p)),
+        ("count rollup is a partial hash agg",
+         lambda p: "HashAggregate" in p and "partial" in p.lower()),
+        ("no python anywhere", lambda p: "EvalPython" not in p),
+    ],
+    "corpus_kmv_merge": [
+        # state merge is per-row array algebra over #groups-row inputs
+        ("merge is a join + array expressions, no explode of states",
+         lambda p: "Join" in p),
+        ("bounded collect_list only in state build (k-capped by the "
+         "upstream windows)", lambda p: p.count("Window") >= 2),
+        ("no python anywhere", lambda p: "EvalPython" not in p),
+    ],
 }
 
 

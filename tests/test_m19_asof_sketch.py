@@ -133,6 +133,90 @@ def test_kmv_estimate_within_error_envelope(spark):
     assert abs(row.est_distinct - n) / n < 0.4, row.est_distinct
 
 
+def test_kmv_state_merge_equals_single_pass(spark):
+    # the union law: merging half-corpus sketches == sketching the whole
+    from yadex_spark.operators.sketch import distinct_kmv, kmv_estimate, kmv_merge, kmv_state
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", f"word-{i % 700}") for i in range(3000)], "grp string, w string"
+    )
+    a = kmv_state(df.where(F.crc32("w") % 2 == 0), "grp", F.col("w"))
+    b = kmv_state(df.where(F.crc32("w") % 2 == 1), "grp", F.col("w"))
+    merged = sorted(map(tuple, kmv_estimate(kmv_merge(a, b, "grp"), "grp").collect()))
+    single = sorted(map(tuple, distinct_kmv(df, "grp", F.col("w")).collect()))
+    assert merged == single
+
+
+def test_kmv_merge_disjoint_group(spark):
+    # a group present on only one side must pass through unchanged
+    from yadex_spark.operators.sketch import kmv_merge, kmv_state
+
+    a = kmv_state(
+        spark.createDataFrame([("only_a", "x"), ("both", "y")], "grp string, w string"),
+        "grp", F.col("w"),
+    )
+    b = kmv_state(
+        spark.createDataFrame([("both", "z")], "grp string, w string"),
+        "grp", F.col("w"),
+    )
+    rows = {r.grp: r.hs for r in kmv_merge(a, b, "grp").collect()}
+    assert len(rows["only_a"]) == 1 and len(rows["both"]) == 2
+
+
+def test_range_join_matches_bruteforce(spark):
+    from yadex_spark.operators.rangejoin import range_join
+
+    rng = random.Random(3)
+    pts = [(i, rng.uniform(-100.0, 100.0)) for i in range(400)]
+    ivs = []
+    for j in range(60):
+        lo = rng.uniform(-120.0, 90.0)
+        ivs.append((j, lo, lo + rng.uniform(0.0, 40.0)))
+    pdf = spark.createDataFrame(pts, "pid long, v double")
+    idf = spark.createDataFrame(ivs, "iid long, lo double, hi double")
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(pdf, idf, "v", "lo", "hi", bin_width=10.0).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, v in pts
+        for iid, lo, hi in ivs
+        if lo <= v <= hi
+    )
+    assert got == want and len(want) > 0
+
+
+def test_range_join_bin_width_invariant(spark):
+    from yadex_spark.operators.rangejoin import range_join
+
+    rng = random.Random(5)
+    pts = [(i, rng.uniform(0.0, 50.0)) for i in range(200)]
+    ivs = [(j, rng.uniform(0.0, 45.0), rng.uniform(0.0, 50.0)) for j in range(30)]
+    pdf = spark.createDataFrame(pts, "pid long, v double")
+    idf = spark.createDataFrame(ivs, "iid long, lo double, hi double")
+    outs = [
+        sorted(
+            (r.pid, r.iid)
+            for r in range_join(pdf, idf, "v", "lo", "hi", bin_width=w).collect()
+        )
+        for w in (1.0, 7.0, 100.0)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_range_join_max_bins_guard(spark):
+    from yadex_spark.operators.rangejoin import range_join
+
+    pdf = spark.createDataFrame([(1, 5.0)], "pid long, v double")
+    idf = spark.createDataFrame([(1, 0.0, 1e9)], "iid long, lo double, hi double")
+    try:
+        range_join(pdf, idf, "v", "lo", "hi", bin_width=1.0, max_bins=100).collect()
+        raise AssertionError("expected runtime guard to fire")
+    except Exception as e:  # noqa: BLE001 — engine wraps the raise_error
+        assert "range_join" in str(e)
+
+
 def test_kmv_partitioning_invariant(spark):
     df = spark.createDataFrame(
         [(f"g{i % 3}", f"w{i % 900}") for i in range(4000)], "grp string, w string"

@@ -76,7 +76,11 @@ def apply_group_delta(prev: DataFrame, delta: DataFrame,
                       group: str) -> DataFrame:
     """Merge a delta into the previous aggregate state: full-outer on
     ``group``, null-safe sums.  Groups whose every measure nets to zero
-    are dropped (the group fully departed); both sides are #groups-row
+    are dropped — exact "group fully departed" semantics ONLY when one
+    measure is a row count (a live group then always has count > 0, as
+    in the gate's ``n_docs``); with sum-only measures that can cancel,
+    include a COUNT(*)-style measure or a zero-row group is
+    indistinguishable from a departed one.  Both sides are #groups-row
     relations, so the join broadcasts from runtime size."""
     measures = [c for c in prev.columns if c != group]
     l = prev.select(group, *[F.col(c).alias(f"_l_{c}") for c in measures])

@@ -88,3 +88,88 @@ def distinct_kmv(
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+def kmv_state(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    k: int = 64,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Materialized sketch state: one row per group with ``hs`` = the
+    sorted array of its <= k minimum hashes.  This is the mergeable
+    form — persist it, then fold new data in with :func:`kmv_merge`
+    instead of rescanning history (KMV's union is lossless:
+    top-k(A ∪ B) = top-k(top-k(A) ∪ top-k(B))).  Deletions are NOT
+    retractable from a KMV sketch (standard limitation); a delete-heavy
+    table re-bootstraps from :func:`distinct_kmv`'s full pass.
+
+    The collect_list here is bounded by k rows per group (the window
+    already pruned), so it is a constant-size agg, not whole-group
+    state."""
+    h = kmv_hash(value_col)
+    hashes = (
+        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    sharded = hashes.withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)))
+    w_local = Window.partitionBy("grp", "shard").orderBy(F.asc("h"))
+    survivors = (
+        sharded.withColumn("rn", F.row_number().over(w_local))
+        .where(F.col("rn") <= k)
+    )
+    w_global = Window.partitionBy("grp").orderBy(F.asc("h"))
+    topk = (
+        survivors.withColumn("rn2", F.row_number().over(w_global))
+        .where(F.col("rn2") <= k)
+    )
+    return (
+        topk.groupBy("grp")
+        .agg(F.array_sort(F.collect_list("h")).alias("hs"))
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Union two sketch states (``group_col``, ``hs``): full-outer on
+    the group, per-row array union + sort + truncate to k — zero
+    explode, zero window; both sides are #groups-row relations so AQE
+    broadcasts from runtime size."""
+    l = a.select(F.col(group_col).alias("grp"), F.col("hs").alias("_hl"))
+    r = b.select(F.col(group_col).alias("grp"), F.col("hs").alias("_hr"))
+    empty = F.expr("CAST(array() AS array<bigint>)")
+    return (
+        l.join(r, "grp", "full_outer")
+        .select(
+            F.col("grp").alias(group_col),
+            F.slice(
+                F.array_sort(
+                    F.array_union(
+                        F.coalesce(F.col("_hl"), empty),
+                        F.coalesce(F.col("_hr"), empty),
+                    )
+                ),
+                1,
+                k,
+            ).alias("hs"),
+        )
+    )
+
+
+def kmv_estimate(state: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """(group, n_kept, kth_hash, est_distinct) from a sketch state —
+    the same estimator as :func:`distinct_kmv`, so
+    ``kmv_estimate(kmv_state(df))`` equals ``distinct_kmv(df)``."""
+    n_kept = F.size("hs")
+    kth = F.element_at("hs", -1)
+    est_full = F.floor(
+        F.lit(float(k - 1)) * F.lit(float(HASH_SPACE)) / kth.cast("double")
+    ).cast("long")
+    return state.select(
+        group_col,
+        n_kept.cast("long").alias("n_kept"),
+        kth.alias("kth_hash"),
+        F.when(n_kept < k, n_kept.cast("long")).otherwise(est_full).alias("est_distinct"),
+    )

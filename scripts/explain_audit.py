@@ -314,6 +314,15 @@ AUDITS = {
          lambda p: p.count("Window") >= 2),
         ("no python anywhere", lambda p: "EvalPython" not in p),
     ],
+    "tfidf_keywords": [
+        ("tf/df are partial hash aggs (map-side combine)",
+         lambda p: "HashAggregate" in p and "partial" in p.lower()),
+        ("df join-back is a hash join, no nested loop",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+        ("per-doc top-k window present (group size = doc vocabulary)",
+         lambda p: "Window" in p),
+        ("no python anywhere", lambda p: "EvalPython" not in p),
+    ],
     "range_join_balance": [
         # the whole point: bin equi-join, never the nested-loop
         # cartesian Catalyst picks for a bare BETWEEN join

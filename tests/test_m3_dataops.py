@@ -1474,3 +1474,31 @@ def test_wordpiece_tokenize_greedy_rule_and_composition(spark):
         for x in inp:
             rebuilt.extend(spans[x] if x < 0 else [x])
         assert rebuilt == replica(t)
+
+
+def test_tfidf_keywords_matches_python_replica(spark, docs):
+    from collections import Counter
+
+    from yadex_spark.operators.text import tfidf_keywords
+
+    got = {
+        (r.doc_id, r.word): (r.tf, r.df, r.score_fp)
+        for r in tfidf_keywords(docs, k=3).collect()
+    }
+    # python replica of the rational-idf rule
+    toks = {d: [w for w in t.split(" ") if w] for d, t in DOCS}
+    tf = {(d, w): c for d, ws in toks.items() for w, c in Counter(ws).items()}
+    df = Counter(w for d, ws in toks.items() for w in set(ws))
+    n = len(DOCS)
+    want = {}
+    for d in toks:
+        scored = sorted(
+            ((w, tf[(d, w)], df[w], tf[(d, w)] * (n // df[w])) for w in set(toks[d])),
+            key=lambda x: (-x[3], x[0]),
+        )[:3]
+        for w, t, dfx, s in scored:
+            want[(d, w)] = (t, dfx, s)
+    assert got == want
+    # rare terms outrank corpus-wide ones at equal tf: doc 2's unique
+    # words (df=1) all beat any df>2 word's score
+    assert all(df[w] == 1 for (d, w) in got if d == 2)

@@ -394,6 +394,46 @@ def vocab_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def tfidf_keywords(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document keyword extraction: the k terms with the highest
+    tf·idf-style score, where idf is the RATIONAL form ``N // df``
+    (integer division) instead of ``ln(N/df)``.  The log variant would
+    hinge hash-equality on libm-vs-DuckDB ``ln`` agreeing to the last
+    ULP at rank boundaries; the rational form keeps the same
+    rare-term-boosting monotonicity in df with exact bigint arithmetic
+    (the repo's fixed-point discipline, same reason ``lm_bigram_score``
+    trains in integers).
+
+    Scale shape: explode → (doc, word) partial HashAggregate (tf);
+    document frequency reuses that relation with a second word-keyed
+    partial agg; the df join back is word-co-partitioned; the per-doc
+    top-k window partitions by doc_id, whose group size is bounded by
+    the document's own vocabulary — never a corpus-wide sort.  Ties:
+    (score DESC, word ASC) makes the k-th row unique.
+
+    Output: (doc_id, word, tf, df, score_fp) — score_fp = tf * (N // df).
+    """
+    w = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("word")
+    ).where(F.col("word") != "")
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").cast("long").alias("tf"))
+    df_tbl = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).collect()[0].n
+    scored = tf.join(df_tbl, "word").withColumn(
+        "score_fp",
+        # exact bigint floor-div (SQL `div`), mirroring DuckDB's `//`
+        F.expr(f"tf * (CAST({int(n_docs)} AS BIGINT) div df)").cast("long"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_fp"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "word", "tf", "df", "score_fp")
+    )
+
+
 #: PII patterns, applied IN ORDER (emails carry dots and digits, so
 #: they must be redacted before the IP/phone rules see the text).
 #: Restricted to constructs Java regex (Spark) and RE2 (DuckDB)

@@ -2037,6 +2037,34 @@ FROM r WHERE rn <= 64 GROUP BY source
 """
 
 
+def q_length_quantiles(spark, sf):
+    """Exact per-source length quantiles via the bounded-domain
+    histogram (text.length_quantiles): p50/p90/p99 of n_chars — exact
+    bigint rank math (cum*100 >= q*total), no floats, no approx
+    sketch, no per-group sort of raw rows."""
+    from yadex_spark.operators.text import length_quantiles
+
+    return length_quantiles(_t(spark, sf, "documents"))
+
+
+SQL_LENGTH_QUANTILES = """
+WITH c AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY source, n_chars
+), r AS (
+  SELECT source, v,
+         sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS total
+  FROM c
+)
+SELECT source,
+       min(CASE WHEN cum * 100 >= 50 * total THEN v END) AS p50,
+       min(CASE WHEN cum * 100 >= 90 * total THEN v END) AS p90,
+       min(CASE WHEN cum * 100 >= 99 * total THEN v END) AS p99
+FROM r GROUP BY source
+"""
+
+
 def q_tfidf_keywords(spark, sf):
     """Per-document keyword extraction (text.tfidf_keywords): top-5
     terms by the rational-idf tf·idf score — exact bigint arithmetic
@@ -2149,6 +2177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                        decontamination, prepare.py:92-94)
     #   sample_by_source   ⊂ mix_corpus (same salted-bucket keep/drop;
     #                        mix computes the rates it is given)
+    #   quality_train      ⊂ quality_score (its oracle replays the FULL
+    #                        training recurrence before scoring)
     #   text_repetition    ⊂ filter_corpus (the same shared top-word /
     #                        dup-2gram fold computes its rule flags)
     #   tpch_q3            ⊂ the classic-SQL surface pinned by tpch_q1 +
@@ -2207,8 +2237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "wordpiece_tokenize": q_wordpiece_tokenize,
         "bpe_train": q_bpe_train,
-        "quality_train": q_quality_train,
         "quality_score": q_quality_score,
+        "length_quantiles": q_length_quantiles,
         "tfidf_keywords": q_tfidf_keywords,
         "events_asof_join": q_events_asof_join,
         "range_join_balance": q_range_join_balance,
@@ -2216,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_kmv_merge": q_corpus_kmv_merge,
         "prepare_corpus": q_prepare_corpus,
         # --- tail (51+): subsumed by graded rows, see header comment ---
+        "quality_train": q_quality_train,
         "text_repetition": q_text_repetition,
         "tpch_q3": q_tpch_q3,
         "embed_kmeans_assign": q_embed_kmeans_assign,
@@ -2282,14 +2313,15 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": SQL_DSIR_WEIGHTS,
         "wordpiece_tokenize": SQL_WORDPIECE,
         "bpe_train": SQL_BPE_TRAIN,
-        "quality_train": SQL_QUALITY_TRAIN,
         "quality_score": SQL_QUALITY_SCORE,
+        "length_quantiles": SQL_LENGTH_QUANTILES,
         "tfidf_keywords": SQL_TFIDF,
         "events_asof_join": SQL_ASOF,
         "range_join_balance": SQL_RANGE_JOIN,
         "corpus_distinct_kmv": SQL_KMV,
         "corpus_kmv_merge": SQL_KMV,
         "prepare_corpus": SQL_PREPARE,
+        "quality_train": SQL_QUALITY_TRAIN,
         "text_repetition": SQL_REPETITION,
         "tpch_q3": SQL_Q3,
         "embed_kmeans_assign": SQL_KMEANS_ASSIGN,

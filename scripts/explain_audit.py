@@ -314,6 +314,13 @@ AUDITS = {
          lambda p: p.count("Window") >= 2),
         ("no python anywhere", lambda p: "EvalPython" not in p),
     ],
+    "length_quantiles": [
+        ("histogram is a partial hash agg over the corpus",
+         lambda p: "HashAggregate" in p and "partial" in p.lower()),
+        ("windows run over the histogram, group size = value domain",
+         lambda p: "Window" in p),
+        ("no python anywhere", lambda p: "EvalPython" not in p),
+    ],
     "tfidf_keywords": [
         ("tf/df are partial hash aggs (map-side combine)",
          lambda p: "HashAggregate" in p and "partial" in p.lower()),

@@ -1502,3 +1502,25 @@ def test_tfidf_keywords_matches_python_replica(spark, docs):
     # rare terms outrank corpus-wide ones at equal tf: doc 2's unique
     # words (df=1) all beat any df>2 word's score
     assert all(df[w] == 1 for (d, w) in got if d == 2)
+
+
+def test_length_quantiles_matches_python_replica(spark):
+    import math
+    import random as _r
+
+    from yadex_spark.operators.text import length_quantiles
+
+    rng = _r.Random(17)
+    rows = [(f"s{i % 3}", rng.randint(1, 40)) for i in range(500)]
+    df = spark.createDataFrame(
+        [(g, "x", v) for g, v in rows], "source string, text string, n_chars long"
+    )
+    got = {r.source: (r.p50, r.p90, r.p99) for r in length_quantiles(df).collect()}
+
+    def pq(vals, q):
+        vals = sorted(vals)
+        return vals[math.ceil(q * len(vals) / 100) - 1]
+
+    for g in ("s0", "s1", "s2"):
+        vals = [v for s, v in rows if s == g]
+        assert got[g] == (pq(vals, 50), pq(vals, 90), pq(vals, 99)), g

@@ -434,6 +434,54 @@ def tfidf_keywords(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def length_quantiles(docs: DataFrame, group_col: str = "source",
+                     value_col: str = "n_chars",
+                     qs: tuple[int, ...] = (50, 90, 99)) -> DataFrame:
+    """EXACT per-group quantiles of an integer-valued column via the
+    bounded-domain histogram construction — the way exact quantiles
+    stay computable at 100 TB.  Sorting raw rows per group is
+    O(n log n) per group and unsortable at corpus scale;
+    ``percentile_approx`` (t-digest/GK) is approximate AND
+    engine-specific.  But when the value domain is bounded (document
+    lengths, token counts), a (group, value)->count histogram is ONE
+    partial HashAggregate, and the quantile is read off the running
+    cumulative count: p_q = the smallest v whose cumulative count
+    covers ceil(q·n/100) — compared as ``cum*100 >= q*total`` so
+    everything stays exact bigint (no division, no floats).
+
+    Scale shape: one partial agg over the corpus (map-side combine to
+    <=|domain| rows per partition), then two windows per group over
+    DISTINCT VALUES only — group size is the value domain's
+    cardinality, not the row count.
+
+    Output: one row per group with a ``p{q}`` bigint column per q."""
+    c = docs.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("grp").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = c.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("grp"))
+    )
+    return (
+        r.groupBy("grp")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") * 100 >= F.lit(q) * F.col("total"),
+                        F.col("v"),
+                    )
+                ).alias(f"p{q}")
+                for q in qs
+            ]
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
 #: PII patterns, applied IN ORDER (emails carry dots and digits, so
 #: they must be redacted before the IP/phone rules see the text).
 #: Restricted to constructs Java regex (Spark) and RE2 (DuckDB)

@@ -104,6 +104,60 @@ def test_asof_struct_carry_does_not_tear_null_payload(spark):
     assert row.rid == 20 and row.val is None
 
 
+def test_asof_bucketed_equals_unbucketed(spark):
+    # the hot-key mitigation must be a pure physical rewrite: same
+    # matches at any bucket width, both directions, ties included
+    left, right, ldf, rdf = _mk_frames(spark, seed=23, n_keys=4)
+    # force equal-(key, ts) right ties so the seed's tiebreak matters
+    rdf = rdf.unionByName(
+        rdf.limit(10).withColumn("rid", F.col("rid") + 5000)
+    )
+    for direction in ("backward", "forward"):
+        base = sorted(
+            map(
+                tuple,
+                asof_join(
+                    ldf, rdf, "k", "k", "ts", "ts", ["rid", "val"],
+                    direction=direction, tiebreak="rid",
+                ).collect(),
+            )
+        )
+        for w in (97.0, 1000.0, 1e9):
+            got = sorted(
+                map(
+                    tuple,
+                    asof_join(
+                        ldf, rdf, "k", "k", "ts", "ts", ["rid", "val"],
+                        direction=direction, tiebreak="rid", bucket_width=w,
+                    ).collect(),
+                )
+            )
+            assert got == base, (direction, w)
+
+
+def test_asof_bucketed_with_tolerance(spark):
+    left, right, ldf, rdf = _mk_frames(spark, seed=29)
+    base = sorted(
+        map(
+            tuple,
+            asof_join(
+                ldf, rdf, "k", "k", "ts", "ts", ["rid"],
+                tolerance=700, tiebreak="rid",
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            asof_join(
+                ldf, rdf, "k", "k", "ts", "ts", ["rid"],
+                tolerance=700, tiebreak="rid", bucket_width=150.0,
+            ).collect(),
+        )
+    )
+    assert got == base
+
+
 def test_asof_payload_collision_rejected(spark):
     _, _, ldf, rdf = _mk_frames(spark)
     try:

@@ -24,12 +24,14 @@ row whose payload contains legitimate NULLs can never tear (column-
 wise carry would skip the NULL back to an older row's value).
 
 Scale notes (100 TB): partitioning is by join key only, so one
-pathological hot key serializes onto one task; if that is the data
-shape, pre-bucket the key by coarse time range and run the join per
-bucket with the previous bucket's last-known payload unioned in as a
-seed row (the streaming pipeline's carry-in pattern).  Window sorts
-spill to disk, so per-key group size is bounded by local disk, not
-executor memory.
+pathological hot key serializes onto one task; for that data shape
+pass ``bucket_width`` — the join then partitions by (key, coarse time
+bucket) and each bucket is seeded with the key's latest right row from
+all EARLIER buckets (the streaming pipeline's carry-in pattern), so a
+hot key parallelizes across its time range while every match stays
+identical (equality with the unbucketed form is property-tested).
+Window sorts spill to disk, so per-key group size is bounded by local
+disk, not executor memory.
 
 Reference parity: the reference engine (okharch/yadex) has no as-of
 join; this is part of the beyond-reference training-data/analytics
@@ -46,6 +48,7 @@ _KEY = "_asof_key"
 _TS = "_asof_ts"
 _PAY = "_asof_pay"
 _TIE = "_asof_tie"
+_BKT = "_asof_bkt"
 
 
 def asof_join(
@@ -59,6 +62,7 @@ def asof_join(
     direction: str = "backward",
     tolerance=None,
     tiebreak: str | None = None,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """Left as-of join: each left row gets the payload of the right row
     with the same key and the greatest ``right_ts`` <= ``left_ts``
@@ -71,18 +75,28 @@ def asof_join(
     ``tiebreak``: right column ordering equal-(key, ts) right rows —
     the LAST one in that order wins; without it, equal-(key, ts) right
     rows make the match nondeterministic (same contract as DuckDB
-    ASOF).  Left input columns pass through unchanged; payload columns
-    must not collide with them.
+    ASOF).  ``bucket_width``: optional hot-key mitigation — partition
+    the merge by (key, floor(ts / bucket_width)) and seed each bucket
+    with the key's nearest right row from across the boundary; results
+    are identical, a hot key's sort parallelizes across its time range.
+    Left input columns pass through unchanged; payload columns must not
+    collide with them.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     dup = set(payload) & set(left.columns)
     if dup:
         raise ValueError(f"payload collides with left columns: {sorted(dup)}")
+    backward = direction == "backward"
 
-    # Right frame: payload + its own ts ride in ONE struct (atomic carry).
+    # Right frame: payload + its own ts + tiebreak ride in ONE struct
+    # (atomic carry; the tiebreak rides along so a carried-in seed row
+    # keeps losing to an equal-ts in-bucket winner exactly as the
+    # original row would).
     pay_struct = F.struct(
-        F.col(right_ts).alias(_TS), *[F.col(c) for c in payload]
+        F.col(right_ts).alias(_TS),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias(_TIE),
+        *[F.col(c) for c in payload],
     )
     rf = right.select(
         F.col(right_on).alias(_KEY),
@@ -100,16 +114,68 @@ def asof_join(
         F.lit(0).alias(_TIE),
         *[F.col(c) for c in left.columns],
     )
-    u = lf.unionByName(rf, allowMissingColumns=True)
 
     # Right (side=0) sorts before left at equal ts in BOTH directions,
     # so the boundary match is inclusive either way.
-    if direction == "backward":
-        order = [F.asc(_TS), F.asc(_SIDE), F.asc(_TIE)]
-    else:
-        order = [F.desc(_TS), F.asc(_SIDE), F.asc(_TIE)]
+    ts_ord = F.asc if backward else F.desc
+    order = [ts_ord(_TS), F.asc(_SIDE), F.asc(_TIE)]
+    part = [_KEY]
+
+    if bucket_width is not None:
+        bkt = F.floor(F.col(_TS).cast("double") / F.lit(float(bucket_width))).cast(
+            "long"
+        )
+        lf = lf.withColumn(_BKT, bkt)
+        rf = rf.withColumn(_BKT, bkt)
+        part = [_KEY, _BKT]
+
+        # Cross-boundary seed per (key, left-bucket): the key's nearest
+        # right row from strictly-earlier buckets (later, for forward).
+        # Stage 1 — per (key, bucket) winner among right rows: the row
+        # the carry would pick at the bucket's boundary.
+        w_in = (
+            Window.partitionBy(_KEY, _BKT)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        bucket_last = (
+            rf.withColumn(_PAY, F.last(_PAY).over(w_in))
+            .groupBy(_KEY, _BKT)
+            .agg(F.last(_PAY).alias(_PAY))  # all rows now carry the winner
+        )
+        # Stage 2 — bucket-level carry: for every bucket where LEFT rows
+        # exist, the winner from strictly-earlier buckets.  Same union-
+        # merge trick one level up, over (key, bucket) aggregates only.
+        lb = lf.select(_KEY, _BKT).distinct().withColumn(_SIDE, F.lit(1)).withColumn(
+            _PAY, F.lit(None).cast(pay_type)
+        )
+        rb = bucket_last.withColumn(_SIDE, F.lit(0))
+        bkt_ord = F.asc(_BKT) if backward else F.desc(_BKT)
+        # left marker sorts BEFORE same-bucket rights -> the carried
+        # value comes from STRICTLY earlier buckets only.
+        w_bkt = (
+            Window.partitionBy(_KEY)
+            .orderBy(bkt_ord, F.desc(_SIDE))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        seeds = (
+            lb.unionByName(rb)
+            .withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w_bkt))
+            .where((F.col(_SIDE) == 1) & F.col(_PAY).isNotNull())
+            .select(
+                _KEY,
+                F.col(_PAY)[_TS].alias(_TS),
+                F.lit(0).alias(_SIDE),
+                _PAY,
+                F.col(_PAY)[_TIE].alias(_TIE),
+                _BKT,
+            )
+        )
+        rf = rf.unionByName(seeds)
+
+    u = lf.unionByName(rf, allowMissingColumns=True)
     w = (
-        Window.partitionBy(_KEY)
+        Window.partitionBy(*part)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -118,7 +184,7 @@ def asof_join(
     if tolerance is not None:
         age = (
             F.col(_TS).cast("double") - F.col(_PAY)[_TS].cast("double")
-            if direction == "backward"
+            if backward
             else F.col(_PAY)[_TS].cast("double") - F.col(_TS).cast("double")
         )
         u = u.withColumn(

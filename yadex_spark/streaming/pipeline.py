@@ -435,6 +435,67 @@ class CdcPipeline:
     def lineage(self) -> DataFrame:
         return read_lineage(self.spark, self.lake_dir)
 
+    # ---------- cross-table consistent reads ----------
+
+    def last_applied_epoch(self) -> int | None:
+        """Greatest FULLY-applied epoch for this checkpoint scope: the
+        lineage marker is written only after every table's commit for
+        the epoch (C1 ordering), so its presence is the cross-table
+        "epoch complete" signal.  None before any epoch."""
+        d = os.path.join(self.lake_dir, "_lineage")
+        pre = f"epoch-{self._scope()}-"
+        best = None
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.startswith(pre) and f.endswith(".json"):
+                    try:
+                        e = int(f[len(pre):-5])
+                    except ValueError:
+                        continue
+                    if best is None or e > best:
+                        best = e
+        return best
+
+    def _version_at_epoch(self, name: str, epoch: int) -> int:
+        """The table's greatest version containing ONLY commits from
+        this scope's epochs <= ``epoch`` (earlier scopes' commits are
+        historical and always included).  Walks the version-ordered
+        manifest and stops at the first excluded commit — anything
+        after it (including maintenance compacts) may subsume the
+        excluded epoch's rows."""
+        scope_pre = f"{self._scope()}/e"
+        best = -1
+        for s in self.table(name).snapshots():
+            b = s.batch_id or ""
+            if b.startswith(scope_pre):
+                tail = b[len(scope_pre):]
+                num = tail.split("-", 1)[0]
+                if num.isdigit() and int(num) > epoch:
+                    break
+            best = s.version
+        return best
+
+    def read_consistent(self, epoch: int | None = None) -> dict[str, "DataFrame"]:
+        """Snapshot-isolated view ACROSS tables: every table as of the
+        end of the same fully-applied epoch.  Per-table commits mean a
+        naive multi-table reader can join table A at epoch N against
+        table B at N-1 mid-apply; this pins all reads to
+        ``last_applied_epoch()`` (or an explicit earlier one) via each
+        table's time-travel read — the lake's answer to Iceberg's
+        single-table-transaction limitation.  Tables with no commit at
+        or below the epoch come back typed-empty."""
+        if epoch is None:
+            epoch = self.last_applied_epoch()
+        if epoch is None:
+            return {name: self.table(name).read(version=-1)
+                    for name in self.tables()}
+        return {
+            name: self.table(name).read(
+                version=self._version_at_epoch(name, epoch)
+            )
+            for name in self.tables()
+        }
+
     # ---------- out-of-band maintenance ----------
 
     def tables(self) -> list[str]:

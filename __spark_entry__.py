@@ -2037,6 +2037,38 @@ FROM r WHERE rn <= 64 GROUP BY source
 """
 
 
+def q_events_funnel(spark, sf):
+    """Ordered conversion funnel (funnel.py): per user, the earliest
+    signup, the earliest click strictly after it, the earliest purchase
+    strictly after that — NULL cascade once a stage is missed.  Pure
+    key-co-partitioned joins + partial min aggs; the oracle replays the
+    same chained-min rule with three stage CTEs."""
+    from yadex_spark.operators.funnel import funnel
+
+    return funnel(
+        _t(spark, sf, "events"), "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"],
+    )
+
+
+SQL_FUNNEL = """
+WITH ks AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, min(ts) AS t_signup
+       FROM events WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t_click
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+       GROUP BY e.user_id)
+SELECT ks.user_id, s1.t_signup, s2.t_click, s3.t_purchase
+FROM ks LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+"""
+
+
 def q_length_quantiles(spark, sf):
     """Exact per-source length quantiles via the bounded-domain
     histogram (text.length_quantiles): p50/p90/p99 of n_chars — exact
@@ -2177,6 +2209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                        decontamination, prepare.py:92-94)
     #   sample_by_source   ⊂ mix_corpus (same salted-bucket keep/drop;
     #                        mix computes the rates it is given)
+    #   chunk_sequences    ⊂ pack_sequences (the sharded-rank window) +
+    #                        mask_spans (the token-array slice HOFs)
     #   quality_train      ⊂ quality_score (its oracle replays the FULL
     #                        training recurrence before scoring)
     #   text_repetition    ⊂ filter_corpus (the same shared top-word /
@@ -2228,7 +2262,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "mask_spans": q_mask_spans,
         "corpus_stats": q_corpus_stats,
-        "chunk_sequences": q_chunk_sequences,
         "cdc_incremental_stats": q_cdc_incremental_stats,
         "filter_corpus": q_filter_corpus,
         "mix_corpus": q_mix_corpus,
@@ -2238,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokenize": q_wordpiece_tokenize,
         "bpe_train": q_bpe_train,
         "quality_score": q_quality_score,
+        "events_funnel": q_events_funnel,
         "length_quantiles": q_length_quantiles,
         "tfidf_keywords": q_tfidf_keywords,
         "events_asof_join": q_events_asof_join,
@@ -2246,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_kmv_merge": q_corpus_kmv_merge,
         "prepare_corpus": q_prepare_corpus,
         # --- tail (51+): subsumed by graded rows, see header comment ---
+        "chunk_sequences": q_chunk_sequences,
         "quality_train": q_quality_train,
         "text_repetition": q_text_repetition,
         "tpch_q3": q_tpch_q3,
@@ -2304,7 +2339,6 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source": SQL_CAP_PER_SOURCE,
         "mask_spans": SQL_MASK_SPANS,
         "corpus_stats": SQL_CORPUS_STATS,
-        "chunk_sequences": SQL_CHUNK,
         "cdc_incremental_stats": SQL_INC_STATS,
         "filter_corpus": SQL_FILTER_CORPUS,
         "mix_corpus": SQL_MIX_CORPUS,
@@ -2314,6 +2348,7 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_tokenize": SQL_WORDPIECE,
         "bpe_train": SQL_BPE_TRAIN,
         "quality_score": SQL_QUALITY_SCORE,
+        "events_funnel": SQL_FUNNEL,
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "tfidf_keywords": SQL_TFIDF,
         "events_asof_join": SQL_ASOF,
@@ -2321,6 +2356,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_distinct_kmv": SQL_KMV,
         "corpus_kmv_merge": SQL_KMV,
         "prepare_corpus": SQL_PREPARE,
+        "chunk_sequences": SQL_CHUNK,
         "quality_train": SQL_QUALITY_TRAIN,
         "text_repetition": SQL_REPETITION,
         "tpch_q3": SQL_Q3,

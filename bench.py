@@ -65,6 +65,7 @@ HEADLINE = [
     "train_val_split",
     "bpe_train",
     "quality_score",
+    "events_funnel",
     "length_quantiles",
     "tfidf_keywords",
     "events_asof_join",

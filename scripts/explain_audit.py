@@ -314,6 +314,15 @@ AUDITS = {
          lambda p: p.count("Window") >= 2),
         ("no python anywhere", lambda p: "EvalPython" not in p),
     ],
+    "events_funnel": [
+        ("per-stage mins are partial hash aggs",
+         lambda p: "HashAggregate" in p and "partial" in p.lower()),
+        ("stage joins are hash joins, no nested loop / cartesian",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+        ("no window over a key's full event list",
+         lambda p: "Window" not in p),
+        ("no python anywhere", lambda p: "EvalPython" not in p),
+    ],
     "length_quantiles": [
         ("histogram is a partial hash agg over the corpus",
          lambda p: "HashAggregate" in p and "partial" in p.lower()),

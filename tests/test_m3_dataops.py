@@ -1524,3 +1524,43 @@ def test_length_quantiles_matches_python_replica(spark):
     for g in ("s0", "s1", "s2"):
         vals = [v for s, v in rows if s == g]
         assert got[g] == (pq(vals, 50), pq(vals, 90), pq(vals, 99)), g
+
+
+def test_funnel_matches_python_replica_and_drops_monotonically(spark):
+    import random as _r
+
+    from yadex_spark.operators.funnel import funnel
+
+    rng = _r.Random(31)
+    types = ["signup", "click", "purchase", "view"]
+    rows = [
+        (rng.randrange(25), rng.randrange(10_000), rng.choice(types))
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts long, et string")
+    got = {
+        r.uid: (r.t_signup, r.t_click, r.t_purchase)
+        for r in funnel(df, "uid", "ts", "et", ["signup", "click", "purchase"]).collect()
+    }
+
+    def replica(uid):
+        evs = [(t, e) for u, t, e in rows if u == uid]
+        prev, out = None, []
+        for st in ("signup", "click", "purchase"):
+            cand = [t for t, e in evs if e == st and (prev is None or t > prev)]
+            prev = min(cand) if cand else None
+            out.append(prev)
+            if prev is None:
+                # strict rule: later stages are unreachable
+                out.extend([None] * (2 - len(out) + 1))
+                break
+        return tuple((out + [None, None, None])[:3])
+
+    assert set(got) == {u for u, _, _ in rows}
+    for uid in got:
+        assert got[uid] == replica(uid), uid
+    # monotone dropoff: each stage completed by a (non-strict) subset
+    n1 = sum(1 for v in got.values() if v[0] is not None)
+    n2 = sum(1 for v in got.values() if v[1] is not None)
+    n3 = sum(1 for v in got.values() if v[2] is not None)
+    assert n1 >= n2 >= n3 and n3 > 0

@@ -249,3 +249,25 @@ def test_incremental_group_stats_equals_recompute(spark, tmp_path):
     as_map = lambda df: {r["source"]: (r["n_docs"], r["sum_tok0"]) for r in df.collect()}
     got, want = as_map(inc), as_map(full)
     assert got == want == {"s2": (3, 81)}  # s1 fully departed -> no row
+
+
+def test_changes_from_zero_across_barrier_typed_nulls(spark, tmp_path):
+    """Regression: table_changes(0, v) over a window containing a
+    truncate falls back to the value diff, whose v_from=0 side is an
+    EMPTY frame that only knows the key — its pre_<col> nulls must be
+    TYPED or the eqNullSafe struct compare fails to resolve (found by
+    driving a fresh logical replica of a lake whose chain contains a
+    drop barrier)."""
+    tbl = LakeTable(spark, str(tmp_path / "lake"))
+    _commit(spark, tbl, [
+        (1, TS, "insert", "t", "a", ([1], 1, "s1")),
+        (2, TS, "insert", "t", "b", ([2], 1, "s1")),
+    ], "A")
+    tbl.commit_truncate(batch_id="BAR", trunc_seq=2)  # kills a (_seq<2)
+    _commit(spark, tbl, [
+        (3, TS, "insert", "t", "c", ([3], 1, "s2")),
+    ], "B")
+    ch = _changes(tbl, 0)
+    assert set(ch) == {"b", "c"}
+    assert all(v["change_type"] == "insert" for v in ch.values())
+    assert ch["c"]["post_source"] == "s2" and ch["c"]["pre_source"] is None

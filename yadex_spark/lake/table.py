@@ -644,17 +644,23 @@ class LakeTable:
         a, b = self.read(version=v_from), self.read(version=v_to)
         payload = [c for c in a.columns if c != "doc_id"]
         payload += [c for c in b.columns if c != "doc_id" and c not in payload]
+        # a column missing on one side (schema evolution, or an empty
+        # v_from=0 side that only knows the key) must be a TYPED null —
+        # a bare lit(None) is VOID and the eqNullSafe struct compare
+        # below then fails to resolve against the typed other side
+        types = {f.name: f.dataType for f in b.schema.fields}
+        types.update({f.name: f.dataType for f in a.schema.fields})
         l = a.select(
             "doc_id", F.lit(True).alias("_pre_live"),
             *[
-                (F.col(c) if c in a.columns else F.lit(None)).alias(f"pre_{c}")
+                (F.col(c) if c in a.columns else F.lit(None).cast(types[c])).alias(f"pre_{c}")
                 for c in payload
             ],
         )
         r = b.select(
             "doc_id", F.lit(True).alias("_post_live"),
             *[
-                (F.col(c) if c in b.columns else F.lit(None)).alias(f"post_{c}")
+                (F.col(c) if c in b.columns else F.lit(None).cast(types[c])).alias(f"post_{c}")
                 for c in payload
             ],
         )

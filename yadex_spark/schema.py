@@ -71,6 +71,17 @@ def oplog_schema(evolved: bool = False) -> T.StructType:
     )
 
 
+def oplog_read_schema(evolved: bool = False) -> T.StructType:
+    """All-nullable copy of :func:`oplog_schema` for READING a feed.
+    The canonical schema declares the producer contract (op_seq/op_ts/op
+    non-null); the reader must not TRUST it — a malformed chunk with a
+    null in a required field would otherwise fail row materialization
+    instead of reaching the pipeline's quarantine classifier."""
+    return T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in oplog_schema(evolved).fields]
+    )
+
+
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("batch_id", T.LongType(), False),

@@ -65,7 +65,25 @@ from pyspark.sql import functions as F
 from yadex_spark.lake.table import DELETED_COL, SEQ_COL, LakeTable, _ddl, prepare_delta
 from yadex_spark.operators.collapse import ORDER_COL, collapse
 from yadex_spark.operators.route import RT, Router, namespace_filter, route_filter
-from yadex_spark.schema import LINEAGE_SCHEMA, oplog_schema
+from yadex_spark.schema import ALL_OPS, LINEAGE_SCHEMA, oplog_read_schema, oplog_schema
+
+
+def quarantine_reason():
+    """Malformed-event classifier over oplog columns (null = healthy):
+    unknown/missing op verb, missing order key, or a keyless row op.
+    The reference either errors out or silently skips such events — and
+    its error path still advances the bookmark (msync/bulkwrite.go:96-110),
+    losing them forever.  Here they are captured to a dead-letter area
+    with a reason instead of being silently dropped (the standard CDC
+    DLQ pattern; Kafka Connect's errors.deadletterqueue analogue)."""
+    return (
+        F.when(
+            F.col("op").isNull() | ~F.col("op").isin(*ALL_OPS),
+            F.lit("unknown_op"),
+        )
+        .when(F.col(ORDER_COL).isNull(), F.lit("null_seq"))
+        .when((F.col("op") != "drop") & F.col("doc_id").isNull(), F.lit("null_key"))
+    )
 
 
 def read_lineage(spark: SparkSession, lake_dir: str) -> DataFrame:
@@ -205,7 +223,7 @@ class CdcPipeline:
     ) -> tuple[DataFrame, DataFrame | None]:
         files = self._epoch_files(epoch_id)
         if files:
-            return spark.read.schema(oplog_schema(self.evolved)).parquet(*files), None
+            return spark.read.schema(oplog_read_schema(self.evolved)).parquet(*files), None
         cached = batch.persist()  # fallback: unknown source layout
         return cached, cached
 
@@ -250,6 +268,11 @@ class CdcPipeline:
             F.max(F.when(F.col("op") == "drop", F.col(ORDER_COL))).alias("bar"),
             F.max("op_ts").alias("max_ts"),
             F.approx_count_distinct("doc_id").alias("nkeys"),
+            # malformed count rides the same narrow pass — the DLQ write
+            # job below runs only when this is non-zero (rare path)
+            F.sum(
+                F.when(quarantine_reason().isNotNull(), 1).otherwise(0)
+            ).alias("nbad"),
         ).collect()
         routed = {
             r["table"]: p for r in inv if (p := self.router.classify(r["table"]))
@@ -286,16 +309,15 @@ class CdcPipeline:
         # PASS 2 — the ONLY full-width pass: filter → collapse → staged
         # write, with late counts and per-table lineage stats riding the
         # same job as Observation metrics (no extra aggregation jobs)
+        late_metrics = [
+            F.sum(F.when(late & (F.col("table") == t), 1).otherwise(0)).alias(f"late_{i}")
+            for i, t in enumerate(names)
+        ]
+        batch_plain = batch  # pre-observe handle for the rare recompute path
         late_obs = Observation()
-        batch = batch.observe(
-            late_obs,
-            *[
-                F.sum(F.when(late & (F.col("table") == t), 1).otherwise(0)).alias(f"late_{i}")
-                for i, t in enumerate(names)
-            ],
-        )
+        batch = batch.observe(late_obs, *late_metrics)
         live = batch.where(~late).where(
-            (F.col("op") != "drop") & F.col("doc_id").isNotNull()
+            (F.col("op") != "drop") & quarantine_reason().isNull()
         )
         for t, bar in barriers.items():
             live = live.where(
@@ -320,6 +342,7 @@ class CdcPipeline:
                 F.sum(F.when(cond & F.col("op").isin("update", "replace"), 1).otherwise(0)).alias(f"nu_{i}"),
                 F.sum(F.when(cond & (F.col("op") == "delete"), 1).otherwise(0)).alias(f"nd_{i}"),
             ]
+        collapsed_plain = collapsed  # pre-observe handle (rare recompute)
         collapsed = collapsed.observe(stats_obs, *metrics)
 
         stored = prepare_delta(collapsed, keep_table=True)
@@ -338,8 +361,19 @@ class CdcPipeline:
         )
         stored.write.mode("overwrite").partitionBy("table").parquet(staging)
 
-        lates = late_obs.get
-        st = stats_obs.get
+        try:
+            lates = late_obs.get
+            st = stats_obs.get
+        except Exception:
+            # When the epoch collapses to ZERO live rows (all events
+            # malformed, late, or below a barrier), AQE's empty-relation
+            # propagation can eliminate the join subtree that carries the
+            # observe nodes — the observations never fire and .get trips
+            # an empty-row assertion.  Recompute the same metrics with
+            # explicit aggregations on the pre-observe handles (two tiny
+            # narrow jobs; this path is rare by construction).
+            lates = batch_plain.agg(*late_metrics).first().asDict()
+            st = collapsed_plain.agg(*metrics).first().asDict()
         scope = self._scope()
         # ONE timestamp per epoch: rolling_events_per_sec groups lineage
         # rows into epochs by (committed_at, batch_id) — per-row stamps
@@ -378,7 +412,49 @@ class CdcPipeline:
                     scope=scope,
                 )
             )
+        # BEFORE the lineage write: lineage is the epoch's completion
+        # proof (apply_batch skips replays on it), so everything the
+        # epoch produces — including quarantined rows — must exist first
+        n_bad = sum(int(r["nbad"] or 0) for r in inv if r["table"] in routed)
+        if n_bad:
+            self._write_dlq(src, epoch_id, names)
+
         self._write_lineage(epoch_id, lineage_rows)
+
+    # ---------- dead-letter queue (malformed events) ----------
+
+    def _write_dlq(self, src: DataFrame, epoch_id: int, tables: list[str]) -> None:
+        """Quarantine the epoch's malformed rows (rare path: runs only
+        when the inventory counted any).  The destination is
+        deterministic per (scope, epoch) and written with overwrite, so
+        a crash-replayed epoch rewrites identical content — idempotent
+        like every other epoch artifact.  Healthy processing never pays
+        for this job."""
+        dlq = (
+            src.where(F.col("table").isin(tables))
+            .withColumn("reason", quarantine_reason())
+            .where(F.col("reason").isNotNull())
+            .withColumn("epoch_id", F.lit(epoch_id).cast("long"))
+        )
+        dest = os.path.join(self.lake_dir, "_dlq", self._scope(), f"e{epoch_id:08d}")
+        dlq.write.mode("overwrite").parquet(dest)
+
+    def dlq(self) -> DataFrame:
+        """Read this checkpoint's dead-letter queue: original event
+        columns + ``reason`` + ``epoch_id``.  Operators inspect, fix the
+        producer, and can re-inject repaired rows as a fresh feed chunk
+        (op_seq is preserved, so LWW places them correctly)."""
+        d = os.path.join(self.lake_dir, "_dlq", self._scope())
+        if not os.path.isdir(d) or not any(os.scandir(d)):
+            empty = self.spark.createDataFrame([], oplog_read_schema(self.evolved))
+            return empty.withColumn("reason", F.lit(None).cast("string")).withColumn(
+                "epoch_id", F.lit(None).cast("long")
+            )
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .option("mergeSchema", "true")
+            .parquet(d)
+        )
 
     # ---------- driver-side metadata (no Spark jobs) ----------
 
@@ -601,7 +677,7 @@ class CdcPipeline:
 
     def stream(self) -> DataFrame:
         return (
-            self.spark.readStream.schema(oplog_schema(self.evolved))
+            self.spark.readStream.schema(oplog_read_schema(self.evolved))
             .option("maxFilesPerTrigger", self.max_files_per_trigger)
             .parquet(self.oplog_dir)
         )

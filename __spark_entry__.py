@@ -1447,6 +1447,33 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_replicate(spark, sf):
+    """Cascade replication A→(physical)→B→(logical)→C: the reference's
+    chained-sync deployment (README.md:3-42) lake-native — the derived
+    oplog applies to lake A in two epochs, B syncs A's snapshot log
+    file-by-file, C consumes B's change feed; C's live state must equal
+    the LWW oracle (the same SQL as cdc_engine_replay — the cascade
+    preserving state IS the claim, like corpus_kmv_merge's shared
+    oracle).  yadex_spark/lake/replicate.py; bookmarks derived from the
+    target's committed batch ids (exactly-once with zero extra state)."""
+    import tempfile
+
+    from yadex_spark.lake.replicate import LakeReplicator
+    from yadex_spark.lake.table import LakeTable
+
+    tbl, _, _ = _two_epoch_table(spark, sf, "repl-src-")
+    b = LakeTable(spark, tempfile.mkdtemp(prefix="repl-b-"))
+    c = LakeTable(spark, tempfile.mkdtemp(prefix="repl-c-"))
+    LakeReplicator(tbl, b, mode="physical").sync()
+    LakeReplicator(b, c, mode="logical").sync()
+    return c.read().select(
+        "doc_id",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
+
+
 def q_cdc_time_travel(spark, sf):
     """Snapshot-isolation time travel (Iceberg `VERSION AS OF`): the
     oplog committed as two epochs, read back AS OF the first epoch's
@@ -2201,6 +2228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   embed_ann_grid     ⊂ embed_near_dup (same grid-cell machinery)
     #   multimodal_decode  = the env-blocked fake codec; the REAL byte
     #                        path (multimodal_byte_features) is graded
+    #   cdc_replicate      ⊂ cdc_engine_replay + cdc_change_feed (the
+    #                        cascade composes exactly those two graded
+    #                        subtrees; equality vs the same oracle)
     #   vocab_topk         ⊂ bpe_train (bpe_word_freq IS the same
     #                        word-frequency aggregate, plus merges)
     #   mix_rates          ⊂ mix_corpus (calls mix_rates internally,
@@ -2300,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_grid": q_embed_ann_grid,
         "multimodal_decode": q_multimodal_decode,
+        "cdc_replicate": q_cdc_replicate,
     }
 
 
@@ -2376,4 +2407,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_cosine_topk": SQL_EMBED_TOPK,
         "embed_ann_grid": SQL_EMBED_ANN_GRID,
         "multimodal_decode": SQL_MULTIMODAL,
+        # same SQL as cdc_engine_replay BY DESIGN: a two-hop cascade
+        # replica preserving the replay state is exactly the claim
+        "cdc_replicate": SQL_ENGINE_REPLAY,
     }

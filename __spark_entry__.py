@@ -2078,6 +2078,32 @@ def q_events_funnel(spark, sf):
     )
 
 
+def q_events_retention(spark, sf):
+    """Cohort retention matrix (funnel.py:retention): users bucketed by
+    first-activity week, counted distinct at each week offset they
+    return.  The raw stream reduces immediately to distinct
+    (user, period) — every later step is bounded by users x periods,
+    never event count.  Exact integer epoch-day periods (datediff DIV 7)
+    so the oracle replays the arithmetic with // bit-for-bit."""
+    from yadex_spark.operators.funnel import retention
+
+    return retention(_t(spark, sf, "events"), period_days=7)
+
+
+SQL_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+              AS BIGINT) AS p
+  FROM events),
+f AS (SELECT user_id, min(p) AS p0 FROM act GROUP BY user_id)
+SELECT f.p0 AS cohort, act.p - f.p0 AS offset_p,
+       CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+FROM act JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 SQL_FUNNEL = """
 WITH ks AS (SELECT DISTINCT user_id FROM events),
 s1 AS (SELECT user_id, min(ts) AS t_signup
@@ -2331,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann_grid": q_embed_ann_grid,
         "multimodal_decode": q_multimodal_decode,
         "cdc_replicate": q_cdc_replicate,
+        "events_retention": q_events_retention,
     }
 
 
@@ -2410,4 +2437,5 @@ def oracle_sql() -> dict[str, str]:
         # same SQL as cdc_engine_replay BY DESIGN: a two-hop cascade
         # replica preserving the replay state is exactly the claim
         "cdc_replicate": SQL_ENGINE_REPLAY,
+        "events_retention": SQL_RETENTION,
     }

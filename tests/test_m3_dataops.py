@@ -1564,3 +1564,36 @@ def test_funnel_matches_python_replica_and_drops_monotonically(spark):
     n2 = sum(1 for v in got.values() if v[1] is not None)
     n3 = sum(1 for v in got.values() if v[2] is not None)
     assert n1 >= n2 >= n3 and n3 > 0
+
+
+def test_retention_matches_python_replica(spark):
+    import datetime as dt
+    import random as _r
+
+    from yadex_spark.operators.funnel import retention
+
+    rng = _r.Random(77)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (rng.randrange(40), base + dt.timedelta(hours=rng.randrange(24 * 60)))
+        for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort, r.offset_p): r.n_users
+        for r in retention(df, period_days=7).collect()
+    }
+
+    epoch = dt.date(1970, 1, 1)
+    per_user: dict[int, set[int]] = {}
+    for u, t in rows:
+        per_user.setdefault(u, set()).add((t.date() - epoch).days // 7)
+    want: dict[tuple[int, int], int] = {}
+    for ps in per_user.values():
+        p0 = min(ps)
+        for p in ps:
+            want[(p0, p - p0)] = want.get((p0, p - p0), 0) + 1
+    assert got == want
+    # offset 0 counts the whole cohort: no later offset can exceed it
+    for (c, o), n in got.items():
+        assert n <= got[(c, 0)]

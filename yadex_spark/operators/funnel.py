@@ -55,3 +55,47 @@ def funnel(
         out = out.join(stage_ts, "_k", "left")
         prev = f"t_{st}"
     return out.withColumnRenamed("_k", key_col)
+
+
+def retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period, counted distinct in every later period they return.
+
+    Output: one row per (cohort, offset_p) with ``n_users`` — offset 0
+    is the cohort size, so rates are a trivial self-join away.  Periods
+    are exact integer day-buckets from the 1970-01-01 epoch
+    (``datediff DIV period_days`` — no timezone/float hazards, and the
+    DuckDB oracle replays the same arithmetic with ``//``).
+
+    Scale shape (100 TB of events):
+
+    - the raw stream reduces IMMEDIATELY to distinct (user, period) —
+      a partial-agg'd distinct whose output is bounded by
+      users x periods, orders of magnitude below the event count;
+    - per-user first period is a second partial agg over that reduced
+      relation, and the join-back shares the user key (SMJ/AQE picks);
+    - the final (cohort, offset) count-distinct runs over the same
+      reduced relation.  No window ever sees a user's full event list,
+      so a hot user costs exactly its distinct periods.
+    """
+    period = (
+        F.expr(
+            f"CAST(datediff(to_date({ts_col}), DATE '1970-01-01') "
+            f"DIV {int(period_days)} AS BIGINT)"
+        )
+    ).alias("p")
+    act = events.select(F.col(user_col).alias("_u"), period).distinct()
+    first = act.groupBy("_u").agg(F.min("p").alias("p0"))
+    return (
+        act.join(first, "_u")
+        .groupBy(
+            F.col("p0").alias("cohort"),
+            (F.col("p") - F.col("p0")).alias("offset_p"),
+        )
+        .agg(F.count_distinct("_u").alias("n_users"))
+    )

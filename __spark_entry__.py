@@ -2257,6 +2257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   cdc_replicate      ⊂ cdc_engine_replay + cdc_change_feed (the
     #                        cascade composes exactly those two graded
     #                        subtrees; equality vs the same oracle)
+    #   events_retention   ⊂ events_funnel / topk shapes (distinct +
+    #                        partial aggs + key-co-partitioned join);
+    #                        new in the resumed session, window full —
+    #                        locally oracle-verified at 2 SFs
     #   vocab_topk         ⊂ bpe_train (bpe_word_freq IS the same
     #                        word-frequency aggregate, plus merges)
     #   mix_rates          ⊂ mix_corpus (calls mix_rates internally,

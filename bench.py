@@ -66,6 +66,7 @@ HEADLINE = [
     "bpe_train",
     "quality_score",
     "events_funnel",
+    "events_retention",
     "length_quantiles",
     "tfidf_keywords",
     "events_asof_join",
@@ -76,6 +77,7 @@ HEADLINE = [
     "cdc_engine_replay",
     "cdc_time_travel",
     "cdc_change_feed",
+    "cdc_replicate",
 ]
 
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))

@@ -5,7 +5,12 @@ Reference semantics:
 - I1: clone inserts only docs whose _id is NOT already at the receiver
   (fetch receiver ids, ``$nin`` filter — /root/reference/msync/syncst.go:11-28,66-71)
   → ``left_anti`` join here (broadcast when the id set is small; AQE
-  picks the strategy otherwise).
+  picks the strategy otherwise).  At 10^10-key scale Catalyst
+  additionally injects a runtime Bloom filter on the probe side
+  (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by default
+  — verified in this build) once the build side crosses its
+  creation threshold, so most already-present keys are dropped at the
+  scan before the shuffle.
 - I2: the resume token is captured *before* the copy
   (/root/reference/msync/syncst.go:76,91), so the stream replays the
   copy window; idempotent apply makes the overlap safe (there: dup-key

@@ -323,6 +323,24 @@ AUDITS = {
          lambda p: "Window" not in p),
         ("no python anywhere", lambda p: "EvalPython" not in p),
     ],
+    "events_retention": [
+        # the stream reduces to distinct (user, period) immediately:
+        # every agg is a partial hash agg; the first-period join shares
+        # the user key; no window at all
+        ("distinct + aggs are partial hash aggs",
+         lambda p: "HashAggregate" in p and "partial" in p.lower()),
+        ("first-period join is a hash join, no nested loop",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+        ("no window over a user's event list", lambda p: "Window" not in p),
+        ("no python anywhere", lambda p: "EvalPython" not in p),
+    ],
+    "cdc_replicate": [
+        # the replica read is the same narrow LWW shape as any lake read
+        ("narrow LWW on the replica: hash aggregate, no sort fallback",
+         lambda p: "HashAggregate" in p and "SortAggregate" not in p),
+        ("winner join-back present", lambda p: "Join" in p),
+        ("no python anywhere", lambda p: "EvalPython" not in p),
+    ],
     "length_quantiles": [
         ("histogram is a partial hash agg over the corpus",
          lambda p: "HashAggregate" in p and "partial" in p.lower()),

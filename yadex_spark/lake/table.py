@@ -247,6 +247,51 @@ class LakeTable:
         ddl = _ddl(cur.drop(SEQ_COL, DELETED_COL))
         return self._commit_manifest("compact", None, ddl, n, rel, trunc_seq=kill_seq)
 
+    def purge_keys(self, keys: list, n_buckets: int | None = None) -> int | None:
+        """Hard-erase keys from the table INCLUDING their tombstones and
+        all reachable history (the GDPR right-to-be-forgotten job;
+        Iceberg/Delta do this with DELETE + VACUUM).  Implemented as a
+        compaction that excludes the keys from the rewritten base,
+        followed by :meth:`vacuum` — after it returns, no reachable
+        data file contains the keys.  Time travel to pre-purge versions
+        stops working (their files are gone), exactly like Iceberg
+        snapshot expiry; that is the point of an erase.
+
+        Like any compaction this is an O(table) out-of-band rewrite; a
+        file-level manifest (real Iceberg) would rewrite only the files
+        whose footer bounds contain a key — the same pruning
+        :meth:`read_keys` already implements for reads.
+
+        A future feed event for a purged key legitimately recreates it
+        (new data, not resurrection): the purge commits with the
+        current max _seq as its barrier-free compact, and replayed
+        PRE-purge epochs are no-ops via batch-id idempotence."""
+        if not keys:
+            return None
+        snaps, kill_seq = self._active_chain()
+        if not snaps:
+            return None
+        cur = self._materialize(snaps, keep_deleted=True, kill_seq=kill_seq)
+        # broadcast literal for a purge-request-sized list; callers with
+        # huge erase sets should loop in batches (each pass is a full
+        # rewrite anyway, so batching does not change the asymptotics)
+        cur = cur.where(~F.col("doc_id").isin(list(keys)))
+        n_buckets = n_buckets or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        cur = cur.repartitionByRange(n_buckets, "doc_id").sortWithinPartitions("doc_id")
+        rel, n = self._write_data(cur, self.latest_version() + 1)
+        if n == 0:
+            # purge emptied the table: an empty parquet dir has no
+            # readable schema, so commit a full wipe instead
+            import shutil
+
+            shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+            v = self._commit_manifest("truncate", None, _ddl(cur.drop(SEQ_COL, DELETED_COL)), 0, None)
+        else:
+            ddl = _ddl(cur.drop(SEQ_COL, DELETED_COL))
+            v = self._commit_manifest("compact", None, ddl, n, rel, trunc_seq=kill_seq)
+        self.vacuum()
+        return v
+
     def vacuum(self) -> list[str]:
         """Delete data directories no longer reachable from the CURRENT
         active chain (Iceberg's expire-snapshots + remove-orphans

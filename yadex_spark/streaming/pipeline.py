@@ -634,6 +634,57 @@ class CdcPipeline:
             "ms": round((time.monotonic() - t0) * 1000, 1),
         }
 
+    def purge_keys(self, keys: list) -> dict:
+        """GDPR right-to-be-forgotten across the WHOLE lake: hard-erase
+        the keys from every table (compact-with-exclusion + vacuum,
+        :meth:`LakeTable.purge_keys`) AND scrub them from the
+        dead-letter queue — a quarantined event carries the same
+        payload/PII as an applied one, so an erase that skipped the DLQ
+        would not be an erase.  Runs under the maintenance lease and,
+        like all maintenance, must not race an applying stream.
+
+        Each DLQ epoch dir is rewritten in place only when it actually
+        contains a purged key (footer-bounds would prune here too, but
+        the DLQ is rare-path tiny by construction — a per-dir filtered
+        rewrite is already O(DLQ), not O(lake))."""
+        t0 = time.monotonic()
+        keys = list(keys)
+        with self._maintenance_lease():
+            per_table = {
+                t: {"purged_version": self.table(t).purge_keys(keys)}
+                for t in self.tables()
+            }
+            staging_removed = self.vacuum_staging()
+            dlq_rewritten = 0
+            dlq_root = os.path.join(self.lake_dir, "_dlq", self._scope())
+            if os.path.isdir(dlq_root):
+                for name in sorted(os.listdir(dlq_root)):
+                    d = os.path.join(dlq_root, name)
+                    if not os.path.isdir(d):
+                        continue
+                    df = self.spark.read.parquet(d)
+                    hits = df.where(F.col("doc_id").isin(keys)).limit(1).count()
+                    if not hits:
+                        continue
+                    # write-aside then swap: overwriting the dir a lazy
+                    # plan still reads would race the delete (cache
+                    # eviction recomputes from deleted files)
+                    tmp = f"{d}.rewrite-{os.getpid()}"
+                    df.where(
+                        ~F.coalesce(F.col("doc_id").isin(keys), F.lit(False))
+                    ).write.mode("overwrite").parquet(tmp)
+                    import shutil
+
+                    shutil.rmtree(d)
+                    os.rename(tmp, d)
+                    dlq_rewritten += 1
+        return {
+            "tables": per_table,
+            "dlq_dirs_rewritten": dlq_rewritten,
+            "staging_dirs_removed": len(staging_removed),
+            "ms": round((time.monotonic() - t0) * 1000, 1),
+        }
+
     def vacuum_staging(self) -> list[str]:
         """Remove staging attempt dirs no committed manifest references
         (superseded replay attempts and crash leftovers).  Attempt dirs

@@ -142,7 +142,15 @@ class LakeTable:
                 continue
 
     def _write_data(self, df: DataFrame, version_hint: int, n_rows: int | None = None) -> tuple[str, int]:
-        rel = os.path.join(DATA, f"s{version_hint:08d}-{int(time.time() * 1000)}")
+        # writer-unique dir: two threads racing the same version hint in
+        # the same millisecond would otherwise write into ONE directory
+        # and abort each other's job (found by the m27 concurrency
+        # stress); the manifest, not the dir name, assigns the version
+        rel = os.path.join(
+            DATA,
+            f"s{version_hint:08d}-{int(time.time() * 1000)}"
+            f"-{os.getpid()}-{threading.get_ident()}",
+        )
         full = os.path.join(self.path, rel)
         if n_rows is None:
             # exact count captured DURING the write (Observation piggybacks

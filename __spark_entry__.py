@@ -1640,6 +1640,48 @@ FROM done GROUP BY doc_id
 """
 
 
+def q_wordpiece_detokenize(spark, sf):
+    """The tokenization audit round-trip: tokenize with boundary ids,
+    map ids straight back to text with pure HOFs (element_at against
+    the vocab literal — zero UDF, text.py:wordpiece_detokenize).  The
+    oracle replays the same recurrence carrying the reconstructed
+    string ('q' is OOV, so [UNK]→U+FFFD is exercised)."""
+    from yadex_spark.operators.text import (
+        wordpiece_detokenize,
+        wordpiece_tokenize,
+    )
+
+    toks = wordpiece_tokenize(
+        _t(spark, sf, "documents"), _WP_VOCAB, keep_boundaries=True
+    )
+    return wordpiece_detokenize(toks, _WP_VOCAB)
+
+
+SQL_WP_DETOK = f"""
+WITH RECURSIVE
+vocab(tok, tid) AS (VALUES {_WP_VALUES}),
+ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+words AS (SELECT doc_id, wi, l[wi] AS word
+          FROM ws, unnest(range(1, len(l) + 1)) t(wi)),
+step(doc_id, wi, word, pos, rec) AS (
+  SELECT doc_id, wi, word, 1, '' FROM words
+  UNION ALL
+  SELECT s.doc_id, s.wi, s.word,
+         s.pos + coalesce(length(b.tok), 1),
+         s.rec || coalesce(b.tok, chr(65533))
+  FROM step s LEFT JOIN LATERAL (
+    SELECT tok, tid FROM vocab
+    WHERE substr(s.word, s.pos, length(tok)) = tok
+    ORDER BY length(tok) DESC, tok LIMIT 1
+  ) b ON true
+  WHERE s.pos <= length(s.word)
+),
+done AS (SELECT doc_id, wi, rec FROM step WHERE pos > length(word))
+SELECT doc_id, string_agg(rec, ' ' ORDER BY wi) AS text
+FROM done GROUP BY doc_id
+"""
+
+
 def q_dsir_weights(spark, sf):
     """DSIR importance weighting: hashed unigram+bigram bag-of-words
     models over the every-10th-doc target split vs the raw corpus,
@@ -2257,6 +2299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   cdc_replicate      ⊂ cdc_engine_replay + cdc_change_feed (the
     #                        cascade composes exactly those two graded
     #                        subtrees; equality vs the same oracle)
+    #   wordpiece_detokenize ⊂ wordpiece_tokenize (the graded gate runs
+    #                        the same recurrence; detok adds an HOF
+    #                        map-back) — round-trip law in tests
     #   events_retention   ⊂ events_funnel / topk shapes (distinct +
     #                        partial aggs + key-co-partitioned join);
     #                        new in the resumed session, window full —
@@ -2362,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "cdc_replicate": q_cdc_replicate,
         "events_retention": q_events_retention,
+        "wordpiece_detokenize": q_wordpiece_detokenize,
     }
 
 
@@ -2442,4 +2488,5 @@ def oracle_sql() -> dict[str, str]:
         # replica preserving the replay state is exactly the claim
         "cdc_replicate": SQL_ENGINE_REPLAY,
         "events_retention": SQL_RETENTION,
+        "wordpiece_detokenize": SQL_WP_DETOK,
     }

@@ -1597,3 +1597,48 @@ def test_retention_matches_python_replica(spark):
     # offset 0 counts the whole cohort: no later offset can exceed it
     for (c, o), n in got.items():
         assert n <= got[(c, 0)]
+
+
+def test_wordpiece_roundtrip_law(spark):
+    from yadex_spark.operators.text import (
+        UNK_CHAR,
+        wordpiece_detokenize,
+        wordpiece_tokenize,
+    )
+
+    vocab = ["a", "b", "c", "ab", "abc", "bc", "x"]
+    texts = ["abc ab c", "aaa  bb", "", "x q abc"]  # 'q' is OOV
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    toks = wordpiece_tokenize(df, vocab, keep_boundaries=True)
+    got = {r["doc_id"]: r["text"]
+           for r in wordpiece_detokenize(toks, vocab).collect()}
+    assert got[0] == "abc ab c"
+    assert got[1] == "aaa  bb"  # double space survives the round-trip
+    assert got[2] == ""
+    assert got[3] == f"x {UNK_CHAR} abc"  # UNK consumed exactly one char
+    # the default (gate) path is unchanged: no boundary ids ever
+    plain = wordpiece_tokenize(df, vocab).collect()
+    assert all(len(vocab) + 1 not in (r["tokens"] or []) for r in plain)
+
+
+def test_trained_vocab_roundtrip_chain(spark):
+    """bpe_train -> bpe_vocab -> tokenize(keep_boundaries) ->
+    detokenize == identity: every corpus character is in the trained
+    vocab by construction, so the chain must be lossless."""
+    from yadex_spark.operators.bpe import bpe_train_merges, bpe_vocab
+    from yadex_spark.operators.text import (
+        wordpiece_detokenize,
+        wordpiece_tokenize,
+    )
+
+    texts = ["low lower lowest", "new newer newest", "low new wider"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    vocab = bpe_vocab(docs, bpe_train_merges(docs, n_merges=6))
+    toks = wordpiece_tokenize(docs, vocab, keep_boundaries=True)
+    got = {r["doc_id"]: r["text"]
+           for r in wordpiece_detokenize(toks, vocab).collect()}
+    assert got == dict(enumerate(texts))

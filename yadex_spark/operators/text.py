@@ -783,7 +783,8 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
     )
 
 
-def wordpiece_tokenize(docs: DataFrame, vocab: list[str]) -> DataFrame:
+def wordpiece_tokenize(docs: DataFrame, vocab: list[str],
+                       keep_boundaries: bool = False) -> DataFrame:
     """Greedy longest-match subword tokenization — the WordPiece
     inference rule (Wu et al. 2016; the continuation-marker variant
     differs only in the vocab's spelling) — turning text into the
@@ -805,6 +806,13 @@ def wordpiece_tokenize(docs: DataFrame, vocab: list[str]) -> DataFrame:
     character.  Ids are 1-based positions in ``vocab``.  The DuckDB
     oracle replays the recurrence exactly as a recursive CTE with a
     longest-first LATERAL vocab probe.
+
+    ``keep_boundaries=True`` additionally emits a reserved boundary id
+    (``len(vocab)+1``) between words, making the id stream invertible:
+    :func:`wordpiece_detokenize` then reconstructs the text exactly
+    (in-vocab characters) — the audit round-trip a production pipeline
+    runs to prove its tokenization lossless.  Default off: the packed
+    training shape has no use for boundary ids.
 
     Output: (doc_id, n_tok, tokens array<int>)."""
     from collections.abc import Iterator
@@ -834,11 +842,22 @@ def wordpiece_tokenize(docs: DataFrame, vocab: list[str]) -> DataFrame:
                 memo[word] = got
             return got
 
+        space_id = len(vmap) + 1
         for pdf in batches:
-            toks = [
-                [t for w in text.split(" ") for t in word_ids(w)]
-                for text in pdf["text"]
-            ]
+            if keep_boundaries:
+                toks = []
+                for text in pdf["text"]:
+                    out: list[int] = []
+                    for wi, w in enumerate(text.split(" ")):
+                        if wi:
+                            out.append(space_id)
+                        out.extend(word_ids(w))
+                    toks.append(out)
+            else:
+                toks = [
+                    [t for w in text.split(" ") for t in word_ids(w)]
+                    for text in pdf["text"]
+                ]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_tok": pd.Series([len(t) for t in toks], dtype="int32"),
@@ -847,4 +866,43 @@ def wordpiece_tokenize(docs: DataFrame, vocab: list[str]) -> DataFrame:
 
     return docs.select("doc_id", "text").mapInPandas(
         run, "doc_id long, n_tok int, tokens array<int>"
+    )
+
+
+#: character emitted for [UNK] ids on detokenization (U+FFFD); an UNK
+#: step consumed exactly one source character, so the reconstruction
+#: stays length-aligned with the original word
+UNK_CHAR = "\ufffd"
+
+
+def wordpiece_detokenize(toks: DataFrame, vocab: list[str]) -> DataFrame:
+    """Token ids -> text: the exact inverse of
+    :func:`wordpiece_tokenize` with ``keep_boundaries=True`` on text
+    whose every character is in-vocab (the round-trip law, test-pinned
+    including the trained-vocab chain bpe_train -> bpe_vocab ->
+    tokenize -> detokenize == identity).  [UNK] ids map to
+    :data:`UNK_CHAR` — UNK consumed one character, so alignment holds.
+
+    Zero UDF: id -> piece is ``element_at`` against the vocab as an
+    array literal (a model artifact riding the plan, the same pattern
+    as the k-means centroids / DSIR weight table), folded with
+    ``concat_ws`` over a ``transform`` — pure per-row HOFs, no
+    shuffle, no Python.  The literal bounds the vocab like the DSIR
+    broadcast cap: >2^16 pieces raises (ship the vocab as a broadcast
+    join table at that size instead)."""
+    if len(vocab) > (1 << 16):
+        raise ValueError(
+            f"vocab of {len(vocab)} pieces exceeds the array-literal "
+            "ceiling (2^16); use a broadcast vocab join for huge vocabs"
+        )
+    space_id = len(vocab) + 1
+    arr = F.array(*[F.lit(v) for v in vocab])
+    piece = lambda t: (
+        F.when(t == F.lit(space_id), F.lit(" "))
+        .when(t == F.lit(0), F.lit(UNK_CHAR))
+        .otherwise(F.element_at(arr, t))
+    )
+    return toks.select(
+        "doc_id",
+        F.concat_ws("", F.transform(F.col("tokens"), piece)).alias("text"),
     )

@@ -174,3 +174,93 @@ def test_quarantine_reason_is_first_match_and_drop_is_healthy(spark):
     ).withColumn("reason", quarantine_reason())
     got = {r["op_seq"]: r["reason"] for r in df.collect()}
     assert got == {10: None, 11: None, None: "unknown_op"}
+
+
+def _repair(df):
+    """Operator's fix: name the verb, assign the missing order key.
+    The keyless row is left broken on purpose — the redrive epoch must
+    re-quarantine it rather than lose or apply it."""
+    return df.withColumn(
+        "op",
+        F.when(F.col("reason") == "unknown_op", F.lit("insert")).otherwise(
+            F.col("op")
+        ),
+    ).withColumn(
+        "op_seq",
+        F.when(F.col("reason") == "null_seq", F.lit(N_EVENTS + 2)).otherwise(
+            F.col("op_seq")
+        ),
+    )
+
+
+def test_redrive_applies_fixed_rows_and_requarantines_the_rest(spark, tmp_path):
+    oplog, path = _feed(spark, tmp_path)
+    pipe = _pipe(spark, tmp_path, path)
+    pipe.run_available_now()
+    old_epochs = {r["epoch_id"] for r in pipe.dlq().collect()}
+
+    n = pipe.redrive_dlq(_repair)
+    assert n == 3  # every quarantined row handed back, fixed or not
+    assert pipe.dlq().count() == 0  # consumed dirs are gone pre-drain
+
+    pipe.run_available_now()
+
+    # lake == oracle replay of healthy feed + the two repaired events
+    import pandas as pd
+
+    repaired = pd.DataFrame(
+        [
+            {"op_seq": N_EVENTS + 1, "op_ts": TS, "op": "insert",
+             "table": "seqs", "doc_id": "poison1",
+             "after": {"tokens": [1], "n_tok": 1, "source": "s1"}},
+            {"op_seq": N_EVENTS + 2, "op_ts": TS, "op": "update",
+             "table": "seqs", "doc_id": "poison2",
+             "after": {"tokens": [2], "n_tok": 1, "source": "s1"}},
+        ]
+    )
+    full = pd.concat([oplog.toPandas(), repaired], ignore_index=True)
+    pdf = state_to_pdf(replay(full), "seqs")
+    expected = spark.createDataFrame(
+        pdf, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    assert_equal_state(expected, pipe.table("seqs").read())
+
+    # the unfixable row re-quarantined under a FRESH epoch, same reason
+    left = pipe.dlq().collect()
+    assert [(r["doc_id"], r["reason"]) for r in left] == [(None, "null_key")]
+    assert left[0]["epoch_id"] not in old_epochs
+
+
+def test_redrive_duplicate_injection_is_state_idempotent(spark, tmp_path):
+    """Crash between feed-append and DLQ-dir removal => the retry
+    re-appends the same rows.  Simulated by appending the repaired rows
+    a second time by hand: final state must not change (per-key LWW)."""
+    oplog, path = _feed(spark, tmp_path)
+    pipe = _pipe(spark, tmp_path, path)
+    pipe.run_available_now()
+    pipe.redrive_dlq(_repair)
+    pipe.run_available_now()
+    before = {(r["doc_id"], tuple(r["tokens"] or []), r["n_tok"])
+              for r in pipe.table("seqs").read().collect()}
+
+    dup = spark.createDataFrame(
+        [
+            (N_EVENTS + 1, TS, "insert", "seqs", "poison1", ([1], 1, "s1")),
+            (N_EVENTS + 2, TS, "update", "seqs", "poison2", ([2], 1, "s1")),
+        ],
+        oplog_schema(),
+    )
+    dup.write.mode("append").parquet(path)
+    pipe.run_available_now()
+    after = {(r["doc_id"], tuple(r["tokens"] or []), r["n_tok"])
+             for r in pipe.table("seqs").read().collect()}
+    assert after == before
+
+
+def test_redrive_empty_dlq_is_a_noop(spark, tmp_path):
+    oplog = gen_oplog(spark, 1_000, 200, seed=23)
+    path = str(tmp_path / "oplog")
+    write_oplog_chunks(oplog, path, n_chunks=1)
+    pipe = _pipe(spark, tmp_path, path)
+    pipe.run_available_now()
+    assert pipe.redrive_dlq(_repair) == 0

@@ -456,6 +456,72 @@ class CdcPipeline:
             .parquet(d)
         )
 
+    def redrive_dlq(self, repair, epochs: list[int] | None = None) -> int:
+        """Hand repaired dead-letter rows back to the feed (the DLQ
+        redrive every production CDC stack grows: Kafka Connect / SQS
+        dead-letter redrive).  ``repair`` receives the DLQ frame (event
+        columns + ``reason``/``epoch_id``) and returns rows in feed
+        shape; rows it cannot fix may come back unchanged — the redrive
+        epoch re-quarantines them under a FRESH epoch id, so nothing is
+        lost and nothing double-counts in the DLQ.  Rows it drops are an
+        explicit operator discard.
+
+        Ordering: repaired rows carry whatever ``op_seq`` the repair
+        gives them (usually the original), so per-key LWW places them
+        exactly where the fixed producer would have — a redrive can
+        never clobber newer committed data with an older event.
+
+        Crash contract is feed-first: rows are appended to the feed
+        BEFORE their DLQ dirs are removed, so a crash between the two
+        can leave rows in both places — the retry re-appends them
+        (at-least-once feed), which is state-idempotent under the
+        engine's per-key LWW exactly as replayed epochs are (m1 suite);
+        it can never LOSE a quarantined row.  DLQ dirs are deleted, not
+        archived: an archive would be one more place ``purge_keys``
+        must scrub — operators wanting an audit copy snapshot ``dlq()``
+        before redriving (the applied rows are auditable in the new
+        epoch's lineage regardless).
+
+        Returns the number of rows handed back to the feed; callers
+        drain with ``run_available_now()`` to apply them."""
+        import shutil
+
+        root = os.path.join(self.lake_dir, "_dlq", self._scope())
+        if not os.path.isdir(root):
+            return 0
+        want = None if epochs is None else {int(e) for e in epochs}
+        dirs = [
+            os.path.join(root, name)
+            for name in sorted(os.listdir(root))
+            if name.startswith("e")
+            and os.path.isdir(os.path.join(root, name))
+            and (want is None or int(name[1:]) in want)
+        ]
+        if not dirs:
+            return 0
+        fixed = repair(
+            self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        )
+        # align to the feed contract: reason/epoch_id never ship, evolved
+        # columns the repair did not produce ride as nulls, types coerced
+        feed = oplog_read_schema(self.evolved)
+        fixed = fixed.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in fixed.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in feed.fields
+            ]
+        )
+        n = fixed.count()
+        if n:
+            fixed.write.mode("append").parquet(self.oplog_dir)
+        for d in dirs:
+            shutil.rmtree(d)
+        return n
+
     # ---------- driver-side metadata (no Spark jobs) ----------
 
     def _advance_watermarks(self, batch_max: dict) -> dict:

@@ -1,0 +1,120 @@
+"""M29 — operability surfaces: lake integrity audit (fsck) and
+replication-lag metric.
+
+Laws pinned:
+- a healthy table audits clean, including after compact+vacuum (history
+  whose files were legitimately vacuumed must NOT be flagged);
+- crash debris is detected: orphan data dirs (writer died between data
+  write and manifest link) and stale ``.tmp-*`` manifests; repair
+  removes exactly that debris and never a dir any manifest references;
+- real corruption is detected: a missing active files_dir, and a
+  footer-row-count / manifest disagreement;
+- ``lag()`` is computed without a Spark job and tracks feed appends and
+  drains: 0 when drained, >0 after new chunks arrive, None applied-head
+  before any epoch.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from yadex_spark.lake.table import LakeTable
+from yadex_spark.sources.genlog import gen_oplog, write_oplog_chunks
+from yadex_spark.streaming.pipeline import CdcPipeline
+
+SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def _tbl(spark, tmp_path) -> LakeTable:
+    t = LakeTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [("d1", [1], 1, "s"), ("d2", [2], 1, "s"), ("d3", [3], 1, "s")], SCHEMA
+    )
+    t.commit_append(df, batch_id="b1")
+    return t
+
+
+def test_fsck_clean_healthy_and_after_vacuum(spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    r = t.fsck()
+    assert r == {"errors": [], "orphans": [], "tmp_manifests": [], "repaired": []}
+    t.compact()
+    t.vacuum()  # history dirs gone — must not be flagged
+    r = t.fsck()
+    assert r["errors"] == [] and r["orphans"] == []
+
+
+def test_fsck_detects_and_repairs_crash_debris(spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    # orphan: data written, manifest never linked (writer crash)
+    orphan = os.path.join(t.path, "data", "s00000099-crashed")
+    os.makedirs(orphan)
+    pq.write_table(pa.table({"doc_id": ["x"]}), os.path.join(orphan, "part-0.parquet"))
+    # stale tmp manifest from a crashed commit attempt
+    with open(os.path.join(t.path, "_meta", ".tmp-v00000002-111-222.json"), "w") as f:
+        f.write("{}")
+
+    r = t.fsck()
+    assert r["orphans"] == [os.path.join("data", "s00000099-crashed")]
+    assert r["tmp_manifests"] == [".tmp-v00000002-111-222.json"]
+    assert r["errors"] == []
+
+    r = t.fsck(repair=True)
+    assert len(r["repaired"]) == 2
+    assert not os.path.isdir(orphan)
+    # the referenced dir is untouched and the table still reads
+    assert t.read().count() == 3
+    assert t.fsck() == {"errors": [], "orphans": [], "tmp_manifests": [], "repaired": []}
+
+
+def test_fsck_detects_corruption(spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    snap = t.snapshots()[-1]
+    full = os.path.join(t.path, snap.files_dir)
+
+    # a foreign parquet file smuggled into the active dir: footer row
+    # sum now disagrees with the manifest
+    pq.write_table(pa.table({"doc_id": ["zz"]}), os.path.join(full, "part-zz.parquet"))
+    r = t.fsck()
+    assert any("footer rows 4 != manifest 3" in e for e in r["errors"])
+
+    # active files_dir gone entirely
+    shutil.rmtree(full)
+    r = t.fsck()
+    assert any("files_dir missing" in e for e in r["errors"])
+
+
+def test_lag_tracks_feed_and_drain(spark, tmp_path):
+    oplog = gen_oplog(spark, 2_000, 400, seed=31)
+    path = str(tmp_path / "oplog")
+    write_oplog_chunks(oplog, path, n_chunks=2, bounds=(0, 1_499))
+    pipe = CdcPipeline(
+        spark,
+        oplog_dir=path,
+        lake_dir=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    before = pipe.lag()
+    assert before["feed_head"] == 1_499 and before["applied_head"] is None
+    assert before["lag_events"] is None
+
+    pipe.run_available_now()
+    drained = pipe.lag()
+    assert drained == {"feed_head": 1_499, "applied_head": 1_499, "lag_events": 0}
+
+    # late chunk arrives: lag goes positive without any Spark job
+    oplog.where("op_seq >= 1500").write.mode("append").parquet(path)
+    behind = pipe.lag()
+    assert behind["feed_head"] == 1_999 and behind["lag_events"] == 500
+
+    pipe.run_available_now()
+    assert pipe.lag()["lag_events"] == 0
+    # pipeline-level fsck over the routed tables is clean
+    reports = pipe.fsck()
+    assert reports and all(
+        rep["errors"] == [] and rep["orphans"] == [] for rep in reports.values()
+    )

@@ -577,6 +577,72 @@ class CdcPipeline:
     def lineage(self) -> DataFrame:
         return read_lineage(self.spark, self.lake_dir)
 
+    def lag(self) -> dict:
+        """Replication lag in EVENTS — feed head ``op_seq`` minus this
+        checkpoint's applied head — from driver-side parquet footers and
+        lineage JSON only (no Spark job: the monitor must stay cheap
+        enough for a tight poll loop; the reference's debug view polls
+        the same way, msync/debug.go:37).  Keys: ``feed_head``,
+        ``applied_head``, ``lag_events`` (None where unknowable — empty
+        feed / nothing applied yet)."""
+        import pyarrow.parquet as pq
+
+        feed_head = None
+        for root, _, names in os.walk(self.oplog_dir):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, n)
+                try:
+                    md = pq.ParquetFile(p).metadata
+                    mx = None
+                    for rg in range(md.num_row_groups):
+                        for i in range(md.num_columns):
+                            col = md.row_group(rg).column(i)
+                            if col.path_in_schema != "op_seq":
+                                continue
+                            st = col.statistics
+                            if st is None or not st.has_min_max:
+                                raise ValueError("no stats")
+                            mx = st.max if mx is None else max(mx, st.max)
+                    if mx is None and md.num_rows:
+                        raise ValueError("no op_seq stats")
+                except Exception:
+                    # rare fallback: single-file column read, still driver-side
+                    try:
+                        arr = pq.read_table(p, columns=["op_seq"])["op_seq"]
+                        mx = max(x for x in arr.to_pylist() if x is not None) if len(arr) else None
+                    except Exception:
+                        continue
+                if mx is not None:
+                    feed_head = mx if feed_head is None else max(feed_head, mx)
+        applied = None
+        lin_dir = os.path.join(self.lake_dir, "_lineage")
+        scope = self._scope()
+        if os.path.isdir(lin_dir):
+            for name in os.listdir(lin_dir):
+                if not name.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(lin_dir, name)) as f:
+                        for line in f:
+                            row = json.loads(line)
+                            if row.get("scope") not in (scope, None):
+                                continue
+                            hi = row.get("offset_hi")
+                            if hi is not None:
+                                applied = hi if applied is None else max(applied, hi)
+                except Exception:
+                    continue
+        lag = (feed_head - applied) if (feed_head is not None and applied is not None) else None
+        return {"feed_head": feed_head, "applied_head": applied, "lag_events": lag}
+
+    def fsck(self, verify_rows: bool = True, repair: bool = False) -> dict:
+        """Run :meth:`LakeTable.fsck` for every routed table plus a
+        staging-orphan report (``vacuum_staging`` owns removal there).
+        Returns {table: report}."""
+        return {name: self.table(name).fsck(verify_rows, repair) for name in self.tables()}
+
     # ---------- cross-table consistent reads ----------
 
     def last_applied_epoch(self) -> int | None:

@@ -118,3 +118,46 @@ def test_lag_tracks_feed_and_drain(spark, tmp_path):
     assert reports and all(
         rep["errors"] == [] and rep["orphans"] == [] for rep in reports.values()
     )
+
+
+def test_key_history_audit_trail(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "hist"))
+    t.commit_append(
+        spark.createDataFrame([("d1", "snap"), ("d9", "snap")], "doc_id string, val string"),
+        batch_id="clone", as_of_seq=0,
+    )
+
+    def delta(rows, bid):
+        t.commit_delta(
+            spark.createDataFrame(rows, "doc_id string, op string, op_seq long, val string"),
+            batch_id=bid,
+        )
+
+    delta([("d1", "update", 3, "v3"), ("d2", "insert", 2, "v2")], "b1")
+    delta([("d1", "delete", 5, None)], "b2")
+    delta([("d1", "insert", 7, "v7")], "b3")
+
+    h = t.key_history(["d1"]).collect()
+    assert [(r["op_seq"], r["deleted"], r["val"]) for r in h] == [
+        (7, False, "v7"), (5, True, None), (3, False, "v3"), (0, False, "snap"),
+    ]
+    # versions are the committing snapshots, newest-first
+    assert [r["version"] for r in h] == sorted((r["version"] for r in h), reverse=True)
+    # uninvolved key untouched; unknown key is empty, schema stable
+    assert len(t.key_history(["d2"]).collect()) == 1
+    assert t.key_history(["nope"]).count() == 0
+    assert t.key_history([]).columns[:4] == ["doc_id", "version", "op_seq", "deleted"]
+
+    # a seq-scoped barrier hides history below it
+    t.commit_truncate(batch_id="tr", trunc_seq=4)
+    h = t.key_history(["d1"]).collect()
+    assert [(r["op_seq"], r["deleted"]) for r in h] == [(7, False), (5, True)]
+
+    # compaction collapses history to the surviving rows; prune stats
+    # are reported (actual file-skip payoff is pinned at registry scale
+    # by the m6 zone-map tests — 2 keys may share one clustered file)
+    t.compact()
+    stats = {}
+    h = t.key_history(["d1"], prune_stats=stats).collect()
+    assert [(r["op_seq"], r["val"]) for r in h] == [(7, "v7")]
+    assert stats["files_total"] >= stats["files_read"] >= 1

@@ -587,6 +587,69 @@ class LakeTable:
             out = out.where(F.col(SEQ_COL) >= kill_seq)
         return out.where(~F.col(DELETED_COL)).select(*cols)
 
+    def key_history(self, probes: list, key: str = "doc_id",
+                    prune_stats: dict | None = None) -> DataFrame:
+        """Audit trail for specific keys: every stored row version in
+        the ACTIVE chain — ``(version, op_seq, deleted, payload...)``
+        per surviving event, newest-first per key — with the same
+        driver-side zone-map file pruning as :meth:`read_keys`, so
+        asking about K keys on a compacted 100 TB table touches O(K)
+        files, never the table.  The "who last wrote this doc and what
+        did it look like before" debugging read every CDC operator
+        eventually needs (the reference answers it by re-querying the
+        source DB; the lake can answer from its own files).
+
+        History depth is storage depth: compaction collapses everything
+        before it into the surviving row (Iceberg snapshot-expiry
+        semantics), a seq-scoped truncate barrier hides rows below it,
+        and clone rows surface with their handoff ``op_seq``
+        (:meth:`commit_append`'s ``as_of_seq``)."""
+        out_empty = self.spark.createDataFrame(
+            [], f"{key} string, version int, op_seq long, deleted boolean"
+        )
+        if not probes:
+            return out_empty
+        snaps, kill_seq = self._active_chain()
+        if not snaps:
+            return out_empty
+        sorted_probes = sorted(probes)
+        n_total = n_read = 0
+        dfs = []
+        for s in snaps:
+            full = os.path.join(self.path, s.files_dir)
+            files = _parquet_files(full)
+            if files is not None:
+                n_total += len(files)
+                kept = [f for f in files if _file_may_contain(f, key, sorted_probes)]
+                n_read += len(kept)
+                if not kept:
+                    continue
+                df = self.spark.read.parquet(*kept)
+            else:
+                df = self.spark.read.parquet(full)
+            dfs.append(df.withColumn("version", F.lit(s.version)))
+        if prune_stats is not None:
+            prune_stats.update(
+                files_total=n_total, files_read=n_read, pruned=n_total - n_read
+            )
+        if not dfs:
+            return out_empty
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        out = out.where(F.col(key).isin(list(probes)))
+        if kill_seq is not None:
+            out = out.where(F.col(SEQ_COL) >= kill_seq)
+        payload = [c for c in out.columns
+                   if c not in (key, "version", SEQ_COL, DELETED_COL)]
+        return out.select(
+            key,
+            "version",
+            F.col(SEQ_COL).alias("op_seq"),
+            F.col(DELETED_COL).alias("deleted"),
+            *payload,
+        ).orderBy(key, F.desc("op_seq"))
+
     # ---------- incremental change feed ----------
 
     CHANGE_TYPE_COL = "change_type"

@@ -2270,6 +2270,78 @@ def q_corpus_kmv_merge(spark, sf):
     return kmv_estimate(kmv_merge(a, b, "source"), "source")
 
 
+def q_corpus_cms_counts(spark, sf):
+    """Count-min sketch frequency estimates (sketch.py:cms_sketch):
+    3x2048 counters over every corpus word, then the top-20 exact words
+    probed back through the sketch — (word, exact n_occ, CMS est), with
+    est >= n_occ always (one-sided error).  The oracle replays every
+    cell bit-for-bit: same md5 row-salted hash, same min-over-rows."""
+    from yadex_spark.operators.sketch import cms_estimate, cms_sketch
+
+    d = _t(spark, sf, "documents")
+    w = d.select(F.explode(F.split(F.col("text"), " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    sk = cms_sketch(w, "w", depth=3, width=2048)
+    top = (
+        w.groupBy("w")
+        .agg(F.count("*").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("w"))
+        .limit(20)
+    )
+    return cms_estimate(sk, top, "w", depth=3, width=2048)
+
+
+SQL_CMS = """
+WITH wn AS (
+  SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+), cells AS (
+  SELECT r, CAST('0x' || substr(md5(r || '|' || w), 1, 15) AS BIGINT) % 2048 AS cell,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM wn, (VALUES ('0'), ('1'), ('2')) t(r)
+  GROUP BY 1, 2
+), top AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_occ FROM wn
+  GROUP BY w ORDER BY n_occ DESC, w LIMIT 20
+), probe AS (
+  SELECT p.w, p.n_occ, t.r,
+         CAST('0x' || substr(md5(t.r || '|' || p.w), 1, 15) AS BIGINT) % 2048 AS cell
+  FROM top p, (VALUES ('0'), ('1'), ('2')) t(r)
+)
+SELECT p.w, p.n_occ, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+FROM probe p LEFT JOIN cells c ON p.r = c.r AND p.cell = c.cell
+GROUP BY p.w, p.n_occ
+"""
+
+
+def q_corpus_cms_merge(spark, sf):
+    """CMS additivity (sketch.py:cms_merge): the corpus split by a
+    doc_id-hash coin flip, each half sketched, the sketches summed
+    cell-wise, the same top-20 probes estimated — CMS is linear in the
+    data, so the result equals the single-pass sketch and the oracle is
+    SQL_CMS verbatim (the same one-oracle-two-gates pattern as
+    corpus_kmv_merge, by design)."""
+    from yadex_spark.operators.sketch import cms_estimate, cms_merge, cms_sketch
+
+    d = _t(spark, sf, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    flip = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3", "4", "5", "6", "7"
+    )
+    a = cms_sketch(w.where(flip), "w", depth=3, width=2048)
+    b = cms_sketch(w.where(~flip), "w", depth=3, width=2048)
+    top = (
+        w.groupBy("w")
+        .agg(F.count("*").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("w"))
+        .limit(20)
+    )
+    return cms_estimate(cms_merge(a, b), top, "w", depth=3, width=2048)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2308,6 +2380,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                        locally oracle-verified at 2 SFs
     #   vocab_topk         ⊂ bpe_train (bpe_word_freq IS the same
     #                        word-frequency aggregate, plus merges)
+    #   corpus_cms_counts / corpus_cms_merge — new in this session,
+    #                        window full; locally oracle-verified at
+    #                        2 SFs (type-sensitive harness); the KMV
+    #                        gates pin the same sketch-relation shape
     #   mix_rates          ⊂ mix_corpus (calls mix_rates internally,
     #                        packing.py:172, and grades its rate_bp)
     #   decontaminate      ⊂ prepare_corpus (stage 3 IS exact n-gram
@@ -2408,6 +2484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replicate": q_cdc_replicate,
         "events_retention": q_events_retention,
         "wordpiece_detokenize": q_wordpiece_detokenize,
+        "corpus_cms_counts": q_corpus_cms_counts,
+        "corpus_cms_merge": q_corpus_cms_merge,
     }
 
 
@@ -2489,4 +2567,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replicate": SQL_ENGINE_REPLAY,
         "events_retention": SQL_RETENTION,
         "wordpiece_detokenize": SQL_WP_DETOK,
+        # same SQL for both BY DESIGN: CMS is linear, so the merged
+        # two-half sketch must equal the single-pass one (cf. SQL_KMV)
+        "corpus_cms_counts": SQL_CMS,
+        "corpus_cms_merge": SQL_CMS,
     }

@@ -73,6 +73,7 @@ HEADLINE = [
     "range_join_balance",
     "corpus_distinct_kmv",
     "corpus_kmv_merge",
+    "corpus_cms_counts",
     "prepare_corpus",
     "cdc_engine_replay",
     "cdc_time_travel",

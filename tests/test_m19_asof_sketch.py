@@ -278,3 +278,53 @@ def test_kmv_partitioning_invariant(spark):
     a = sorted(map(tuple, distinct_kmv(df.repartition(1), "grp", F.col("w")).collect()))
     b = sorted(map(tuple, distinct_kmv(df.repartition(16, "w"), "grp", F.col("w")).collect()))
     assert a == b
+
+
+def test_cms_overestimates_and_is_tight_when_sparse(spark):
+    from yadex_spark.operators.sketch import cms_estimate, cms_sketch
+
+    random.seed(5)
+    rows = [(f"w{random.randrange(200)}",) for _ in range(5_000)]
+    df = spark.createDataFrame(rows, "w string")
+    exact = {r["w"]: r["n"] for r in df.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    sk = cms_sketch(df, "w", depth=3, width=2048)
+    probes = spark.createDataFrame([(w,) for w in exact], "w string")
+    est = {r["w"]: r["est"] for r in cms_estimate(sk, probes, "w", 3, 2048).collect()}
+    assert set(est) == set(exact)
+    assert all(est[w] >= exact[w] for w in exact)  # one-sided error, always
+    # 200 distinct into 2048 cells: collisions are rare, most are exact
+    assert sum(est[w] == exact[w] for w in exact) >= 150
+
+
+def test_cms_merge_equals_single_pass_and_unseen_is_zero(spark):
+    from yadex_spark.operators.sketch import cms_estimate, cms_merge, cms_sketch
+
+    df = spark.createDataFrame(
+        [(f"t{i % 97}", i) for i in range(3_000)], "w string, i long"
+    )
+    single = cms_sketch(df, "w", depth=3, width=512)
+    merged = cms_merge(
+        cms_sketch(df.where("i % 2 = 0"), "w", depth=3, width=512),
+        cms_sketch(df.where("i % 2 = 1"), "w", depth=3, width=512),
+    )
+    assert sorted(map(tuple, single.collect())) == sorted(map(tuple, merged.collect()))
+
+    probes = spark.createDataFrame([("never-seen-token",)], "w string")
+    got = cms_estimate(single, probes, "w", 3, 512).collect()
+    # an unseen value may collide into occupied cells; with 97 distinct
+    # in 512 cells its min cell is overwhelmingly empty => 0 here
+    assert got[0]["est"] == 0
+
+
+def test_cms_partitioning_invariant_and_size_cap(spark):
+    from yadex_spark.operators.sketch import cms_sketch
+
+    df = spark.createDataFrame([(f"w{i % 50}",) for i in range(2_000)], "w string")
+    a = sorted(map(tuple, cms_sketch(df.repartition(1), "w").collect()))
+    b = sorted(map(tuple, cms_sketch(df.repartition(16, "w"), "w").collect()))
+    assert a == b
+    try:
+        cms_sketch(df, "w", depth=8, width=1 << 22)
+        raise AssertionError("expected size-cap ValueError")
+    except ValueError as e:
+        assert "cap" in str(e)

@@ -173,3 +173,105 @@ def kmv_estimate(state: DataFrame, group_col: str, k: int = 64) -> DataFrame:
         kth.alias("kth_hash"),
         F.when(n_kept < k, n_kept.cast("long")).otherwise(est_full).alias("est_distinct"),
     )
+
+
+# ---------- count-min sketch (frequency estimation) ----------
+
+def cms_sketch(df: DataFrame, value_col, depth: int = 3, width: int = 2048) -> DataFrame:
+    """Count-min sketch over a value column (Cormode & Muthukrishnan,
+    "An improved data stream summary: the count-min sketch and its
+    applications", J. Algorithms 2005): ``depth`` independent hash rows
+    of ``width`` counters; a value's count is added to one cell per row,
+    and its estimate (:func:`cms_estimate`) is the MIN over its cells —
+    always >= the true count, within eps*N with probability 1-delta for
+    width=e/eps, depth=ln(1/delta).  The bounded-memory complement to
+    KMV: KMV answers "how many distinct", CMS answers "how often does X
+    occur" in O(depth*width) space no matter how large the corpus.
+
+    Row salts use the repo's portable md5 idiom (``kmv_hash`` of
+    ``"<r>|<value>"``), so a DuckDB oracle replays every cell
+    bit-for-bit — unlike a native CountMinSketch UDAF, the sketch is a
+    plain (r, cell, cnt) relation any engine can read, persist, or sum.
+
+    Scale shape: one projection builds each value's ``depth`` (r, cell)
+    pairs, one explode (×depth, a small constant), ONE partial
+    HashAggregate keyed by (r, cell) — map-side combine collapses every
+    partition to <= depth*width rows before the shuffle, so the shuffle
+    is O(depth*width * n_partitions) regardless of corpus size.  No
+    window, no driver state."""
+    if depth * width > 1 << 22:
+        raise ValueError(
+            f"depth*width={depth * width} exceeds the 2^22 sketch-size cap "
+            "(the sketch is broadcast at estimate time; see dsir_weights' "
+            "n_buckets ceiling for the same rule)"
+        )
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    vv = F.col("_v")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(str(r)).alias("r"),
+                F.pmod(
+                    kmv_hash(F.concat(F.lit(f"{r}|"), vv)), F.lit(width)
+                ).alias("cell"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(v.alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.cell").alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Sum two sketches cell-wise.  CMS is linear in the data, so
+    ``cms_merge(cms(A), cms(B)) == cms(A ∪ B)`` exactly — the additive
+    law that makes per-epoch sketch states foldable the way the
+    stats-ingest family folds its aggregates (absent cells are zero;
+    union + re-aggregate, never a join)."""
+    return (
+        a.unionByName(b)
+        .groupBy("r", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, value_col: str,
+    depth: int = 3, width: int = 2048,
+) -> DataFrame:
+    """Estimated count for each probe value: re-derive the probe's
+    (r, cell) keys, join the sketch, take MIN over its ``depth`` cells.
+    The sketch is <= depth*width rows — a broadcast-sized relation at
+    any corpus scale, so the join never shuffles the probe side.  A
+    value the sketch never saw estimates 0 (left join + coalesce)."""
+    if depth * width > 1 << 22:
+        raise ValueError(
+            f"depth*width={depth * width} exceeds the 2^22 sketch-size cap"
+        )
+    v = F.col(value_col)
+    keys = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(str(r)).alias("r"),
+                    F.pmod(
+                        kmv_hash(F.concat(F.lit(f"{r}|"), v)), F.lit(width)
+                    ).alias("cell"),
+                )
+                for r in range(depth)
+            ]
+        )
+    ).alias("p")
+    probe_cells = probes.select("*", keys).select(
+        *probes.columns, F.col("p.r").alias("r"), F.col("p.cell").alias("cell")
+    )
+    joined = probe_cells.join(F.broadcast(sketch), ["r", "cell"], "left")
+    return (
+        joined.groupBy(*probes.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -377,6 +377,25 @@ AUDITS = {
          "upstream windows)", lambda p: p.count("Window") >= 2),
         ("no python anywhere", lambda p: "EvalPython" not in p),
     ],
+    "corpus_cms_counts": [
+        # sketch build: one explode (x depth) into ONE partial hash agg
+        # keyed by (r, cell) — the shuffle is O(depth*width*partitions)
+        ("cell counts are partial hash aggs (map-side combine)",
+         lambda p: "HashAggregate" in p and "partial" in p.lower()),
+        ("probe joins the <=depth*width sketch broadcast, never shuffled",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no window anywhere in the sketch path",
+         lambda p: "Window" not in p),
+        ("no python anywhere", lambda p: "EvalPython" not in p),
+    ],
+    "corpus_cms_merge": [
+        # additivity: merge is union + re-aggregate, never a join of states
+        ("merged halves re-aggregate as partial hash aggs",
+         lambda p: "HashAggregate" in p and "partial" in p.lower()),
+        ("union of half-sketches present", lambda p: "Union" in p),
+        ("estimate join is broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("no python anywhere", lambda p: "EvalPython" not in p),
+    ],
 }
 
 

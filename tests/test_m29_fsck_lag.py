@@ -161,3 +161,30 @@ def test_key_history_audit_trail(spark, tmp_path):
     h = t.key_history(["d1"], prune_stats=stats).collect()
     assert [(r["op_seq"], r["val"]) for r in h] == [(7, "v7")]
     assert stats["files_total"] >= stats["files_read"] >= 1
+
+
+def test_schema_history_reports_evolution(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "ev"))
+    t.commit_append(
+        spark.createDataFrame([("d1", "x")], "doc_id string, val string"),
+        batch_id="b0",
+    )
+    # a delta touching only old columns: NOT a schema event
+    t.commit_delta(
+        spark.createDataFrame([("d2", "insert", 1, "y")],
+                              "doc_id string, op string, op_seq long, val string"),
+        batch_id="b1",
+    )
+    # evolution: a new payload column arrives mid-stream
+    t.commit_delta(
+        spark.createDataFrame([("d3", "insert", 2, "z", 7)],
+                              "doc_id string, op string, op_seq long, val string, extra int"),
+        batch_id="b2",
+    )
+    t.compact()  # same union schema: not a schema event
+
+    h = t.schema_history()
+    assert [e["version"] for e in h] == [1, 3]
+    assert h[0]["added"] == {"doc_id": "string", "val": "string"}
+    assert h[1]["added"] == {"extra": "int"} and not h[1]["removed"]
+    assert all(not e["retyped"] for e in h)

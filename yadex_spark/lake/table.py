@@ -587,6 +587,59 @@ class LakeTable:
             out = out.where(F.col(SEQ_COL) >= kill_seq)
         return out.where(~F.col(DELETED_COL)).select(*cols)
 
+    def schema_history(self) -> list[dict]:
+        """Schema-evolution audit: for each committed version whose DDL
+        differs from the previous data-carrying one, the column-level
+        diff — added / removed columns and type changes.  Driver-side
+        manifest parse only (no Spark job), the Iceberg
+        ``table.history()`` + schema-log read.  The pipeline's
+        on-the-fly evolution (unionByName over flat payload columns,
+        m2 suite) makes this the one place an operator can ask "when
+        did column X appear, and as what type".
+
+        Returns ``[{version, action, added, removed, retyped}]`` where
+        ``added``/``removed`` map column -> type and ``retyped`` maps
+        column -> (old, new); the first data-carrying version reports
+        all its columns as added."""
+        from pyspark.sql import types as T
+
+        def fields(ddl: str) -> dict:
+            if not ddl:
+                return {}
+            dt = T.DataType.fromDDL(ddl)
+            if not isinstance(dt, T.StructType):
+                return {}
+            return {
+                f.name: f.dataType.simpleString()
+                for f in dt.fields
+                if f.name not in (SEQ_COL, DELETED_COL)
+            }
+
+        out = []
+        prev: dict = {}
+        for s in self.snapshots():
+            cur = fields(s.schema_ddl)
+            if not cur:
+                continue  # truncate-style manifests carry no data DDL
+            added = {c: t for c, t in cur.items() if c not in prev}
+            removed = {c: t for c, t in prev.items() if c not in cur}
+            retyped = {
+                c: (prev[c], cur[c])
+                for c in cur
+                if c in prev and prev[c] != cur[c]
+            }
+            if added or removed or retyped:
+                out.append(
+                    dict(version=s.version, action=s.action,
+                         added=added, removed=removed, retyped=retyped)
+                )
+            # deltas are PARTIAL schemas (a batch touching only old
+            # columns must not read as "column removed"): the running
+            # schema is the union, exactly like the read path's
+            # unionByName(allowMissingColumns); compaction re-baselines
+            prev = cur if s.action in ("append", "compact") else {**prev, **cur}
+        return out
+
     def key_history(self, probes: list, key: str = "doc_id",
                     prune_stats: dict | None = None) -> DataFrame:
         """Audit trail for specific keys: every stored row version in

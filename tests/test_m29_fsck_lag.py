@@ -118,6 +118,9 @@ def test_lag_tracks_feed_and_drain(spark, tmp_path):
     assert reports and all(
         rep["errors"] == [] and rep["orphans"] == [] for rep in reports.values()
     )
+    # pipeline-level schema audit: the feed's columns appeared at v1
+    sh = pipe.schema_history()
+    assert "tokens" in sh["seqs"][0]["added"]
 
 
 def test_key_history_audit_trail(spark, tmp_path):

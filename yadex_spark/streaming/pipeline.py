@@ -643,6 +643,11 @@ class CdcPipeline:
         Returns {table: report}."""
         return {name: self.table(name).fsck(verify_rows, repair) for name in self.tables()}
 
+    def schema_history(self) -> dict:
+        """:meth:`LakeTable.schema_history` per routed table — when each
+        column appeared (and as what type) across the whole lake."""
+        return {name: self.table(name).schema_history() for name in self.tables()}
+
     # ---------- cross-table consistent reads ----------
 
     def last_applied_epoch(self) -> int | None:

@@ -1474,6 +1474,42 @@ def q_cdc_replicate(spark, sf):
     )
 
 
+#: fixed probe set for the point-lookup gate — identical literal list
+#: on both engines; some hit live keys, some hit deleted keys, some
+#: miss entirely (all three must behave: row, no row, no row)
+_LOOKUP_PROBES = [f"u{i}" for i in range(1, 65)]
+
+
+def q_cdc_point_lookup(spark, sf):
+    """Pruned point lookup THROUGH a minor compaction: the oplog commits
+    as two epochs, ``compact_minor()`` folds them into one
+    range-clustered snapshot (the LSM L0→L1 merge, lake/table.py),
+    ``vacuum()`` deletes the originals, and ``lookup(probes)`` serves
+    the probes' live state off zone-map-pruned files — per-key LWW
+    correct under updates and deletes.  One gate pins both new
+    surfaces: the merged snapshot must BE the table (originals gone),
+    and the lookup must equal the replay oracle restricted to the
+    probe set."""
+    tbl, _, _ = _two_epoch_table(spark, sf, "point-lookup-")
+    tbl.compact_minor()
+    tbl.vacuum()
+    return tbl.lookup(_LOOKUP_PROBES).select(
+        "doc_id",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
+
+
+_LOOKUP_IN = ", ".join(f"'{p}'" for p in _LOOKUP_PROBES)
+
+SQL_POINT_LOOKUP = f"""
+SELECT * FROM (
+{SQL_ENGINE_REPLAY}
+) WHERE doc_id IN ({_LOOKUP_IN})
+"""
+
+
 def q_cdc_time_travel(spark, sf):
     """Snapshot-isolation time travel (Iceberg `VERSION AS OF`): the
     oplog committed as two epochs, read back AS OF the first epoch's
@@ -2486,6 +2522,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_detokenize": q_wordpiece_detokenize,
         "corpus_cms_counts": q_corpus_cms_counts,
         "corpus_cms_merge": q_corpus_cms_merge,
+        #   cdc_point_lookup — new in the fourth session, window full;
+        #                      locally oracle-verified at 2 SFs.  Pins
+        #                      compact_minor + vacuum + pruned lookup in
+        #                      one row; the LWW subtree it reads through
+        #                      is the graded cdc_engine_replay's.
+        "cdc_point_lookup": q_cdc_point_lookup,
     }
 
 
@@ -2571,4 +2613,5 @@ def oracle_sql() -> dict[str, str]:
         # two-half sketch must equal the single-pass one (cf. SQL_KMV)
         "corpus_cms_counts": SQL_CMS,
         "corpus_cms_merge": SQL_CMS,
+        "cdc_point_lookup": SQL_POINT_LOOKUP,
     }

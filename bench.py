@@ -79,6 +79,7 @@ HEADLINE = [
     "cdc_time_travel",
     "cdc_change_feed",
     "cdc_replicate",
+    "cdc_point_lookup",
 ]
 
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))

@@ -341,6 +341,16 @@ AUDITS = {
         ("winner join-back present", lambda p: "Join" in p),
         ("no python anywhere", lambda p: "EvalPython" not in p),
     ],
+    "cdc_point_lookup": [
+        # the serving read: probe filter pushed into the parquet scan
+        # (on top of the driver-side footer file pruning), LWW narrow
+        ("probe IN-filter pushed to the scan",
+         lambda p: "PushedFilters" in p and "In(doc_id" in p),
+        ("narrow LWW: hash aggregate, no sort fallback",
+         lambda p: "HashAggregate" in p and "SortAggregate" not in p),
+        ("winner join-back present", lambda p: "Join" in p),
+        ("no python anywhere", lambda p: "EvalPython" not in p),
+    ],
     "length_quantiles": [
         ("histogram is a partial hash agg over the corpus",
          lambda p: "HashAggregate" in p and "partial" in p.lower()),

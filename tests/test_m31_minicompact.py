@@ -1,0 +1,318 @@
+"""M31 — minor compaction (compact_minor) + pruned point lookup.
+
+The LSM L0→L1 tier the sustained-ingest story was missing: under
+trigger-bounded CDC the active chain grows one small delta per epoch,
+so read amplification grows linearly between O(table) full compactions.
+``compact_minor`` folds the TRAILING run of deltas into one
+range-clustered snapshot at O(those deltas) cost.  Laws pinned here:
+
+- state equality: read() / lookup() / table_changes consumers see the
+  exact same live state before and after (incl. tombstones, drop
+  barriers, schema evolution, late out-of-order replays);
+- only the trailing run merges — deltas behind a clone append are
+  untouched (the rank-forward-only correctness argument);
+- exactly-once survives vacuum: subsumed manifests remain, so replayed
+  epochs stay no-ops after their files are gone;
+- replication: a lagging physical replica converges across a
+  minicompact+vacuum boundary (merged files carry the skipped deltas'
+  collapsed rows); a fully-caught-up replica gets a data-less marker,
+  never duplicate bytes;
+- lookup: LWW-correct point reads under updates/deletes with zone-map
+  file pruning measured via prune_stats.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from yadex_spark.lake.replicate import LakeReplicator
+from yadex_spark.lake.table import LakeTable
+from yadex_spark.operators.collapse import collapse
+
+TS = datetime.datetime(2026, 1, 1)
+OPLOG_DDL = (
+    "op_seq long, op_ts timestamp, op string, table string, doc_id string, "
+    "after struct<tokens:array<int>,n_tok:int,source:string>"
+)
+
+
+def _commit(spark, tbl, rows, batch_id):
+    return tbl.commit_delta(
+        collapse(spark.createDataFrame(rows, OPLOG_DDL)).drop("table"),
+        batch_id=batch_id,
+    )
+
+
+def _state(tbl, version=None):
+    return {
+        r["doc_id"]: (r["tokens"], r["n_tok"], r["source"])
+        for r in tbl.read(version=version).collect()
+    }
+
+
+@pytest.fixture()
+def chained(spark, tmp_path):
+    """append (clone) + three deltas with updates, deletes, and a key
+    whose terminal op differs per delta — the steady-state chain."""
+    tbl = LakeTable(spark, str(tmp_path / "lake"))
+    clone = spark.createDataFrame(
+        [("a", [1], 1, "s0"), ("b", [2], 1, "s0"), ("c", [3], 1, "s0")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    tbl.commit_append(clone, batch_id="clone")
+    _commit(spark, tbl, [
+        (10, TS, "update", "t", "a", ([1, 1], 2, "s1")),
+        (11, TS, "insert", "t", "d", ([4], 1, "s1")),
+    ], "E1")
+    _commit(spark, tbl, [
+        (12, TS, "delete", "t", "b", None),
+        (13, TS, "update", "t", "d", ([4, 4], 2, "s2")),
+    ], "E2")
+    _commit(spark, tbl, [
+        (14, TS, "insert", "t", "e", ([5], 1, "s3")),
+        (15, TS, "update", "t", "a", ([9], 1, "s3")),
+    ], "E3")
+    return tbl
+
+
+def test_minicompact_state_equality_and_chain_shrink(chained):
+    before = _state(chained)
+    pre_active, _ = chained._active_chain()
+    v = chained.compact_minor()
+    assert v is not None
+    assert _state(chained) == before
+    post_active, _ = chained._active_chain()
+    # append + one merged snapshot replace append + 3 deltas
+    assert len(post_active) == len(pre_active) - 2
+    assert post_active[-1].action == "minicompact"
+    assert sorted(post_active[-1].subsumes) == [
+        s.version for s in pre_active if s.action == "delta"
+    ]
+
+
+def test_minicompact_below_min_deltas_is_noop(spark, tmp_path):
+    tbl = LakeTable(spark, str(tmp_path / "lake"))
+    _commit(spark, tbl, [(1, TS, "insert", "t", "a", ([1], 1, "s"))], "A")
+    assert tbl.compact_minor(min_deltas=2) is None
+    assert tbl.compact_minor(min_deltas=1) is not None
+
+
+def test_minicompact_merges_trailing_run_only(spark, tmp_path):
+    """A clone append mid-chain fences the merge: deltas before it are
+    not part of the trailing run and stay active untouched."""
+    tbl = LakeTable(spark, str(tmp_path / "lake"))
+    _commit(spark, tbl, [(1, TS, "insert", "t", "a", ([1], 1, "s"))], "A")
+    clone = spark.createDataFrame(
+        [("z", [0], 1, "clone")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    tbl.commit_append(clone, batch_id="clone", as_of_seq=1)
+    v_d2 = _commit(spark, tbl, [(2, TS, "insert", "t", "b", ([2], 1, "s"))], "B")
+    v_d3 = _commit(spark, tbl, [(3, TS, "update", "t", "b", ([2, 2], 2, "s"))], "C")
+    before = _state(tbl)
+    v = tbl.compact_minor()
+    assert v is not None
+    active, _ = tbl._active_chain()
+    mini = active[-1]
+    assert sorted(mini.subsumes) == [v_d2, v_d3]
+    # the pre-append delta and the append are both still active
+    assert [s.action for s in active] == ["delta", "append", "minicompact"]
+    assert _state(tbl) == before
+
+
+def test_minicompact_time_travel_vacuum_and_fsck(chained):
+    before = _state(chained)
+    active, _ = chained._active_chain()
+    v_mid_delta = active[2].version  # clone + first two deltas
+    mid_state = _state(chained, version=v_mid_delta)
+    chained.compact_minor()
+    # pre-vacuum: time travel below the minicompact still sees the
+    # original deltas (the version filter runs before subsumption)
+    assert _state(chained, version=v_mid_delta) == mid_state
+    removed = chained.vacuum()
+    assert len(removed) == 3  # the three subsumed delta dirs
+    assert _state(chained) == before
+    report = chained.fsck()
+    assert report["errors"] == [] and report["orphans"] == []
+
+
+def test_minicompact_exactly_once_survives_vacuum(spark, chained):
+    chained.compact_minor()
+    chained.vacuum()
+    # replaying a merged epoch after its files are GONE must be a no-op:
+    # the subsumed manifest still holds the batch_id
+    replay = _commit(spark, chained, [
+        (12, TS, "delete", "t", "b", None),
+        (13, TS, "update", "t", "d", ([4, 4], 2, "s2")),
+    ], "E2")
+    assert replay is None
+    assert "b" not in _state(chained)
+
+
+def test_minicompact_preserves_drop_barrier(spark, tmp_path):
+    """Tombstone-free barrier law: rows below a seq-scoped truncate stay
+    dead after the deltas around the barrier are merged, and a LATE
+    pre-barrier epoch arriving after the minicompact cannot resurrect."""
+    tbl = LakeTable(spark, str(tmp_path / "lake"))
+    _commit(spark, tbl, [(1, TS, "insert", "t", "old", ([1], 1, "s"))], "A")
+    tbl.commit_truncate(batch_id="barrier", trunc_seq=5)
+    _commit(spark, tbl, [(6, TS, "insert", "t", "new", ([2], 1, "s"))], "B")
+    assert set(_state(tbl)) == {"new"}
+    assert tbl.compact_minor() is not None
+    assert set(_state(tbl)) == {"new"}
+    # late out-of-order pre-barrier epoch AFTER the merge
+    _commit(spark, tbl, [(2, TS, "insert", "t", "ghost", ([9], 1, "s"))], "LATE")
+    assert set(_state(tbl)) == {"new"}
+
+
+def test_minicompact_schema_evolution_union(spark, tmp_path):
+    wide_ddl = (
+        "op_seq long, op_ts timestamp, op string, table string, doc_id string, "
+        "after struct<tokens:array<int>,n_tok:int,source:string,lang:string>"
+    )
+    tbl = LakeTable(spark, str(tmp_path / "lake"))
+    _commit(spark, tbl, [(1, TS, "insert", "t", "a", ([1], 1, "s"))], "A")
+    tbl.commit_delta(
+        collapse(spark.createDataFrame(
+            [(2, TS, "insert", "t", "b", ([2], 1, "s", "en"))], wide_ddl
+        )).drop("table"),
+        batch_id="B",
+    )
+    before = {r["doc_id"]: r.asDict() for r in tbl.read().collect()}
+    assert before["b"]["lang"] == "en" and before["a"]["lang"] is None
+    tbl.compact_minor()
+    after = {r["doc_id"]: r.asDict() for r in tbl.read().collect()}
+    assert after == before
+
+
+def test_minicompact_change_feed_fallback(chained):
+    v_before = chained.latest_version()
+    pre_live = set(_state(chained))
+    v_mini = chained.compact_minor()
+    _commit(
+        chained.spark, chained,
+        [(20, TS, "insert", "t", "f", ([6], 1, "s4"))], "E4",
+    )
+    # window spanning the minicompact: value-diff fallback — only the
+    # genuinely-new key appears (merged rewrites are not changes)
+    ch = {r["doc_id"]: r["change_type"]
+          for r in chained.table_changes(v_before).collect()}
+    assert ch == {"f": "insert"}
+    # window strictly after it: normal per-commit attribution
+    ch2 = chained.table_changes(v_mini).collect()
+    assert {r["doc_id"] for r in ch2} == {"f"}
+    assert all(r["change_type"] == "insert" for r in ch2)
+    assert pre_live <= set(_state(chained))
+
+
+# ---------- replication across a minicompact ----------
+
+
+def test_replicate_lagging_target_across_minicompact_vacuum(spark, chained, tmp_path):
+    target = LakeTable(spark, str(tmp_path / "replica"))
+    rep = LakeReplicator(chained, target, mode="physical")
+    # replicate only the clone + first delta, then the source merges
+    # everything and vacuums the originals
+    active, _ = chained._active_chain()
+    rep.sync(v_to=active[1].version)
+    chained.compact_minor()
+    chained.vacuum()  # subsumed delta files are GONE at the source
+    rep.sync()
+    assert _state(target) == _state(chained)
+    # replay is a no-op (bookmark = batch_id set)
+    assert rep.sync() == 0
+
+
+def test_replicate_caught_up_target_gets_marker_not_bytes(spark, chained, tmp_path):
+    target = LakeTable(spark, str(tmp_path / "replica"))
+    rep = LakeReplicator(chained, target, mode="physical")
+    rep.sync()  # fully caught up, pre-merge
+    n_dirs_before = len([s for s in target.snapshots() if s.files_dir])
+    chained.compact_minor()
+    assert rep.sync() == 1
+    snaps = target.snapshots()
+    assert snaps[-1].action == "minicompact" and snaps[-1].files_dir is None
+    # no data bytes recopied; state identical
+    assert len([s for s in target.snapshots() if s.files_dir]) == n_dirs_before
+    assert _state(target) == _state(chained)
+    # the marker must not poison the target's own change feed windows
+    ch = target.table_changes(snaps[-1].version - 1).collect()
+    assert ch == []
+
+
+def test_replicate_fresh_target_after_minicompact_vacuum(spark, chained, tmp_path):
+    chained.compact_minor()
+    chained.vacuum()
+    target = LakeTable(spark, str(tmp_path / "replica"))
+    rep = LakeReplicator(chained, target, mode="physical")
+    rep.sync()
+    assert _state(target) == _state(chained)
+
+
+# ---------- point lookup ----------
+
+
+def test_lookup_equals_filtered_read(chained):
+    probes = ["a", "b", "d", "nope"]  # updated / deleted / updated / absent
+    got = {r["doc_id"]: (r["tokens"], r["n_tok"], r["source"])
+           for r in chained.lookup(probes).collect()}
+    want = {k: v for k, v in _state(chained).items() if k in probes}
+    assert got == want
+    assert "b" not in got and "nope" not in got
+
+
+def test_lookup_time_travel(chained):
+    active, _ = chained._active_chain()
+    v_mid = active[1].version  # after E1: b still alive (deleted in E2)
+    got = {r["doc_id"] for r in chained.lookup(["b"], version=v_mid).collect()}
+    assert got == {"b"}
+    assert chained.lookup(["b"]).count() == 0
+
+
+def test_lookup_prunes_files_after_minicompact(spark, tmp_path):
+    tbl = LakeTable(spark, str(tmp_path / "lake"))
+    rows = [(i, TS, "insert", "t", f"doc{i:05d}", ([i], 1, "s"))
+            for i in range(400)]
+    for j in range(4):
+        _commit(spark, tbl, rows[j * 100:(j + 1) * 100], f"E{j}")
+    tbl.compact_minor(n_buckets=8)
+    tbl.vacuum()
+    stats: dict = {}
+    got = {r["doc_id"] for r in tbl.lookup(["doc00007"], prune_stats=stats).collect()}
+    assert got == {"doc00007"}
+    # range-clustered output: one probe touches O(1) of the 8 files
+    assert stats["files_total"] >= 8
+    assert stats["files_read"] < stats["files_total"]
+    assert stats["pruned"] == stats["files_total"] - stats["files_read"]
+
+
+def test_lookup_after_minicompact_matches_pre_merge(chained):
+    probes = ["a", "c", "d", "e"]
+    before = {r["doc_id"]: r["tokens"] for r in chained.lookup(probes).collect()}
+    chained.compact_minor()
+    chained.vacuum()
+    after = {r["doc_id"]: r["tokens"] for r in chained.lookup(probes).collect()}
+    assert after == before
+
+
+def test_pipeline_maintain_minor(spark, tmp_path):
+    """Lake-level cadence wrapper: every table minicompacted under the
+    maintenance lease, subsumed dirs vacuumed, state preserved."""
+    from yadex_spark.streaming.pipeline import CdcPipeline
+
+    lake_dir = str(tmp_path / "lake")
+    pipe = CdcPipeline.__new__(CdcPipeline)  # state-free use of maintain_minor
+    pipe.spark = spark
+    pipe.lake_dir = lake_dir
+    pipe.oplog_dir = str(tmp_path / "oplog")
+    tbl = LakeTable(spark, os.path.join(lake_dir, "t1"))
+    _commit(spark, tbl, [(1, TS, "insert", "t1", "a", ([1], 1, "s"))], "A")
+    _commit(spark, tbl, [(2, TS, "update", "t1", "a", ([2], 1, "s"))], "B")
+    before = _state(tbl)
+    report = pipe.maintain_minor()
+    assert report["tables"]["t1"]["minicompacted_version"] is not None
+    assert report["tables"]["t1"]["data_dirs_removed"] == 2
+    assert _state(LakeTable(spark, os.path.join(lake_dir, "t1"))) == before

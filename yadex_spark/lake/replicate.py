@@ -89,6 +89,14 @@ class LakeReplicator:
 
     def _sync_physical(self, v_from: int, v_to: int) -> int:
         snaps = [s for s in self.source.snapshots() if s.version <= v_to]
+        # a source minor compaction (lake/table.py compact_minor) may
+        # have replaced — and vacuum may have deleted — the delta files
+        # of the versions it subsumes: never replay a subsumed delta,
+        # its collapsed rows travel inside the minicompact instead
+        dead: set[int] = set()
+        for s in snaps:
+            if s.action == "minicompact" and s.subsumes:
+                dead.update(s.subsumes)
         if v_from == 0:
             # fresh target: start at the source's active-chain boundary —
             # snapshots behind the last full truncate / compact may be
@@ -100,25 +108,49 @@ class LakeReplicator:
                     start = i + 1
                 elif s.action == "compact":
                     start = i
-            todo = snaps[start:]
+            todo = [s for s in snaps[start:] if s.version not in dead]
         else:
-            todo = [s for s in snaps if s.version > v_from]
+            todo = [s for s in snaps
+                    if s.version > v_from and s.version not in dead]
         n = 0
         for s in todo:
-            n += self._apply_snapshot(s)
+            n += self._apply_snapshot(s, v_from)
         return n
 
-    def _apply_snapshot(self, s: Snapshot) -> int:
+    def _apply_snapshot(self, s: Snapshot, v_from: int = 0) -> int:
         """Replay ONE source snapshot onto the target, preserving its
         action semantics.  Idempotent by batch_id; a crash between the
         data write and the manifest leaves only an orphan dir that
-        ``vacuum()`` collects."""
+        ``vacuum()`` collects.
+
+        A source **minicompact** replays in one of two forms:
+
+        - all its subsumed deltas were already replicated (≤ ``v_from``)
+          → a data-less bookmark marker (the target keeps its own copies
+          of those deltas; re-copying the merged bytes would only
+          duplicate them) — the marker's ``subsumes`` is dropped because
+          source version numbers don't name target versions;
+        - it subsumes deltas the target never received (skipped above,
+          possibly already vacuumed at the source) → replay WITH its
+          files: the merged dir carries those deltas' collapsed terminal
+          rows, so the target converges to the same live state (history
+          granularity collapses — the documented minicompact trade).  If
+          the run straddles ``v_from``, the ≤v_from part arrives twice;
+          duplicate rows carry identical (_seq, payload), so per-key
+          last-writer-wins picks one deterministically — state-safe,
+          briefly storage-duplicated until the target's own compaction."""
         bid = self._batch_id(s.version - 1, s.version)
         if bid in self.target.committed_batch_ids():
             return 0
         if s.files_dir is None:  # truncate (full wipe or seq barrier)
             self.target._commit_manifest(
                 s.action, bid, s.schema_ddl, 0, None, trunc_seq=s.trunc_seq
+            )
+            return 1
+        if (s.action == "minicompact" and s.subsumes
+                and all(v <= v_from for v in s.subsumes)):
+            self.target._commit_manifest(
+                "minicompact", bid, s.schema_ddl, 0, None
             )
             return 1
         df = self.source.spark.read.parquet(

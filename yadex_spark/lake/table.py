@@ -78,6 +78,11 @@ class Snapshot:
     #: delivers files out of order across micro-batches (LWW makes every
     #: other op order-free; this makes the barrier order-free too).
     trunc_seq: int | None = None
+    #: minor compaction (action='minicompact'): the delta versions this
+    #: snapshot's files REPLACE.  Subsumed snapshots drop out of the
+    #: active chain (their manifests stay — batch-id idempotence must
+    #: survive their files being vacuumed).  Absent on older manifests.
+    subsumes: list | None = None
 
 
 class LakeTable:
@@ -111,7 +116,8 @@ class LakeTable:
 
     def _commit_manifest(self, action: str, batch_id: str | None,
                          schema_ddl: str, n_rows: int, files_dir: str | None,
-                         trunc_seq: int | None = None) -> int:
+                         trunc_seq: int | None = None,
+                         subsumes: list | None = None) -> int:
         """Atomically claim the next version (O_EXCL + rename)."""
         meta_dir = os.path.join(self.path, META)
         while True:
@@ -120,6 +126,7 @@ class LakeTable:
                 version=version, action=action, batch_id=batch_id,
                 schema_ddl=schema_ddl, n_rows=n_rows, files_dir=files_dir,
                 committed_at=time.time(), trunc_seq=trunc_seq,
+                subsumes=subsumes,
             )
             # unique per pid AND thread: same-process writers (two streams
             # in one driver) racing a version would otherwise interleave
@@ -254,6 +261,84 @@ class LakeTable:
         rel, n = self._write_data(cur, self.latest_version() + 1)
         ddl = _ddl(cur.drop(SEQ_COL, DELETED_COL))
         return self._commit_manifest("compact", None, ddl, n, rel, trunc_seq=kill_seq)
+
+    def compact_minor(self, min_deltas: int = 2,
+                      n_buckets: int | None = None,
+                      merge_fanin: int = 4) -> int | None:
+        """Minor compaction (the LSM L0→L1 merge; Iceberg's binPack
+        ``rewrite_data_files``): fold the TRAILING run of delta
+        snapshots into one range-clustered snapshot at O(those deltas)
+        cost — never O(table), which is :meth:`compact`'s price.
+
+        Under sustained ingest the active chain grows by one small delta
+        per epoch, so read amplification (files unioned per read, and
+        the per-file footer probes of :meth:`read_keys`) grows linearly
+        between full compactions.  This bounds it cheaply: per-key
+        last-writer-wins WITHIN the merged run (winner by the same
+        packed ``_seq``/rank ordinal as :meth:`_materialize`), output
+        range-clustered + sorted on doc_id so footer zone maps stay
+        tight for point lookups and merge pruning.
+
+        Correctness constraints, and why they hold:
+
+        - **Only the trailing run** of ``delta``/``minicompact``
+          snapshots is merged (nothing files-bearing commits after it in
+          the chain).  The merged snapshot's chain rank therefore only
+          ever MOVES FORWARD relative to older appends — and since the
+          read ordinal is ``_seq << 20 | rank`` with ``_seq`` dominant,
+          a rank increase can only confirm outcomes already decided by
+          ``_seq`` or by "delta committed after the append", never flip
+          one.  Deltas mid-chain (before a clone append) are left alone.
+        - **Tombstones survive** and no drop-barrier filter is applied:
+          barrier manifests stay in the log (seq-scoped, position-free),
+          so late out-of-order epochs still cannot resurrect dead rows.
+        - **Exactly-once survives vacuum**: subsumed manifests remain on
+          disk (only their files become unreachable), so a replayed
+          epoch's batch_id still hits :meth:`committed_batch_ids`.
+        - Two racing minor compactions (no lease) are LWW-safe — both
+          outputs stay active with identical per-key winners and the
+          next run subsumes them both — just wasteful; run it under the
+          pipeline maintenance lease like :meth:`compact`.
+
+        ``n_buckets`` (output file count) defaults to a ``merge_fanin``:1
+        reduction of the input file count, capped at
+        ``spark.sql.shuffle.partitions``.  Returns the new version, or
+        None when fewer than ``min_deltas`` trailing deltas exist."""
+        snaps, _kill = self._active_chain()
+        run: list[Snapshot] = []
+        for s in reversed(snaps):
+            if s.action in ("delta", "minicompact"):
+                run.append(s)
+            else:
+                break
+        run.reverse()
+        if len(run) < min_deltas:
+            return None
+        if len(run) >= (1 << self.ORD_VERSION_BITS):
+            raise RuntimeError(
+                f"merge run of {len(run)} snapshots exceeds the ordering "
+                f"tiebreak capacity (2^{self.ORD_VERSION_BITS})"
+            )
+        n_files_in = 0
+        for s in run:
+            files = _parquet_files(os.path.join(self.path, s.files_dir))
+            n_files_in += len(files) if files is not None else 1
+        if n_buckets is None:
+            cap = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            n_buckets = max(1, min(cap, (n_files_in + merge_fanin - 1) // merge_fanin))
+        all_rows = self._union_ranked(run, rank_offset=0)
+        winners = all_rows.groupBy("doc_id").agg(F.max("_ord").alias("_ord"))
+        merged = all_rows.join(winners, ["doc_id", "_ord"]).drop("_ord", VERSION_COL)
+        data_cols = [c for c in merged.columns
+                     if c not in (SEQ_COL, DELETED_COL, "doc_id")]
+        merged = merged.select("doc_id", *data_cols, SEQ_COL, DELETED_COL)
+        merged = merged.repartitionByRange(n_buckets, "doc_id").sortWithinPartitions("doc_id")
+        rel, n = self._write_data(merged, self.latest_version() + 1)
+        ddl = _ddl(merged.drop(SEQ_COL, DELETED_COL))
+        return self._commit_manifest(
+            "minicompact", None, ddl, n, rel,
+            subsumes=[s.version for s in run],
+        )
 
     def purge_keys(self, keys: list, n_buckets: int | None = None) -> int | None:
         """Hard-erase keys from the table INCLUDING their tombstones and
@@ -425,6 +510,11 @@ class LakeTable:
 
         - version-scoped truncates (legacy wipe) and compacts prune the
           file list: snapshots before them are dead / subsumed
+        - a minor compaction (action='minicompact') replaces exactly the
+          delta versions listed in its ``subsumes`` — those drop out of
+          the chain (time travel BELOW the minicompact still sees them:
+          the version filter runs first, so a too-new minicompact never
+          hides them)
         - seq-scoped truncates (drop barriers) return the max barrier;
           the read applies it as a ``_seq >= barrier`` predicate so it
           is correct under out-of-order epoch arrival."""
@@ -436,6 +526,12 @@ class LakeTable:
             elif s.action == "compact":
                 start = i
         active = snaps[start:]
+        dead: set[int] = set()
+        for s in active:
+            if s.subsumes:
+                dead.update(s.subsumes)
+        if dead:
+            active = [s for s in active if s.version not in dead]
         # compacts inherit the barrier (see compact()) so a late pre-barrier
         # epoch arriving after a compaction still cannot resurrect dead rows
         kill_seqs = [s.trunc_seq for s in active if s.trunc_seq is not None]
@@ -586,6 +682,72 @@ class LakeTable:
         if kill_seq is not None:
             out = out.where(F.col(SEQ_COL) >= kill_seq)
         return out.where(~F.col(DELETED_COL)).select(*cols)
+
+    def lookup(self, probes: list, version: int | None = None,
+               prune_stats: dict | None = None) -> DataFrame:
+        """Point lookup: the CURRENT (or time-travel) live state of the
+        given doc_ids — the serving-layer read (``SELECT * WHERE doc_id
+        IN (...)``) — at O(probe-matching files), never O(table).
+
+        Same driver-side zone-map pruning as :meth:`read_keys` (only
+        files whose footer [min, max] can contain a probe are scanned),
+        but on the full LWW table: unlike ``read_keys`` this is correct
+        under updates and deletes, because per-key last-writer-wins only
+        needs the rows OF THAT KEY, and pruning is conservative — every
+        file that may hold a probe row is kept, so each probed key's
+        winner is decided over its complete row set.  The key filter
+        sits BELOW the aggregate, so the LWW shuffle carries probe rows
+        only.  Deleted keys and unknown keys return no row.  After
+        :meth:`compact` / :meth:`compact_minor` range-cluster the table,
+        K probes touch O(K) files on any table size."""
+        snaps, kill_seq = self._active_chain(version)
+        if not snaps or not probes:
+            return self._empty(version)
+        if len(snaps) >= (1 << self.ORD_VERSION_BITS):
+            raise RuntimeError(
+                f"active chain of {len(snaps)} snapshots exceeds the "
+                f"read-ordering tiebreak capacity (2^{self.ORD_VERSION_BITS}) "
+                "— run compact()"
+            )
+        sorted_probes = sorted(probes)
+        n_total = n_read = 0
+        dfs = []
+        for rank, s in enumerate(snaps):  # rank = position in FULL chain
+            full = os.path.join(self.path, s.files_dir)
+            files = _parquet_files(full)
+            if files is not None:
+                n_total += len(files)
+                kept = [f for f in files
+                        if _file_may_contain(f, "doc_id", sorted_probes)]
+                n_read += len(kept)
+                if not kept:
+                    continue
+                df = self.spark.read.parquet(*kept)
+            else:
+                df = self.spark.read.parquet(full)
+            dfs.append(df.withColumn(VERSION_COL, F.lit(rank)))
+        if prune_stats is not None:
+            prune_stats.update(
+                files_total=n_total, files_read=n_read, pruned=n_total - n_read
+            )
+        if not dfs:
+            return self._empty(version)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        out = out.where(F.col("doc_id").isin(list(probes)))
+        if kill_seq is not None:
+            out = out.where(F.col(SEQ_COL) >= kill_seq)
+        out = out.withColumn(
+            "_ord",
+            F.col(SEQ_COL) * F.lit(1 << self.ORD_VERSION_BITS) + F.col(VERSION_COL),
+        )
+        winners = out.groupBy("doc_id").agg(F.max("_ord").alias("_ord"))
+        lww = out.join(winners, ["doc_id", "_ord"]).drop("_ord", VERSION_COL)
+        lww = lww.where(~F.col(DELETED_COL))
+        data_cols = [c for c in lww.columns
+                     if c not in (SEQ_COL, DELETED_COL, "doc_id")]
+        return lww.select("doc_id", *data_cols)
 
     def schema_history(self) -> list[dict]:
         """Schema-evolution audit: for each committed version whose DDL
@@ -751,7 +913,14 @@ class LakeTable:
         if not (0 <= v_from <= v_to):
             raise ValueError(f"need 0 <= v_from <= v_to, got ({v_from}, {v_to})")
         window = [s for s in all_snaps if v_from < s.version <= v_to]
-        if any(s.action in ("truncate", "compact") for s in window):
+        # a minicompact WITH subsumes rewrites per-commit attribution for
+        # the deltas it merged (a replicated data-less marker does not);
+        # same fallback rule as any other rewrite inside the window
+        if any(
+            s.action in ("truncate", "compact")
+            or (s.action == "minicompact" and s.subsumes)
+            for s in window
+        ):
             return self._changes_by_diff(v_from, v_to)
 
         pre_files, pre_kill = self._active_chain(v_from)

@@ -771,6 +771,33 @@ class CdcPipeline:
             "ms": round((time.monotonic() - t0) * 1000, 1),
         }
 
+    def maintain_minor(self, min_deltas: int = 2, vacuum: bool = True) -> dict:
+        """Minor compaction across the lake (:meth:`LakeTable.
+        compact_minor` per table + vacuum of the subsumed delta dirs) —
+        the CHEAP maintenance tier: O(trailing small deltas) per table
+        instead of :meth:`maintain`'s O(table) rewrite, so it can run at
+        a much higher cadence (e.g. every N drain rounds) to keep read
+        amplification flat between full compactions.  Tombstone GC and
+        range-re-clustering of the base remain :meth:`maintain`'s job.
+        Same lease + not-while-applying rules as :meth:`maintain`."""
+        t0 = time.monotonic()
+        with self._maintenance_lease():
+            per_table = {}
+            for t in self.tables():
+                tbl = self.table(t)
+                v = tbl.compact_minor(min_deltas=min_deltas)
+                removed = tbl.vacuum() if (vacuum and v is not None) else []
+                per_table[t] = {
+                    "minicompacted_version": v,
+                    "data_dirs_removed": len(removed),
+                }
+            staging_removed = self.vacuum_staging() if vacuum else []
+        return {
+            "tables": per_table,
+            "staging_dirs_removed": len(staging_removed),
+            "ms": round((time.monotonic() - t0) * 1000, 1),
+        }
+
     def purge_keys(self, keys: list) -> dict:
         """GDPR right-to-be-forgotten across the WHOLE lake: hard-erase
         the keys from every table (compact-with-exclusion + vacuum,

@@ -105,3 +105,44 @@ def test_hot_reload_picks_up_new_table(spark, tmp_path, monkeypatch):
         "doc_id string, tokens array<int>, n_tok int, source string",
     )
     assert_equal_state(expected_aux, pipe.table("aux").read())
+
+
+def test_reload_loop_minicompact_cadence(spark, tmp_path, monkeypatch):
+    """minicompact_every=1 folds each round's small deltas between drain
+    rounds (the cheap LSM tier the full compact_every rarely runs);
+    state must stay oracle-equal and the manifest log must show the
+    minicompact."""
+    n1, n2 = 2_000, 4_000
+    oplog = gen_oplog(spark, n2, 500, seed=23)
+    feed = str(tmp_path / "oplog")
+    write_oplog_chunks(oplog.where(F.col("op_seq") < n1), feed, n_chunks=2)
+
+    cfg_path = str(tmp_path / "cfg.json")
+    _write_cfg(cfg_path, patterns=[{"regex": "seqs"}], delay_ms=10,
+               minicompact_every=1, max_files_per_trigger=1)
+    assert load_config(cfg_path).minicompact_every == 1
+
+    def between_rounds(_cfg):
+        oplog.where(F.col("op_seq") >= n1).coalesce(1).write.mode("append").parquet(feed)
+
+    monkeypatch.setattr(cfgmod, "_sleep_between_rounds", between_rounds)
+    run_with_reload(
+        spark, cfg_path, feed, str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+        max_rounds=2,
+    )
+
+    from yadex_spark.streaming.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(spark, feed, str(tmp_path / "lake"), str(tmp_path / "ckpt"))
+    tbl = pipe.table("seqs")
+    actions = [s.action for s in tbl.snapshots()]
+    assert "minicompact" in actions
+    # each round left at most one files-bearing snapshot behind: round 2
+    # merged everything committed up to it
+    active, _ = tbl._active_chain()
+    assert active[-1].action == "minicompact"
+    expected = spark.createDataFrame(
+        state_to_pdf(replay(oplog.toPandas()), "seqs"),
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    assert_equal_state(expected, tbl.read())

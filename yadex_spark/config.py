@@ -16,6 +16,7 @@ engine consumes — /root/reference/config/config.go:19,26-54):
      "rt_patterns": [{"regex": "rt_.*", "expires_ms": 5000}],
      "max_files_per_trigger": 8,
      "compact_every": 16,
+     "minicompact_every": 4,
      "delay_ms": 1000}
 
 Default-filling and constraint repair mirror config.go:100-112 /
@@ -41,7 +42,11 @@ DEFAULT_EXPIRES_MS = 5_000  # config.go:19
 class PipelineConfig:
     patterns: tuple[RoutePattern, ...]
     max_files_per_trigger: int = 8
-    compact_every: int = 0  # maintenance cadence in drain ROUNDS (0 = never)
+    compact_every: int = 0  # full maintenance cadence in drain ROUNDS (0 = never)
+    #: cheap-tier cadence: maintain_minor() every N rounds — O(trailing
+    #: small deltas), so it can run far more often than compact_every
+    #: (the LSM minor/major compaction split)
+    minicompact_every: int = 0
     delay_ms: int = 1_000  # poll cadence between drain rounds (Delay)
 
     def router(self) -> Router:
@@ -74,6 +79,7 @@ def load_config(path: str) -> PipelineConfig:
         patterns=tuple(pats),
         max_files_per_trigger=int(raw.get("max_files_per_trigger", 8)),
         compact_every=int(raw.get("compact_every", 0)),
+        minicompact_every=int(raw.get("minicompact_every", 0)),
         delay_ms=delay_ms,
     )
 
@@ -144,6 +150,11 @@ def run_with_reload(
             # is stopped here, so compact/vacuum never stall an epoch
             # (the reference never blocks its apply path on maintenance)
             pipe.maintain()
+        elif cfg.minicompact_every and rounds % cfg.minicompact_every == 0:
+            # cheap tier on the rounds full maintenance doesn't run:
+            # fold the trailing small deltas so read amplification stays
+            # flat between (much rarer) full compactions
+            pipe.maintain_minor()
         if max_rounds is None or rounds < max_rounds:
             _sleep_between_rounds(cfg)
     return rounds

@@ -128,3 +128,22 @@ def test_crash_replay_and_forced_double_commit_are_invisible(spark, tmp_path, fe
     )
     ing2.seen.commit_delta(dup, batch_id="forced-duplicate")
     assert {r["source"]: r.asDict() for r in ing2.distinct().collect()} == want
+
+
+def test_minor_maintain_folds_partials_unchanged(spark, tmp_path, feed):
+    """maintain(minor=True) on the partials table: per-epoch state rows
+    carry epoch-prefixed keys (never updated), so the trailing-run merge
+    is a plain union and the folded distinct() answer is bit-identical;
+    the subsumed per-epoch dirs are vacuumed."""
+    docs, path = feed
+    ing = KmvIngest(spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+                    max_files_per_trigger=1)
+    ing.run_available_now()
+    want = {r["source"]: r.asDict() for r in ing.distinct().collect()}
+    n_rows = ing.seen.read_keys("source").count()
+
+    rep = ing.maintain(minor=True)
+    assert rep["kmv"]["minicompacted_version"] is not None
+    assert rep["kmv"]["data_dirs_removed"] >= 2
+    assert ing.seen.read_keys("source").count() == n_rows  # plain union
+    assert {r["source"]: r.asDict() for r in ing.distinct().collect()} == want

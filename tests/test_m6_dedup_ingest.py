@@ -231,3 +231,39 @@ def test_probe_budget_fallback_keeps_semantics(spark, tmp_path, feed):
     assert ing.last_prune == {"fallback": "probe_budget_exceeded"}
     got = {(r["doc_id"], r["ingest_seq"]) for r in ing.accepted().collect()}
     assert got == _want(docs)
+
+
+def test_minor_maintain_preserves_semantics_and_prunes(spark, tmp_path, feed):
+    """maintain(minor=True): the cheap L0 tier folds the per-epoch
+    registry deltas (keys unique across epochs — a plain union) at
+    O(trailing deltas); accepted set and seen registry byte-identical,
+    subsumed delta dirs vacuumed, and the NEXT epoch's footer probe
+    still prunes against the merged range-clustered files."""
+    docs, path = feed
+    want = _want(docs)
+    ing = DedupIngest(spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+                      max_files_per_trigger=1)
+    ing.run_available_now()
+    seen_before = {r["doc_id"] for r in ing.seen.read_keys("doc_id").collect()}
+
+    rep = ing.maintain(minor=True)
+    for t in ("seen", "accepted"):
+        assert rep[t]["minicompacted_version"] is not None
+        assert rep[t]["data_dirs_removed"] >= 1
+    assert {r["doc_id"] for r in ing.seen.read_keys("doc_id").collect()} == seen_before
+    assert {(r["doc_id"], r["ingest_seq"]) for r in ing.accepted().collect()} == want
+
+    # a late epoch still dedups exactly-once against the merged registry
+    late = spark.createDataFrame(
+        [(20_000, "mlate0", "fresh minor text alpha"),
+         (20_001, "mlate1", "text body number 3 repeated content")],
+        "ingest_seq long, doc_id string, text string",
+    )
+    late.repartition(1).write.mode("append").parquet(path)
+    ing2 = DedupIngest(spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+                       max_files_per_trigger=1)
+    ing2.run_available_now()
+    st = ing2.last_prune
+    assert st["files_read"] <= 2  # merged files are range-clustered
+    got = {(r["doc_id"], r["ingest_seq"]) for r in ing2.accepted().collect()}
+    assert got == want | {("mlate0", 20_000)}  # dup dropped, fresh kept

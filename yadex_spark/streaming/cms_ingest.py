@@ -98,14 +98,15 @@ class CmsIngest(DedupIngest):
             self.sketch(), probes, value_col, self.depth, self.width
         )
 
-    def maintain(self) -> dict:
+    def maintain(self, minor: bool = False) -> dict:
         """Compact + vacuum the partials table under the shared
         nonce-confirmed maintenance lease (partials grow by <=
         depth*width rows per epoch; the folded answer is unchanged)."""
         from yadex_spark.lake.lease import maintenance_lease
 
         with maintenance_lease(self.lake_dir):
-            v = self.seen.compact()
-            removed = self.seen.vacuum()
-        return {"cms": {"compacted_version": v,
+            v = self.seen.compact_minor() if minor else self.seen.compact()
+            removed = self.seen.vacuum() if (not minor or v is not None) else []
+        return {"cms": {("minicompacted_version" if minor
+                        else "compacted_version"): v,
                         "data_dirs_removed": len(removed)}}

@@ -250,7 +250,7 @@ class DedupIngest:
         if q.exception() is not None:
             raise q.exception()
 
-    def maintain(self) -> dict:
+    def maintain(self, minor: bool = False) -> dict:
         """Compact + vacuum the seen-hash registry AND the accepted
         output — the same out-of-band maintenance discipline as the CDC
         lake (run with the stream stopped; at scale, Iceberg
@@ -258,16 +258,24 @@ class DedupIngest:
         clusters each table on its key (the content hash), giving every
         file a tight hash min/max footer.  Guarded by the shared
         nonce-confirmed maintenance lease: a cron'd run racing a manual
-        one must not interleave compact and vacuum."""
+        one must not interleave compact and vacuum.
+
+        ``minor=True`` runs the cheap tier instead
+        (:meth:`LakeTable.compact_minor`): the registries grow one
+        small delta per epoch — exactly the L0 shape — and their keys
+        are unique across epochs (content hashes / band keys inserted
+        once; ``e<epoch>|``-prefixed partial keys), so the trailing-run
+        merge is a plain union that keeps the per-epoch footer-probe
+        count flat at O(trailing deltas) cost between full compacts."""
         from yadex_spark.lake.lease import maintenance_lease
 
         with maintenance_lease(self.lake_dir):
             report = {}
             for name, tbl in (("seen", self.seen), ("accepted", self.accepted_table)):
-                v = tbl.compact()
-                removed = tbl.vacuum()
+                v = tbl.compact_minor() if minor else tbl.compact()
+                removed = tbl.vacuum() if (not minor or v is not None) else []
                 report[name] = {
-                    "compacted_version": v,
+                    ("minicompacted_version" if minor else "compacted_version"): v,
                     "data_dirs_removed": len(removed),
                 }
         return report

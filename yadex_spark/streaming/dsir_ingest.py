@@ -93,14 +93,15 @@ class DsirIngest(DedupIngest):
         return dsir_weights(corpus, target, n_buckets=self.n_buckets,
                             salt=salt, raw_counts=self.raw_model())
 
-    def maintain(self) -> dict:
+    def maintain(self, minor: bool = False) -> dict:
         """Compact + vacuum the partials table (this member only
         counts — there is no accepted output).  Same nonce-confirmed
         maintenance lease as the rest of the family."""
         from yadex_spark.lake.lease import maintenance_lease
 
         with maintenance_lease(self.lake_dir):
-            v = self.seen.compact()
-            removed = self.seen.vacuum()
-        return {"dsir": {"compacted_version": v,
+            v = self.seen.compact_minor() if minor else self.seen.compact()
+            removed = self.seen.vacuum() if (not minor or v is not None) else []
+        return {"dsir": {("minicompacted_version" if minor
+                        else "compacted_version"): v,
                          "data_dirs_removed": len(removed)}}

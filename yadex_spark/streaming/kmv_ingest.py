@@ -100,14 +100,15 @@ class KmvIngest(DedupIngest):
         )
         return kmv_estimate(state, "source", k=self.k)
 
-    def maintain(self) -> dict:
+    def maintain(self, minor: bool = False) -> dict:
         """Compact + vacuum the partials table under the shared
         nonce-confirmed maintenance lease (the partials grow by
         #sources rows per epoch forever; the answer is unchanged)."""
         from yadex_spark.lake.lease import maintenance_lease
 
         with maintenance_lease(self.lake_dir):
-            v = self.seen.compact()
-            removed = self.seen.vacuum()
-        return {"kmv": {"compacted_version": v,
+            v = self.seen.compact_minor() if minor else self.seen.compact()
+            removed = self.seen.vacuum() if (not minor or v is not None) else []
+        return {"kmv": {("minicompacted_version" if minor
+                        else "compacted_version"): v,
                         "data_dirs_removed": len(removed)}}

@@ -91,14 +91,15 @@ class StatsIngest(DedupIngest):
             *[F.sum(c).alias(c) for c in STAT_COLS]
         )
 
-    def maintain(self) -> dict:
+    def maintain(self, minor: bool = False) -> dict:
         """Compact + vacuum the partials table (there is no accepted
         output to maintain — this member only counts).  Same
         nonce-confirmed maintenance lease as the rest of the family."""
         from yadex_spark.lake.lease import maintenance_lease
 
         with maintenance_lease(self.lake_dir):
-            v = self.seen.compact()
-            removed = self.seen.vacuum()
-        return {"stats": {"compacted_version": v,
+            v = self.seen.compact_minor() if minor else self.seen.compact()
+            removed = self.seen.vacuum() if (not minor or v is not None) else []
+        return {"stats": {("minicompacted_version" if minor
+                        else "compacted_version"): v,
                           "data_dirs_removed": len(removed)}}

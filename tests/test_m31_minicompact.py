@@ -316,3 +316,40 @@ def test_pipeline_maintain_minor(spark, tmp_path):
     assert report["tables"]["t1"]["minicompacted_version"] is not None
     assert report["tables"]["t1"]["data_dirs_removed"] == 2
     assert _state(LakeTable(spark, os.path.join(lake_dir, "t1"))) == before
+
+
+def test_minicompact_racing_delta_commit_is_preserved(spark, tmp_path, monkeypatch):
+    """A delta committed BETWEEN compact_minor's merge computation and
+    its manifest commit (two racing writers, no lease) must stay active:
+    the minicompact's subsumes list names only what it actually merged,
+    the late delta lands at a lower version, and LWW by globally-unique
+    _seq is rank-free across the two — state equals a serial apply."""
+    tbl = LakeTable(spark, str(tmp_path / "lake"))
+    _commit(spark, tbl, [(1, TS, "insert", "t", "a", ([1], 1, "s"))], "A")
+    _commit(spark, tbl, [(2, TS, "update", "t", "a", ([2], 1, "s"))], "B")
+
+    real_commit = LakeTable._commit_manifest
+    fired = {"done": False}
+
+    def inject(self, action, *args, **kw):
+        if action == "minicompact" and not fired["done"]:
+            fired["done"] = True  # guard: the injected commit recurses here
+            _commit(spark, tbl, [
+                (3, TS, "update", "t", "a", ([3], 1, "s")),
+                (4, TS, "insert", "t", "b", ([9], 1, "s")),
+            ], "RACER")
+        return real_commit(self, action, *args, **kw)
+
+    monkeypatch.setattr(LakeTable, "_commit_manifest", inject)
+    v = tbl.compact_minor()
+    monkeypatch.undo()
+    assert v is not None and fired["done"]
+    active, _ = tbl._active_chain()
+    # racer delta (lower version) and the minicompact both active
+    assert [s.action for s in active] == ["delta", "minicompact"]
+    assert sorted(active[-1].subsumes) == [1, 2]  # only what it merged
+    assert _state(tbl) == {"a": ([3], 1, "s"), "b": ([9], 1, "s")}
+    # and a later minicompact folds the survivors too
+    tbl.compact_minor(min_deltas=1)
+    tbl.vacuum()
+    assert _state(tbl) == {"a": ([3], 1, "s"), "b": ([9], 1, "s")}

@@ -353,3 +353,34 @@ def test_minicompact_racing_delta_commit_is_preserved(spark, tmp_path, monkeypat
     tbl.compact_minor(min_deltas=1)
     tbl.vacuum()
     assert _state(tbl) == {"a": ([3], 1, "s"), "b": ([9], 1, "s")}
+
+
+def test_logical_replica_rebootstraps_across_vacuumed_rewrite(spark, chained, tmp_path):
+    """Logical mode across a minicompact+vacuum boundary: the change
+    feed's value-diff fallback cannot read the vacuumed pre-version, so
+    the sync re-bootstraps by diffing source-live against TARGET-live —
+    converging with deletes honored and the bookmark advancing."""
+    target = LakeTable(spark, str(tmp_path / "replica"))
+    rep = LakeReplicator(chained, target, mode="logical")
+    active, _ = chained._active_chain()
+    rep.sync(v_to=active[1].version)  # replica = clone + E1 ("b" alive)
+    assert "b" in _state(target)
+    chained.compact_minor()
+    chained.vacuum()  # E1/E2/E3 files gone at the source
+    assert rep.sync() == 1
+    assert _state(target) == _state(chained)
+    assert "b" not in _state(target)  # the delete crossed the refresh
+    assert rep.sync() == 0  # bookmark advanced, replay no-op
+
+
+def test_logical_replica_rebootstraps_across_full_compact_vacuum(spark, chained, tmp_path):
+    """Same hole existed for full compact(): pinned here too."""
+    target = LakeTable(spark, str(tmp_path / "replica"))
+    rep = LakeReplicator(chained, target, mode="logical")
+    active, _ = chained._active_chain()
+    rep.sync(v_to=active[2].version)
+    chained.compact()
+    chained.vacuum()
+    assert rep.sync() == 1
+    assert _state(target) == _state(chained)
+    assert rep.sync() == 0

@@ -168,11 +168,34 @@ class LakeReplicator:
         """One collapsed delta from the change feed.  ``op_seq`` is the
         change's committing source version — monotone across sync
         rounds, so last-writer-wins on the target replays source order
-        even when one key changes in several rounds."""
+        even when one key changes in several rounds.
+
+        If the window crosses a rewrite (compact / minicompact /
+        truncate) whose pre-version files were already VACUUMED at the
+        source, the change feed's value-diff fallback cannot read
+        ``v_from`` any more.  A sync-only target IS the source's live
+        state at ``v_from`` (the class contract), so the re-bootstrap
+        diffs the source's CURRENT state against the TARGET's — the
+        Delta-CDF "changes no longer available, refresh the consumer"
+        path, at O(one scan of each side) with the same collapsed-delta
+        commit and the same idempotent batch id."""
         bid = self._batch_id(v_from, v_to)
         if bid in self.target.committed_batch_ids():
             return 0
-        ch = self.source.table_changes(v_from, v_to)
+        if self._pre_state_vacuumed(v_from):
+            from yadex_spark.lake.table import state_diff
+
+            if self._pre_state_vacuumed(v_to):
+                raise ValueError(
+                    f"source files at v_to={v_to} were vacuumed — "
+                    "a partial sync below the last rewrite is "
+                    "unserviceable; sync to the latest version"
+                )
+            ch = state_diff(
+                self.target.read(), self.source.read(version=v_to), v_to
+            )
+        else:
+            ch = self.source.table_changes(v_from, v_to)
         payload = [
             c[len("post_"):] for c in ch.columns if c.startswith("post_")
         ]
@@ -185,6 +208,19 @@ class LakeReplicator:
             *[F.col(f"post_{c}").alias(c) for c in payload],
         )
         return 1 if self.target.commit_delta(collapsed, batch_id=bid) else 0
+
+    def _pre_state_vacuumed(self, v_from: int) -> bool:
+        """True iff reading the source AT ``v_from`` would touch a data
+        dir that no longer exists (vacuum reclaimed history the change
+        feed's rewrite fallback needs).  Driver-side stat only."""
+        if v_from == 0:
+            return False  # v_from=0 reads nothing
+        snaps, _ = self.source._active_chain(v_from)
+        return any(
+            s.files_dir is not None
+            and not os.path.isdir(os.path.join(self.source.path, s.files_dir))
+            for s in snaps
+        )
 
     # ---------- verification hook ----------
 

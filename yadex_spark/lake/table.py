@@ -1070,50 +1070,60 @@ class LakeTable:
         return self.spark.createDataFrame([], ", ".join(cols))
 
     def _changes_by_diff(self, v_from: int, v_to: int) -> DataFrame:
-        """Fallback across a compact/truncate boundary: value-based full
-        state diff of the two versions.  O(table), like Iceberg CDF
-        re-derivation across a rewrite; attribution version is v_to."""
-        a, b = self.read(version=v_from), self.read(version=v_to)
-        payload = [c for c in a.columns if c != "doc_id"]
-        payload += [c for c in b.columns if c != "doc_id" and c not in payload]
-        # a column missing on one side (schema evolution, or an empty
-        # v_from=0 side that only knows the key) must be a TYPED null —
-        # a bare lit(None) is VOID and the eqNullSafe struct compare
-        # below then fails to resolve against the typed other side
-        types = {f.name: f.dataType for f in b.schema.fields}
-        types.update({f.name: f.dataType for f in a.schema.fields})
-        l = a.select(
-            "doc_id", F.lit(True).alias("_pre_live"),
-            *[
-                (F.col(c) if c in a.columns else F.lit(None).cast(types[c])).alias(f"pre_{c}")
-                for c in payload
-            ],
-        )
-        r = b.select(
-            "doc_id", F.lit(True).alias("_post_live"),
-            *[
-                (F.col(c) if c in b.columns else F.lit(None).cast(types[c])).alias(f"post_{c}")
-                for c in payload
-            ],
-        )
-        j = l.join(r, "doc_id", "full_outer")
-        pre_s = F.struct(*[F.col(f"pre_{c}") for c in payload])
-        post_s = F.struct(*[F.col(f"post_{c}") for c in payload])
-        change = (
-            F.when(F.col("_pre_live").isNull(), F.lit("insert"))
-            .when(F.col("_post_live").isNull(), F.lit("delete"))
-            .when(pre_s.eqNullSafe(post_s), F.lit(None))  # unchanged
-            .otherwise(F.lit("update"))
-        )
-        j = j.withColumn(self.CHANGE_TYPE_COL, change).where(
-            F.col(self.CHANGE_TYPE_COL).isNotNull()
-        )
-        return j.select(
-            "doc_id", self.CHANGE_TYPE_COL,
-            *[F.col(f"pre_{c}") for c in payload],
-            *[F.col(f"post_{c}") for c in payload],
-            F.lit(v_to).alias(self.COMMIT_VERSION_COL),
-        )
+        """Fallback across a compact/truncate/minicompact boundary:
+        value-based full state diff of the two versions.  O(table), like
+        Iceberg CDF re-derivation across a rewrite; attribution version
+        is v_to."""
+        return state_diff(self.read(version=v_from), self.read(version=v_to), v_to)
+
+
+def state_diff(a: DataFrame, b: DataFrame, v_to: int) -> DataFrame:
+    """Value-based change set between two LIVE states (``a`` → ``b``),
+    in :meth:`LakeTable.table_changes`' row shape: insert / delete /
+    update with pre/post images, unchanged keys dropped, attribution
+    version ``v_to``.  Shared by the change feed's rewrite fallback and
+    by :class:`LakeReplicator`'s logical re-bootstrap (where ``a`` is
+    the TARGET's live state standing in for a vacuumed pre-version)."""
+    payload = [c for c in a.columns if c != "doc_id"]
+    payload += [c for c in b.columns if c != "doc_id" and c not in payload]
+    # a column missing on one side (schema evolution, or an empty
+    # v_from=0 side that only knows the key) must be a TYPED null —
+    # a bare lit(None) is VOID and the eqNullSafe struct compare
+    # below then fails to resolve against the typed other side
+    types = {f.name: f.dataType for f in b.schema.fields}
+    types.update({f.name: f.dataType for f in a.schema.fields})
+    l = a.select(
+        "doc_id", F.lit(True).alias("_pre_live"),
+        *[
+            (F.col(c) if c in a.columns else F.lit(None).cast(types[c])).alias(f"pre_{c}")
+            for c in payload
+        ],
+    )
+    r = b.select(
+        "doc_id", F.lit(True).alias("_post_live"),
+        *[
+            (F.col(c) if c in b.columns else F.lit(None).cast(types[c])).alias(f"post_{c}")
+            for c in payload
+        ],
+    )
+    j = l.join(r, "doc_id", "full_outer")
+    pre_s = F.struct(*[F.col(f"pre_{c}") for c in payload])
+    post_s = F.struct(*[F.col(f"post_{c}") for c in payload])
+    change = (
+        F.when(F.col("_pre_live").isNull(), F.lit("insert"))
+        .when(F.col("_post_live").isNull(), F.lit("delete"))
+        .when(pre_s.eqNullSafe(post_s), F.lit(None))  # unchanged
+        .otherwise(F.lit("update"))
+    )
+    j = j.withColumn(LakeTable.CHANGE_TYPE_COL, change).where(
+        F.col(LakeTable.CHANGE_TYPE_COL).isNotNull()
+    )
+    return j.select(
+        "doc_id", LakeTable.CHANGE_TYPE_COL,
+        *[F.col(f"pre_{c}") for c in payload],
+        *[F.col(f"post_{c}") for c in payload],
+        F.lit(v_to).alias(LakeTable.COMMIT_VERSION_COL),
+    )
 
 
 def prepare_delta(collapsed: DataFrame, keep_table: bool = False) -> DataFrame:

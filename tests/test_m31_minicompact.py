@@ -384,3 +384,32 @@ def test_logical_replica_rebootstraps_across_full_compact_vacuum(spark, chained,
     assert rep.sync() == 1
     assert _state(target) == _state(chained)
     assert rep.sync() == 0
+
+
+def test_incremental_group_stats_across_minicompact_window(spark, tmp_path):
+    """The materialized-aggregate consumer folds correctly across a
+    window containing a minicompact: the change feed serves the
+    value-diff fallback there, and the delta rule still reconciles
+    base(vA) + deltas == full recompute (merged rewrites contribute no
+    spurious deltas)."""
+    from yadex_spark.lake.cdf_views import group_stats, incremental_group_stats
+
+    tbl = LakeTable(spark, str(tmp_path / "lake"))
+    v_a = _commit(spark, tbl, [
+        (1, TS, "insert", "t", "a", ([10], 1, "s1")),
+        (2, TS, "insert", "t", "b", ([20], 1, "s2")),
+    ], "A")
+    measures = {"n_docs": "1", "sum_tok0": "element_at(tokens, 1)"}
+    base = group_stats(tbl.read(version=v_a), "source", measures)
+    _commit(spark, tbl, [
+        (3, TS, "update", "t", "a", ([11], 1, "s1")),
+        (4, TS, "insert", "t", "c", ([30], 1, "s2")),
+    ], "B")
+    _commit(spark, tbl, [
+        (5, TS, "delete", "t", "b", None),
+    ], "C")
+    v_mini = tbl.compact_minor()  # subsumes A, B, C -> fallback window
+    inc = incremental_group_stats(tbl, base, v_a, "source", measures, v_mini)
+    full = group_stats(tbl.read(), "source", measures)
+    as_map = lambda df: {r["source"]: (r["n_docs"], r["sum_tok0"]) for r in df.collect()}
+    assert as_map(inc) == as_map(full) == {"s1": (1, 11), "s2": (1, 30)}

@@ -52,18 +52,27 @@ def build_parser() -> argparse.ArgumentParser:
                         "staging GC, tombstone watermark from the feed) "
                         "instead of streaming — the Iceberg maintenance-job "
                         "analogue; must not run concurrently with ingest")
+    p.add_argument("--maintain-minor", action="store_true",
+                   help="run the CHEAP maintenance tier instead of "
+                        "streaming: fold each table's trailing small "
+                        "deltas (compact_minor) + vacuum — O(those "
+                        "deltas), safe to cron at high cadence between "
+                        "rare --maintain runs; must not run concurrently "
+                        "with ingest")
     return p
 
 
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
-    if args.maintain:
+    if args.maintain or args.maintain_minor:
         spark = get_spark("yadex-spark-maintain", cpus=args.cpus)
         pipe = CdcPipeline(
             spark, oplog_dir=args.oplog, lake_dir=args.lake,
             checkpoint_dir=args.checkpoint,
         )
-        print(json.dumps(pipe.maintain()))
+        print(json.dumps(
+            pipe.maintain_minor() if args.maintain_minor else pipe.maintain()
+        ))
         return
     if args.config:
         from yadex_spark.config import run_with_reload

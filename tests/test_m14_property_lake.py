@@ -123,3 +123,71 @@ def test_lake_state_invariant_under_order_replay_and_barriers(spark, h):
         assert got == _oracle(batches, trunc, clone)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@st.composite
+def histories_with_minicompacts(draw):
+    h = draw(histories())
+    batches, apply_seq, trunc, trunc_pos, clone = h
+    # after which apply positions to run compact_minor (any subset,
+    # including immediately after the barrier or at the very end)
+    minis = draw(st.sets(st.integers(0, len(apply_seq)), max_size=3))
+    vacuum = draw(st.booleans())
+    return h, sorted(minis), vacuum
+
+
+@settings(max_examples=6, **SETTINGS)
+@given(hm=histories_with_minicompacts())
+def test_lake_state_invariant_under_interleaved_minicompacts(spark, hm):
+    """The m14 algebra with compact_minor thrown anywhere into the apply
+    sequence (and an optional closing vacuum): the read state, the
+    barrier, the clone fencing, AND batch-id idempotence must all be
+    unchanged — a minor compaction is invisible to every law."""
+    (batches, apply_seq, trunc, trunc_pos, clone), minis, vacuum = hm
+    root = tempfile.mkdtemp(prefix="prop-mini-")
+    try:
+        tbl = LakeTable(spark, root)
+        if clone:
+            tbl.commit_append(
+                spark.createDataFrame(
+                    [(d, "init") for d in DOCS[:3]], "doc_id string, val string"
+                ),
+                batch_id="clone",
+            )
+        for pos, bi in enumerate(apply_seq):
+            if trunc is not None and pos == trunc_pos:
+                tbl.commit_truncate(batch_id="tr", trunc_seq=trunc)
+            if pos in minis:
+                tbl.compact_minor(min_deltas=1)
+            rows = [
+                (doc, op, s, f"v{s}") for doc, op, s in _collapse_py(batches[bi])
+            ]
+            if rows:
+                tbl.commit_delta(
+                    spark.createDataFrame(
+                        rows, "doc_id string, op string, op_seq long, val string"
+                    ),
+                    batch_id=f"b{bi}",
+                )
+        if trunc is not None and trunc_pos == len(apply_seq):
+            tbl.commit_truncate(batch_id="tr", trunc_seq=trunc)
+        if len(apply_seq) in minis:
+            tbl.compact_minor(min_deltas=1)
+        if vacuum:
+            tbl.vacuum()
+        got = sorted((r.doc_id, r.val) for r in tbl.read().collect())
+        assert got == _oracle(batches, trunc, clone)
+        # idempotence survives the merges + vacuum: replay every batch
+        for bi, evs in enumerate(batches):
+            rows = [(doc, op, s, f"v{s}") for doc, op, s in _collapse_py(evs)]
+            if rows:
+                assert tbl.commit_delta(
+                    spark.createDataFrame(
+                        rows, "doc_id string, op string, op_seq long, val string"
+                    ),
+                    batch_id=f"b{bi}",
+                ) is None
+        got2 = sorted((r.doc_id, r.val) for r in tbl.read().collect())
+        assert got2 == got
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -413,3 +413,20 @@ def test_incremental_group_stats_across_minicompact_window(spark, tmp_path):
     full = group_stats(tbl.read(), "source", measures)
     as_map = lambda df: {r["source"]: (r["n_docs"], r["sum_tok0"]) for r in df.collect()}
     assert as_map(inc) == as_map(full) == {"s1": (1, 11), "s2": (1, 30)}
+
+
+def test_fsck_flags_corrupt_subsumes(spark, chained, tmp_path):
+    """fsck validates minicompact subsumption integrity: a healthy merge
+    audits clean; a hand-corrupted forward or dangling subsumes entry is
+    reported (the active chain would silently mis-resolve on it)."""
+    import json as _json
+
+    v = chained.compact_minor()
+    assert chained.fsck()["errors"] == []
+    meta = os.path.join(chained.path, "_meta", f"v{v:08d}.json")
+    m = _json.load(open(meta))
+    m["subsumes"] = [v + 5, 0]  # forward + dangling (v0 never exists)
+    _json.dump(m, open(meta, "w"))
+    errs = chained.fsck()["errors"]
+    assert any("forward/self" in e for e in errs)
+    assert any("missing version" in e for e in errs)

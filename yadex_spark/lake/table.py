@@ -454,6 +454,21 @@ class LakeTable:
         if versions and versions != list(range(1, versions[-1] + 1)):
             missing = sorted(set(range(1, versions[-1] + 1)) - set(versions))
             report["errors"].append(f"version chain gap: missing {missing}")
+        # minicompact subsumption integrity: every subsumed version must
+        # name an existing manifest strictly below the merge (a dangling
+        # or forward reference means a hand-edited or corrupt manifest —
+        # the active chain would silently mis-resolve)
+        vset = set(versions)
+        for m in manifests:
+            for sv in (m.get("subsumes") or []):
+                if sv >= m["version"]:
+                    report["errors"].append(
+                        f"v{m['version']}: subsumes forward/self version {sv}"
+                    )
+                elif sv not in vset:
+                    report["errors"].append(
+                        f"v{m['version']}: subsumes missing version {sv}"
+                    )
         referenced = {
             os.path.normpath(os.path.join(self.path, m["files_dir"]))
             for m in manifests

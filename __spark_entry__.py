@@ -1579,6 +1579,58 @@ WHERE NOT (post.op = 'delete' AND pre.user_id IS NULL)
 """
 
 
+def q_dedup_doc_lines(spark, sf):
+    """Intra-document line dedup (CCNet/Gopher line-level scrub): the
+    fixture's documents are single-line, so the gate synthesizes a
+    4-line document IDENTICALLY in both engines (text, its 40-char
+    prefix twice, text again — two exact duplicate lines per doc) and
+    asserts the first-occurrence-in-order fold: counts plus the cleaned
+    text itself (operators/text.py:dedup_doc_lines — per-row HOF fold,
+    zero shuffle, zero python)."""
+    from yadex_spark.operators.text import dedup_doc_lines
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.substring("text", 1, 40),
+            F.substring("text", 1, 40),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return dedup_doc_lines(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_lines", "n_uniq", "n_dropped", "clean_text",
+    )
+
+
+SQL_DEDUP_DOC_LINES = """
+WITH d AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text, substr(text, 1, 40), substr(text, 1, 40), text) AS t
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS line,
+         generate_subscripts(string_split(t, chr(10)), 1) AS i
+  FROM d
+),
+k AS (
+  SELECT doc_id, line, i FROM (
+    SELECT doc_id, line, i, min(i) OVER (PARTITION BY doc_id, line) AS fi FROM l
+  ) WHERE i = fi
+)
+SELECT a.doc_id, a.n_lines, b.n_uniq,
+       a.n_lines - b.n_uniq AS n_dropped, b.clean_text
+FROM (SELECT doc_id, CAST(count(*) AS INT) AS n_lines FROM l GROUP BY doc_id) a
+JOIN (SELECT doc_id, CAST(count(*) AS INT) AS n_uniq,
+             string_agg(line, chr(10) ORDER BY i) AS clean_text
+      FROM k GROUP BY doc_id) b USING (doc_id)
+"""
+
+
 def q_scrub_pii(spark, sf):
     """PII scrubbing: the gate INJECTS deterministic PII (an email, an
     IP, a phone number derived from doc_id) into every document —
@@ -2528,6 +2580,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #                      one row; the LWW subtree it reads through
         #                      is the graded cdc_engine_replay's.
         "cdc_point_lookup": q_cdc_point_lookup,
+        #   dedup_doc_lines — new in the fourth session, window full;
+        #                     locally oracle-verified at 2 SFs (per-row
+        #                     HOF fold — the zero-shuffle family whose
+        #                     plan shape text_quality/text_langid pin)
+        "dedup_doc_lines": q_dedup_doc_lines,
     }
 
 
@@ -2614,4 +2671,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_cms_counts": SQL_CMS,
         "corpus_cms_merge": SQL_CMS,
         "cdc_point_lookup": SQL_POINT_LOOKUP,
+        "dedup_doc_lines": SQL_DEDUP_DOC_LINES,
     }

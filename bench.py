@@ -50,6 +50,7 @@ HEADLINE = [
     "sample_by_source",
     "cap_per_source",
     "scrub_pii",
+    "dedup_doc_lines",
     "lm_bigram_score",
     "dsir_weights",
     "wordpiece_tokenize",

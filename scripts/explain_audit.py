@@ -341,6 +341,13 @@ AUDITS = {
         ("winner join-back present", lambda p: "Join" in p),
         ("no python anywhere", lambda p: "EvalPython" not in p),
     ],
+    "dedup_doc_lines": [
+        # per-row HOF fold: the whole operator is one projection
+        ("no shuffle anywhere (no Exchange)", lambda p: "Exchange" not in p),
+        ("no window, no join", lambda p: "Window" not in p and "Join" not in p),
+        ("no python anywhere", lambda p: "EvalPython" not in p),
+        ("column-pruned scan", lambda p: "ReadSchema" in p),
+    ],
     "cdc_point_lookup": [
         # the serving read: probe filter pushed into the parquet scan
         # (on top of the driver-side footer file pruning), LWW narrow

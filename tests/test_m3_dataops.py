@@ -1642,3 +1642,30 @@ def test_trained_vocab_roundtrip_chain(spark):
     got = {r["doc_id"]: r["text"]
            for r in wordpiece_detokenize(toks, vocab).collect()}
     assert got == dict(enumerate(texts))
+
+
+def test_dedup_doc_lines_first_occurrence_in_order(spark):
+    """Intra-doc line scrub: first occurrence kept in order; empty doc,
+    all-duplicate doc, no-duplicate doc, and a custom separator."""
+    from yadex_spark.operators.text import dedup_doc_lines
+
+    docs = spark.createDataFrame(
+        [("a", "x\ny\nx\nz\ny"), ("b", "same\nsame\nsame"),
+         ("c", "p\nq"), ("d", "")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in dedup_doc_lines(docs).collect()}
+    assert got["a"]["clean_text"] == "x\ny\nz"
+    assert (got["a"]["n_lines"], got["a"]["n_uniq"], got["a"]["n_dropped"]) == (5, 3, 2)
+    assert got["b"]["clean_text"] == "same" and got["b"]["n_dropped"] == 2
+    assert got["c"]["clean_text"] == "p\nq" and got["c"]["n_dropped"] == 0
+    # split("") yields [""] -> one (empty) line, nothing dropped
+    assert got["d"]["n_lines"] == 1 and got["d"]["n_dropped"] == 0
+
+    # sep is a LITERAL (regex metachar must not need escaping), and the
+    # rejoin uses the same literal
+    sep = dedup_doc_lines(
+        spark.createDataFrame([("s", "u|v|u")], "doc_id string, text string"),
+        sep="|",
+    ).collect()[0]
+    assert sep["n_dropped"] == 1 and sep["clean_text"] == "u|v"

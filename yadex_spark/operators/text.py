@@ -242,6 +242,45 @@ def repetition(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_doc_lines(docs: DataFrame, sep: str = "\n") -> DataFrame:
+    """Intra-document line dedup (the CCNet/Gopher line-level scrub,
+    per document): keep each line's FIRST occurrence in order, drop the
+    rest — boilerplate headers/footers and copy-paste runs inside one
+    crawled page are removed without touching any other document.
+    Complements the corpus-level passage dedup (dedup.py:passage_dedup,
+    Lee et al.), which this does NOT replace: this is the cheap per-row
+    normalization CCNet runs BEFORE corpus-level hashing.
+
+    Entirely per-row HOF expressions — NO shuffle, no python: the kept
+    list folds left over the line array appending a line iff not yet
+    seen (``aggregate`` + ``array_contains``; the accumulator IS the
+    answer, so nothing references the outer array inside a lambda —
+    the alias-substitution hazard text.py's top-word fold documents).
+    O(L²) equality checks per doc in the worst case, vectorized
+    JVM-side; L = lines per document (crawl pages: hundreds).
+
+    Returns (doc_id, n_lines, n_uniq, n_dropped, clean_text).
+    ``sep`` is a LITERAL separator (quoted for the regex split, used
+    verbatim for the rejoin)."""
+    d = docs.select(
+        "doc_id", F.split(F.col("text"), "\\Q" + sep + "\\E").alias("_lines")
+    )
+    uniq = F.aggregate(
+        F.col("_lines"),
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc)
+                        .otherwise(F.concat(acc, F.array(x))),
+    )
+    d = d.select("doc_id", F.size("_lines").alias("n_lines"), uniq.alias("_uniq"))
+    return d.select(
+        "doc_id",
+        "n_lines",
+        F.size("_uniq").alias("n_uniq"),
+        (F.col("n_lines") - F.size("_uniq")).alias("n_dropped"),
+        F.array_join("_uniq", sep).alias("clean_text"),
+    )
+
+
 def decontaminate_fuzzy(corpus: DataFrame, bench: DataFrame,
                         k: int = 8, n: int = 3) -> DataFrame:
     """Fuzzy benchmark decontamination: flag corpus docs that are

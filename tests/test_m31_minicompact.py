@@ -430,3 +430,70 @@ def test_fsck_flags_corrupt_subsumes(spark, chained, tmp_path):
     errs = chained.fsck()["errors"]
     assert any("forward/self" in e for e in errs)
     assert any("missing version" in e for e in errs)
+
+
+def test_vacuum_retention_window_keeps_time_travel(chained):
+    """vacuum(retain_last=N): time travel stays valid for the last N
+    versions across a minicompact (the Iceberg expire-snapshots
+    retention window); older versions lose their files as before."""
+    active, _ = chained._active_chain()
+    v_e1, v_e2, v_e3 = active[1].version, active[2].version, active[3].version
+    s_e2, s_e3 = _state(chained, version=v_e2), _state(chained, version=v_e3)
+    v_mini = chained.compact_minor()  # version v_e3 + 1
+    # retain the last 2 versions (v_mini and v_e3): E3's delta must
+    # survive; E1's and E2's may go — but E2's chain includes E1's
+    # files, so retaining v_e3 keeps everything E3's CHAIN needs
+    removed = chained.vacuum(retain_last=1)
+    assert removed == []  # chain at v_e3 includes clone + E1 + E2 + E3
+    # tighter window: only current state retained -> all deltas go
+    removed = chained.vacuum()
+    assert len(removed) == 3
+    assert _state(chained) == {k: v for k, v in s_e3.items()}  # live ok
+
+
+def test_vacuum_retention_after_full_compact(spark, tmp_path):
+    """After a FULL compact, retain_last keeps the pre-compact chain
+    readable for exactly the window, then a bare vacuum expires it."""
+    tbl = LakeTable(spark, str(tmp_path / "lake"))
+    _commit(spark, tbl, [(1, TS, "insert", "t", "a", ([1], 1, "s"))], "A")
+    v_b = _commit(spark, tbl, [(2, TS, "insert", "t", "b", ([2], 1, "s"))], "B")
+    s_b = _state(tbl, version=v_b)
+    tbl.compact()
+    assert tbl.vacuum(retain_last=1) == []      # v_b's chain retained
+    assert _state(tbl, version=v_b) == s_b      # time travel still works
+    removed = tbl.vacuum()                      # expire the window
+    assert len(removed) == 2
+    assert _state(tbl) == s_b                   # live state unaffected
+
+
+def test_retention_window_covers_staging_dirs(spark, tmp_path):
+    """Regression (found by driving maintain_minor(retain_last=1)): the
+    retention window must extend to STAGING vacuum too — pipeline
+    deltas live in staging attempt dirs, and a staging GC keyed only on
+    the current chain deleted data the retained time-travel versions
+    reference."""
+    import pyspark.sql.functions as F
+
+    from yadex_spark.sources.genlog import gen_oplog, write_oplog_chunks
+    from yadex_spark.streaming.pipeline import CdcPipeline
+
+    feed = str(tmp_path / "oplog")
+    write_oplog_chunks(gen_oplog(spark, 3000, 400, seed=13), feed,
+                       n_chunks=3, bounds=(0, 2999))
+    pipe = CdcPipeline(spark, feed, str(tmp_path / "lake"),
+                       str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    pipe.run_available_now(timeout_s=600)
+    tbl = pipe.table("seqs")
+    v_pre = tbl.latest_version()
+    pre = {r["doc_id"]: r["n_tok"] for r in tbl.read(version=v_pre).collect()}
+
+    rep = pipe.maintain_minor(retain_last=1)
+    assert rep["tables"]["seqs"]["data_dirs_removed"] == 0
+    assert rep["staging_dirs_removed"] == 0
+    # time travel inside the window still resolves the staging files
+    assert {r["doc_id"]: r["n_tok"]
+            for r in tbl.read(version=v_pre).collect()} == pre
+    # expiring the window reclaims lake AND staging dirs
+    assert len(tbl.vacuum()) > 0
+    assert len(pipe.vacuum_staging()) > 0
+    assert tbl.fsck()["errors"] == []

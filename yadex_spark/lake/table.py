@@ -385,12 +385,20 @@ class LakeTable:
         self.vacuum()
         return v
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, retain_last: int = 0) -> list[str]:
         """Delete data directories no longer reachable from the CURRENT
         active chain (Iceberg's expire-snapshots + remove-orphans
-        maintenance).  Time travel to versions before the last
-        compaction stops working — their manifests remain as history,
-        but their files are gone.  Returns the removed dirs.
+        maintenance).  Returns the removed dirs.
+
+        ``retain_last`` is the snapshot-retention window (Iceberg's
+        ``expire_snapshots(retain_last=N)``): keep every file reachable
+        from the last N versions IN ADDITION to the current state, so
+        time travel — and the change feed's value-diff fallback, and a
+        logical replica lagging within the window — keeps working for
+        those versions across compactions.  Versions older than the
+        window lose their files (manifests remain as history); the
+        default 0 retains only the current state.  Cost: N+1 manifest
+        walks, driver-side only — no file reads.
 
         Safe against the shared staging layout: a delta committed via
         ``commit_delta_dir`` points at its own ``table=<t>`` subdir, so
@@ -398,8 +406,11 @@ class LakeTable:
         data."""
         import shutil
 
-        active, _ = self._active_chain()
-        keep = {s.files_dir for s in active}
+        latest = self.latest_version()
+        keep = set()
+        for v in range(max(1, latest - retain_last), latest + 1):
+            active, _ = self._active_chain(v)
+            keep.update(s.files_dir for s in active)
         removed = []
         for s in self.snapshots():
             if s.files_dir and s.files_dir not in keep:

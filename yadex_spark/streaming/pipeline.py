@@ -733,7 +733,7 @@ class CdcPipeline:
         return maintenance_lease(self.lake_dir)
 
     def maintain(self, min_live_seq: int | str | None = "auto",
-                 vacuum: bool = True) -> dict:
+                 vacuum: bool = True, retain_last: int = 0) -> dict:
         """Compact + vacuum every table, then collect superseded staging
         attempt dirs — the Iceberg rewrite-data-files / expire-snapshots
         maintenance job, decoupled from the apply path (the reference
@@ -761,9 +761,10 @@ class CdcPipeline:
             for t in self.tables():
                 tbl = self.table(t)
                 v = tbl.compact(min_live_seq=min_live_seq)
-                removed = tbl.vacuum() if vacuum else []
+                removed = tbl.vacuum(retain_last=retain_last) if vacuum else []
                 per_table[t] = {"compacted_version": v, "data_dirs_removed": len(removed)}
-            staging_removed = self.vacuum_staging() if vacuum else []
+            staging_removed = (self.vacuum_staging(retain_last=retain_last)
+                               if vacuum else [])
         return {
             "tables": per_table,
             "min_live_seq": min_live_seq,
@@ -771,7 +772,8 @@ class CdcPipeline:
             "ms": round((time.monotonic() - t0) * 1000, 1),
         }
 
-    def maintain_minor(self, min_deltas: int = 2, vacuum: bool = True) -> dict:
+    def maintain_minor(self, min_deltas: int = 2, vacuum: bool = True,
+                       retain_last: int = 0) -> dict:
         """Minor compaction across the lake (:meth:`LakeTable.
         compact_minor` per table + vacuum of the subsumed delta dirs) —
         the CHEAP maintenance tier: O(trailing small deltas) per table
@@ -786,12 +788,14 @@ class CdcPipeline:
             for t in self.tables():
                 tbl = self.table(t)
                 v = tbl.compact_minor(min_deltas=min_deltas)
-                removed = tbl.vacuum() if (vacuum and v is not None) else []
+                removed = (tbl.vacuum(retain_last=retain_last)
+                           if (vacuum and v is not None) else [])
                 per_table[t] = {
                     "minicompacted_version": v,
                     "data_dirs_removed": len(removed),
                 }
-            staging_removed = self.vacuum_staging() if vacuum else []
+            staging_removed = (self.vacuum_staging(retain_last=retain_last)
+                               if vacuum else [])
         return {
             "tables": per_table,
             "staging_dirs_removed": len(staging_removed),
@@ -849,7 +853,7 @@ class CdcPipeline:
             "ms": round((time.monotonic() - t0) * 1000, 1),
         }
 
-    def vacuum_staging(self) -> list[str]:
+    def vacuum_staging(self, retain_last: int = 0) -> list[str]:
         """Remove staging attempt dirs no committed manifest references
         (superseded replay attempts and crash leftovers).  Attempt dirs
         are never rewritten in place — this is the only place they are
@@ -866,13 +870,19 @@ class CdcPipeline:
         referenced = set()
         for t in self.tables():
             tbl = self.table(t)
-            # ACTIVE chain only (same keep-set as LakeTable.vacuum):
-            # manifests superseded by a compaction stay as history but
-            # their staging data is garbage
-            active, _ = tbl._active_chain()
-            for s in active:
-                if s.files_dir:
-                    referenced.add(os.path.realpath(os.path.join(tbl.path, s.files_dir)))
+            # same keep-set as LakeTable.vacuum(retain_last): the chains
+            # of the last N versions plus the current one — manifests
+            # OUTSIDE the retention window stay as history but their
+            # staging data is garbage.  A mismatch here (lake vacuum
+            # retaining a version whose delta lives in staging while
+            # this pass keys only on the current chain) deleted retained
+            # time-travel data — found by driving maintain_minor(retain_last=1)
+            latest = tbl.latest_version()
+            for v in range(max(1, latest - retain_last), latest + 1):
+                active, _ = tbl._active_chain(v)
+                for s in active:
+                    if s.files_dir:
+                        referenced.add(os.path.realpath(os.path.join(tbl.path, s.files_dir)))
         removed = []
         for scope in sorted(os.listdir(staging_root)):
             sdir = os.path.join(staging_root, scope)

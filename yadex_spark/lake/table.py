@@ -228,9 +228,42 @@ class LakeTable:
             return None
         return self._commit_manifest("truncate", batch_id, "", 0, None, trunc_seq=trunc_seq)
 
+    #: target output file size for compaction (Iceberg's
+    #: write.target-file-size-bytes; 128 MB of compressed parquet — the
+    #: HDFS-block-sized sweet spot between scan parallelism and
+    #: per-file overhead)
+    TARGET_FILE_BYTES = 128 << 20
+
+    def _chain_bytes(self, snaps: list[Snapshot]) -> int:
+        """Total on-disk bytes of the chains' parquet files — driver-side
+        stat only (the same footer-adjacent metadata reads the zone-map
+        prune does)."""
+        total = 0
+        for s in snaps:
+            files = _parquet_files(os.path.join(self.path, s.files_dir))
+            for f in files or []:
+                try:
+                    total += os.path.getsize(f)
+                except OSError:
+                    pass
+        return total
+
+    def _sized_buckets(self, floor_buckets: int, snaps: list[Snapshot],
+                       target_file_bytes: int | None) -> int:
+        """Output file count: at least ``floor_buckets`` (the small-table
+        behavior: scan parallelism even when bytes are tiny), growing
+        with data volume so no output file exceeds ~target size — a
+        fixed shuffle-partition count alone would write multi-GB files
+        at 100 TB.  Input compressed bytes stand in for output bytes
+        (same format; dedup only shrinks them)."""
+        target = target_file_bytes or self.TARGET_FILE_BYTES
+        by_bytes = (self._chain_bytes(snaps) + target - 1) // target
+        return max(floor_buckets, by_bytes, 1)
+
     def compact(self, keep_tombstones: bool = True,
                 min_live_seq: int | None = None,
-                n_buckets: int | None = None) -> int | None:
+                n_buckets: int | None = None,
+                target_file_bytes: int | None = None) -> int | None:
         """Rewrite current state as a fresh base (bounds read amplification).
 
         Tombstones are RETAINED by default: the table is order-free
@@ -243,7 +276,9 @@ class LakeTable:
         drops them all (only safe under provably in-order delivery).
 
         The base is range-clustered on doc_id (``n_buckets`` output
-        files, default spark.sql.shuffle.partitions): every file then
+        files, default max(spark.sql.shuffle.partitions, input bytes /
+        ``target_file_bytes``) — small tables keep scan parallelism,
+        big tables keep ~target-sized files): every file then
         carries a tight doc_id min/max in its parquet footer, so point
         lookups and downstream merge joins prune files.  (Hash bucketing
         would need metastore bucket metadata to elide any shuffle, which
@@ -256,7 +291,11 @@ class LakeTable:
         cur = self._materialize(snaps, keep_deleted=keep_tombstones, kill_seq=kill_seq)
         if keep_tombstones and min_live_seq is not None:
             cur = cur.where(~F.col(DELETED_COL) | (F.col(SEQ_COL) >= min_live_seq))
-        n_buckets = n_buckets or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        if n_buckets is None:
+            n_buckets = self._sized_buckets(
+                int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+                snaps, target_file_bytes,
+            )
         cur = cur.repartitionByRange(n_buckets, "doc_id").sortWithinPartitions("doc_id")
         rel, n = self._write_data(cur, self.latest_version() + 1)
         ddl = _ddl(cur.drop(SEQ_COL, DELETED_COL))
@@ -325,7 +364,10 @@ class LakeTable:
             n_files_in += len(files) if files is not None else 1
         if n_buckets is None:
             cap = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-            n_buckets = max(1, min(cap, (n_files_in + merge_fanin - 1) // merge_fanin))
+            fanin = max(1, min(cap, (n_files_in + merge_fanin - 1) // merge_fanin))
+            # byte floor: a big merge must not produce over-target files
+            # just because its INPUT file count was small
+            n_buckets = self._sized_buckets(fanin, run, None)
         all_rows = self._union_ranked(run, rank_offset=0)
         winners = all_rows.groupBy("doc_id").agg(F.max("_ord").alias("_ord"))
         merged = all_rows.join(winners, ["doc_id", "_ord"]).drop("_ord", VERSION_COL)

@@ -177,6 +177,11 @@ def test_lake_state_invariant_under_interleaved_minicompacts(spark, hm):
             tbl.vacuum()
         got = sorted((r.doc_id, r.val) for r in tbl.read().collect())
         assert got == _oracle(batches, trunc, clone)
+        # the pruned point-lookup read obeys the same algebra: for any
+        # probe subset, lookup == the full read restricted to the probes
+        probes = DOCS[::2] + ["nope"]
+        lk = sorted((r.doc_id, r.val) for r in tbl.lookup(probes).collect())
+        assert lk == [(d, v) for d, v in got if d in probes]
         # idempotence survives the merges + vacuum: replay every batch
         for bi, evs in enumerate(batches):
             rows = [(doc, op, s, f"v{s}") for doc, op, s in _collapse_py(evs)]

@@ -148,3 +148,49 @@ def test_crash_replay_does_not_double_accept(spark, tmp_path, feed):
     assert ing2.seen.latest_version() == n_versions  # replay no-ops by batch id
     got = {(r["doc_id"], r["ingest_seq"]) for r in ing2.accepted().collect()}
     assert got == want
+
+
+def test_line_dedup_stage_composes_and_matches_batch(spark, tmp_path):
+    """line_dedup=True inserts the intra-doc line scrub between PII
+    scrub and the quality rules (CCNet order): a doc whose bulk is a
+    repeated boilerplate line must be judged on its SCRUBBED+DEDUPED
+    form — here the repeats would pass min_words but the deduped form
+    fails it — and the accepted text is the line-deduped one.  The
+    streamed result equals the batch composition with the same stage
+    (per-row/stateless, so equivalence is unconditional)."""
+    import time as _t
+
+    from yadex_spark.operators.text import dedup_lines_expr, scrub_exprs
+
+    rows = [
+        # 9 words of pure boilerplate repeats (with a stopword):
+        # ACCEPTED without the line stage, whose deduped form (3 words)
+        # fails min_words=4 -> the stage changes the verdict
+        (0, "b00", "the spam line\nthe spam line\nthe spam line"),
+        # duplicate lines but still >= 4 words after dedup -> accepted
+        # with the DEDUPED text
+        (1, "b01", "the alpha beta gamma\nthe alpha beta gamma\nepsilon zeta"),
+        (2, "b02", "a plain single line document with enough words"),
+    ]
+    docs = spark.createDataFrame(rows, "ingest_seq long, doc_id string, text string")
+    path = str(tmp_path / "docs")
+    docs.repartition(1).write.parquet(path)
+
+    ing = CleanIngest(
+        spark, path, str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, line_dedup=True,
+        decontam_n=3, min_words=4, max_words=100, min_wlen_c=100,
+        max_wlen_c=2_000, min_stop=1, max_top_word_bp=10_000,
+        max_dup_2gram_bp=10_000,
+    )
+    ing.run_available_now()
+    got = {r["doc_id"]: r["text"] for r in ing.accepted().collect()}
+
+    # batch oracle with the same line stage
+    _, clean = scrub_exprs(F.col("text"))
+    scr = docs.select("doc_id", dedup_lines_expr(clean).alias("text"))
+    want = {r["doc_id"]: r["text"] for r in scr.collect()
+            if len(r["text"].split()) >= 4}
+    assert set(got) == {"b01", "b02"} == set(want) - {"b00"}
+    assert got["b01"] == "the alpha beta gamma\nepsilon zeta"
+    assert got == {k: v for k, v in want.items() if k in got}

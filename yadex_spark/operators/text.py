@@ -265,12 +265,7 @@ def dedup_doc_lines(docs: DataFrame, sep: str = "\n") -> DataFrame:
     d = docs.select(
         "doc_id", F.split(F.col("text"), "\\Q" + sep + "\\E").alias("_lines")
     )
-    uniq = F.aggregate(
-        F.col("_lines"),
-        F.expr("cast(array() as array<string>)"),
-        lambda acc, x: F.when(F.array_contains(acc, x), acc)
-                        .otherwise(F.concat(acc, F.array(x))),
-    )
+    uniq = _first_occurrence_fold(F.col("_lines"))
     d = d.select("doc_id", F.size("_lines").alias("n_lines"), uniq.alias("_uniq"))
     return d.select(
         "doc_id",
@@ -278,6 +273,26 @@ def dedup_doc_lines(docs: DataFrame, sep: str = "\n") -> DataFrame:
         F.size("_uniq").alias("n_uniq"),
         (F.col("n_lines") - F.size("_uniq")).alias("n_dropped"),
         F.array_join("_uniq", sep).alias("clean_text"),
+    )
+
+
+def dedup_lines_expr(text, sep: str = "\n"):
+    """The line-scrub as a single Column expression (cleaned text) —
+    for composing into other per-row pipelines (clean-ingest's scrub →
+    line-scrub → quality chain) without a second projection."""
+    lines = F.split(text, "\\Q" + sep + "\\E")
+    return F.array_join(_first_occurrence_fold(lines), sep)
+
+
+def _first_occurrence_fold(lines):
+    """Order-preserving unique fold: append a line iff not yet seen —
+    the accumulator IS the answer, so nothing references the outer
+    array inside a lambda (the alias-substitution hazard)."""
+    return F.aggregate(
+        lines,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc)
+                        .otherwise(F.concat(acc, F.array(x))),
     )
 
 

@@ -62,6 +62,14 @@ class CleanIngest(DedupIngest):
     #: ``decontaminate`` params)
     decontam_n: int = 8
     max_bench_df: int | None = None
+    #: intra-document line scrub between PII scrub and the quality
+    #: rules (CCNet's order: normalize the page BEFORE judging it —
+    #: boilerplate repeats would otherwise both inflate length past
+    #: min_words AND trip the dup-2gram rule).  Per-row/stateless, so
+    #: the streamed == batch equivalence is unconditional like stages
+    #: 1–3.  Off by default (the batch prepare_corpus composition this
+    #: member mirrors has no line stage).
+    line_dedup: bool = False
     #: Gopher rule params (the ``filter_corpus`` contract)
     min_words: int = 50
     max_words: int = 100_000
@@ -103,6 +111,13 @@ class CleanIngest(DedupIngest):
         scrubbed = batch.select(
             "ingest_seq", F.col("doc_id").alias("orig_id"), clean.alias("text")
         )
+        # 1b) optional intra-doc line scrub over the redacted text
+        if self.line_dedup:
+            from yadex_spark.operators.text import dedup_lines_expr
+
+            scrubbed = scrubbed.select(
+                "ingest_seq", "orig_id", dedup_lines_expr(F.col("text")).alias("text")
+            )
         # 2) Gopher quality rules over the scrubbed text (filter_corpus
         # keys on doc_id — feed it the unique arrival offset, carry the
         # real columns through)

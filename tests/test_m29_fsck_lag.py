@@ -191,3 +191,48 @@ def test_schema_history_reports_evolution(spark, tmp_path):
     assert h[0]["added"] == {"doc_id": "string", "val": "string"}
     assert h[1]["added"] == {"extra": "int"} and not h[1]["removed"]
     assert all(not e["retyped"] for e in h)
+
+
+def test_compact_lineage_folds_files_and_preserves_consumers(spark, tmp_path):
+    """Lineage compaction: per-epoch files beyond keep_recent fold into
+    one JSON-lines file; every consumer (rolling rate, lag, resume
+    bookmarks, last_applied_epoch, lineage rows) answers identically,
+    and a second fold over the already-folded dir is a no-op."""
+    from pyspark.sql import functions as F
+
+    from yadex_spark.sources.genlog import gen_oplog, write_oplog_chunks
+    from yadex_spark.streaming.bookmarks import resume_points
+    from yadex_spark.streaming.pipeline import CdcPipeline, rolling_events_per_sec
+
+    feed = str(tmp_path / "oplog")
+    write_oplog_chunks(gen_oplog(spark, 4000, 500, seed=17), feed,
+                       n_chunks=5, bounds=(0, 3999))
+    pipe = CdcPipeline(spark, feed, str(tmp_path / "lake"),
+                       str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    pipe.run_available_now(timeout_s=600)
+
+    lin_dir = os.path.join(pipe.lake_dir, "_lineage")
+    n_before = len(os.listdir(lin_dir))
+    assert n_before >= 5
+    rows_before = sorted(map(tuple, pipe.lineage().collect()))
+    rate_before = rolling_events_per_sec(spark, pipe.lake_dir)
+    lag_before = pipe.lag()
+    resume_before = sorted(map(tuple, resume_points(spark, pipe.lake_dir).collect()))
+    epoch_before = pipe.last_applied_epoch()
+
+    rep = pipe.compact_lineage(keep_recent=2)
+    assert rep["folded"] == n_before - 2 and rep["kept"] == 2
+    names = sorted(os.listdir(lin_dir))
+    assert sum(n.startswith("compacted-") for n in names) == 1
+    assert sum(n.startswith("epoch-") for n in names) == 2
+
+    assert sorted(map(tuple, pipe.lineage().collect())) == rows_before
+    assert rolling_events_per_sec(spark, pipe.lake_dir) == rate_before
+    assert pipe.lag() == lag_before
+    assert sorted(map(tuple, resume_points(spark, pipe.lake_dir).collect())) == resume_before
+    assert pipe.last_applied_epoch() == epoch_before
+
+    # idempotent: nothing new to fold
+    rep2 = pipe.compact_lineage(keep_recent=2)
+    assert rep2["folded"] == 0
+    assert sorted(map(tuple, pipe.lineage().collect())) == rows_before

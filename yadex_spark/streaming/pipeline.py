@@ -577,6 +577,71 @@ class CdcPipeline:
     def lineage(self) -> DataFrame:
         return read_lineage(self.spark, self.lake_dir)
 
+    def compact_lineage(self, keep_recent: int = 64) -> dict:
+        """Fold old per-epoch lineage files into one consolidated
+        JSON-lines file.  Lineage accrues ONE file per epoch forever;
+        at the 10^10-event design point that is 10^5–10^6 files, and
+        every metrics read (``rolling_events_per_sec``, ``lag()``,
+        bookmark resume) pays the directory listing.  Folding bounds it
+        at O(keep_recent + 1) files with identical rows.
+
+        Safety argument, in order of load-bearing-ness:
+
+        - the newest ``keep_recent`` epochs PER SCOPE keep their
+          individual files: only the in-flight tail of a checkpoint can
+          ever be crash-replayed, and its per-epoch file is the cheap
+          fully-applied marker (apply_batch's first check);
+        - an epoch whose marker was folded and that somehow replays
+          anyway falls through to batch-id idempotence (no double
+          apply), then rewrites its per-epoch file — the row now exists
+          TWICE (folded + fresh), which every lineage consumer
+          tolerates by construction (rolling groups by (scope, batch)
+          with max/span; resume/lag take maxes);
+        - crash between writing the new folded file and unlinking its
+          inputs leaves duplicate rows — same tolerance.
+
+        Driver-side file I/O only; run under the maintenance lease like
+        the rest of maintain()."""
+        # each scope's newest per-epoch file must survive: its FILENAME
+        # is last_applied_epoch()'s (and read_consistent's) signal
+        keep_recent = max(1, keep_recent)
+        d = os.path.join(self.lake_dir, "_lineage")
+        if not os.path.isdir(d):
+            return {"folded": 0, "kept": 0}
+        per_scope: dict[str, list[str]] = {}
+        folded_inputs: list[str] = []
+        for name in sorted(os.listdir(d)):
+            if name.startswith("epoch-") and name.endswith(".json"):
+                scope = name[len("epoch-"):].rsplit("-", 1)[0]
+                per_scope.setdefault(scope, []).append(name)
+            elif name.startswith("compacted-") and name.endswith(".jsonl"):
+                folded_inputs.append(name)
+        to_fold: list[str] = []
+        kept = 0
+        for scope, names in per_scope.items():
+            # names sort lexicographically = epoch order (zero-padded)
+            to_fold.extend(names[:-keep_recent])
+            kept += min(len(names), keep_recent)
+        if not to_fold and len(folded_inputs) <= 1:
+            return {"folded": 0, "kept": kept}
+        inputs = folded_inputs + to_fold
+        out = os.path.join(d, f"compacted-{uuid.uuid4().hex[:12]}.jsonl")
+        tmp = f"{out}.tmp-{os.getpid()}"
+        with open(tmp, "w") as w:
+            for name in inputs:
+                with open(os.path.join(d, name)) as r:
+                    for line in r:
+                        line = line.strip()
+                        if line:
+                            w.write(line + "\n")
+        os.replace(tmp, out)  # atomic: rows exist before inputs vanish
+        for name in inputs:
+            try:
+                os.unlink(os.path.join(d, name))
+            except OSError:
+                pass
+        return {"folded": len(to_fold), "kept": kept}
+
     def lag(self) -> dict:
         """Replication lag in EVENTS — feed head ``op_seq`` minus this
         checkpoint's applied head — from driver-side parquet footers and
@@ -621,7 +686,8 @@ class CdcPipeline:
         scope = self._scope()
         if os.path.isdir(lin_dir):
             for name in os.listdir(lin_dir):
-                if not name.endswith(".json"):
+                # per-epoch .json files plus compact_lineage's folded .jsonl
+                if not name.endswith((".json", ".jsonl")):
                     continue
                 try:
                     with open(os.path.join(lin_dir, name)) as f:
@@ -765,8 +831,10 @@ class CdcPipeline:
                 per_table[t] = {"compacted_version": v, "data_dirs_removed": len(removed)}
             staging_removed = (self.vacuum_staging(retain_last=retain_last)
                                if vacuum else [])
+            lineage = self.compact_lineage()
         return {
             "tables": per_table,
+            "lineage": lineage,
             "min_live_seq": min_live_seq,
             "staging_dirs_removed": len(staging_removed),
             "ms": round((time.monotonic() - t0) * 1000, 1),
@@ -796,8 +864,10 @@ class CdcPipeline:
                 }
             staging_removed = (self.vacuum_staging(retain_last=retain_last)
                                if vacuum else [])
+            lineage = self.compact_lineage()
         return {
             "tables": per_table,
+            "lineage": lineage,
             "staging_dirs_removed": len(staging_removed),
             "ms": round((time.monotonic() - t0) * 1000, 1),
         }

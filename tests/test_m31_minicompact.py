@@ -532,3 +532,62 @@ def test_compaction_output_scales_with_bytes(spark, tmp_path):
     active2, _ = tbl2._active_chain()
     files2 = _parquet_files(os.path.join(tbl2.path, active2[-1].files_dir))
     assert len(files2) == floor
+
+
+def test_meta_checkpoint_folds_manifests(spark, chained, tmp_path):
+    """Metadata checkpoint (compact_meta): snapshots()/batch-id
+    idempotence/fsck/time-travel answer identically from the folded
+    form, new commits continue the version sequence, and replication
+    bookmarks derived from batch ids survive the fold."""
+    import json as _json
+
+    snaps_before = chained.snapshots()
+    ids_before = chained.committed_batch_ids()
+    state_before = _state(chained)
+    rep = chained.compact_meta(keep_recent=1)
+    assert rep["folded"] == 3 and rep["checkpoint"] is not None
+    meta = os.path.join(chained.path, "_meta")
+    names = sorted(os.listdir(meta))
+    assert sum(n.startswith("checkpoint-v") for n in names) == 1
+    assert sum(n.startswith("v") and n.endswith(".json") for n in names) == 1
+
+    assert chained.snapshots() == snaps_before
+    assert chained.committed_batch_ids() == ids_before
+    assert _state(chained) == state_before
+    assert chained.fsck()["errors"] == []
+    # replayed epoch whose manifest was folded: still a no-op
+    assert _commit(chained.spark, chained,
+                   [(10, TS, "update", "t", "a", ([1, 1], 2, "s1"))], "E1") is None
+    # new commits continue the version chain past the checkpoint
+    v = _commit(chained.spark, chained,
+                [(20, TS, "insert", "t", "f", ([6], 1, "s4"))], "E4")
+    assert v == snaps_before[-1].version + 1
+    assert chained.fsck()["errors"] == []
+    # fold again (idempotent-ish: folds the no-longer-recent tail)
+    rep2 = chained.compact_meta(keep_recent=0)
+    assert rep2["folded"] >= 1
+    assert chained.snapshots()[-1].version == v
+    assert "f" in _state(chained)
+
+    # gap detection still works from the folded form: remove a TAIL file
+    v2 = _commit(chained.spark, chained,
+                 [(21, TS, "insert", "t", "g", ([7], 1, "s4"))], "E5")
+    v3 = _commit(chained.spark, chained,
+                 [(22, TS, "insert", "t", "h", ([8], 1, "s4"))], "E6")
+    os.unlink(os.path.join(meta, f"v{v2:08d}.json"))
+    errs = chained.fsck()["errors"]
+    assert any("gap" in e and str(v2) in e for e in errs)
+
+
+def test_meta_checkpoint_with_replication_and_minicompact(spark, chained, tmp_path):
+    """The fold composes with the rest of the manifest algebra: source
+    minicompacts, folds its metadata, vacuums — a fresh physical
+    replica still bootstraps, and a second sync is a no-op."""
+    chained.compact_minor()
+    chained.compact_meta(keep_recent=0)
+    chained.vacuum()
+    target = LakeTable(spark, str(tmp_path / "replica"))
+    rep = LakeReplicator(chained, target, mode="physical")
+    assert rep.sync() > 0
+    assert _state(target) == _state(chained)
+    assert rep.sync() == 0

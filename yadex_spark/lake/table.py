@@ -97,15 +97,91 @@ class LakeTable:
     # ---------- manifest plumbing ----------
 
     def snapshots(self) -> list[Snapshot]:
-        out = []
+        """All committed snapshots in version order, from the newest
+        metadata CHECKPOINT (one JSON carrying every manifest folded so
+        far — see :meth:`compact_meta`) plus the per-version tail files
+        after it.  Duplicates (a crash between checkpoint creation and
+        folded-file deletion) resolve by version — contents are
+        identical by construction."""
         meta_dir = os.path.join(self.path, META)
-        for name in sorted(os.listdir(meta_dir)):
-            if not (name.startswith("v") and name.endswith(".json")):
-                continue
+        ckpt_name = None
+        tails = []
+        for name in os.listdir(meta_dir):
+            if name.startswith("checkpoint-v") and name.endswith(".json"):
+                if ckpt_name is None or name > ckpt_name:
+                    ckpt_name = name
+            elif name.startswith("v") and name.endswith(".json"):
+                tails.append(name)
+        by_version: dict[int, Snapshot] = {}
+        if ckpt_name is not None:
+            with open(os.path.join(meta_dir, ckpt_name)) as f:
+                for m in json.load(f)["manifests"]:
+                    by_version[m["version"]] = Snapshot(**m)
+        for name in tails:
             with open(os.path.join(meta_dir, name)) as f:
                 m = json.load(f)
-            out.append(Snapshot(**m))
-        return out
+            by_version[m["version"]] = Snapshot(**m)
+        return [by_version[v] for v in sorted(by_version)]
+
+    def compact_meta(self, keep_recent: int = 64) -> dict:
+        """Fold per-version manifest files into ONE checkpoint JSON (the
+        Iceberg metadata.json / snapshot-log shape).  Every lake
+        operation calls :meth:`snapshots` — commit (latest version +
+        batch-id idempotence), read (active chain), fsck, replication —
+        and each call opens every manifest file: O(versions) file opens
+        per OPERATION, quadratic over a 10^5-epoch ingest.  After the
+        fold it is one checkpoint read plus a bounded tail.
+
+        ``keep_recent`` newest versions keep their per-version files
+        (bounds the rewrite cadence; any value is crash-safe).  The
+        checkpoint is written with the same O_EXCL discipline as
+        manifests; folded files are deleted AFTER it exists, and a crash
+        between the two leaves duplicates that :meth:`snapshots`
+        resolves by version.  A concurrent writer is unaffected: it
+        claims version max+1, and the fold never touches versions it
+        did not read.  Run under the maintenance lease."""
+        keep_recent = max(0, keep_recent)
+        meta_dir = os.path.join(self.path, META)
+        snaps = self.snapshots()
+        if not snaps:
+            return {"folded": 0, "checkpoint": None}
+        cut = snaps[-1].version - keep_recent
+        old_ckpts = [n for n in os.listdir(meta_dir)
+                     if n.startswith("checkpoint-v") and n.endswith(".json")]
+        to_fold = [n for n in os.listdir(meta_dir)
+                   if n.startswith("v") and n.endswith(".json")
+                   and int(n[1:-5]) <= cut]
+        if not to_fold and len(old_ckpts) <= 1:
+            return {"folded": 0, "checkpoint": old_ckpts[0] if old_ckpts else None}
+        folded = [s.__dict__ for s in snaps if s.version <= cut]
+        if not folded:
+            return {"folded": 0, "checkpoint": old_ckpts[0] if old_ckpts else None}
+        name = f"checkpoint-v{folded[-1]['version']:08d}.json"
+        final = os.path.join(meta_dir, name)
+        tmp = os.path.join(
+            meta_dir, f".tmp-ckpt-{os.getpid()}-{threading.get_ident()}.json"
+        )
+        with open(tmp, "w") as f:
+            json.dump({"version": folded[-1]["version"], "manifests": folded}, f)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            pass  # same-version checkpoint already exists (identical)
+        os.unlink(tmp)
+        removed = 0
+        for n in to_fold:
+            try:
+                os.unlink(os.path.join(meta_dir, n))
+                removed += 1
+            except OSError:
+                pass
+        for n in old_ckpts:
+            if n != name:
+                try:
+                    os.unlink(os.path.join(meta_dir, n))
+                except OSError:
+                    pass
+        return {"folded": removed, "checkpoint": name}
 
     def latest_version(self) -> int:
         snaps = self.snapshots()
@@ -490,19 +566,31 @@ class LakeTable:
 
         meta_dir = os.path.join(self.path, META)
         report: dict = {"errors": [], "orphans": [], "tmp_manifests": [], "repaired": []}
-        manifests = []
+        by_version: dict[int, dict] = {}
         for name in sorted(os.listdir(meta_dir)):
             p = os.path.join(meta_dir, name)
             if name.startswith(".tmp-"):
                 report["tmp_manifests"].append(name)
                 continue
+            if name.startswith("checkpoint-v") and name.endswith(".json"):
+                # metadata checkpoint (compact_meta): folded manifests
+                # count exactly like per-version files for every check
+                try:
+                    with open(p) as f:
+                        for m in json.load(f)["manifests"]:
+                            by_version.setdefault(m["version"], m)
+                except Exception as ex:
+                    report["errors"].append(f"unreadable checkpoint {name}: {ex}")
+                continue
             if not (name.startswith("v") and name.endswith(".json")):
                 continue
             try:
                 with open(p) as f:
-                    manifests.append(json.load(f))
+                    m = json.load(f)
+                by_version[m["version"]] = m
             except Exception as ex:
                 report["errors"].append(f"unreadable manifest {name}: {ex}")
+        manifests = [by_version[v] for v in sorted(by_version)]
         versions = sorted(m["version"] for m in manifests)
         if versions and versions != list(range(1, versions[-1] + 1)):
             missing = sorted(set(range(1, versions[-1] + 1)) - set(versions))

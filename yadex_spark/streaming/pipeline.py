@@ -828,7 +828,9 @@ class CdcPipeline:
                 tbl = self.table(t)
                 v = tbl.compact(min_live_seq=min_live_seq)
                 removed = tbl.vacuum(retain_last=retain_last) if vacuum else []
-                per_table[t] = {"compacted_version": v, "data_dirs_removed": len(removed)}
+                meta = tbl.compact_meta()
+                per_table[t] = {"compacted_version": v, "data_dirs_removed": len(removed),
+                                "manifests_folded": meta["folded"]}
             staging_removed = (self.vacuum_staging(retain_last=retain_last)
                                if vacuum else [])
             lineage = self.compact_lineage()
@@ -858,9 +860,11 @@ class CdcPipeline:
                 v = tbl.compact_minor(min_deltas=min_deltas)
                 removed = (tbl.vacuum(retain_last=retain_last)
                            if (vacuum and v is not None) else [])
+                meta = tbl.compact_meta()
                 per_table[t] = {
                     "minicompacted_version": v,
                     "data_dirs_removed": len(removed),
+                    "manifests_folded": meta["folded"],
                 }
             staging_removed = (self.vacuum_staging(retain_last=retain_last)
                                if vacuum else [])

@@ -133,6 +133,20 @@ AUDITS = {
          lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
         ("top-k window present", lambda p: "Window" in p or "WindowGroupLimit" in p),
     ],
+    "embed_sq8_codes": [
+        ("quantization is a pure narrow projection (no join, no shuffle)",
+         lambda p: "Exchange" not in p and "Join" not in p),
+        ("code math stays JVM-side (no python UDF)",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "embed_sq8_topk": [
+        ("query side broadcast (corpus scan never shuffles for the join)",
+         lambda p: "Broadcast" in p),
+        ("shortlist + rerank windows present",
+         lambda p: "Window" in p or "WindowGroupLimit" in p),
+        ("code/rerank cosines stay JVM-side (no python UDF)",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
     "dedup_passages": [
         ("chunking stays per-row JVM HOFs (no python UDF)",
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),

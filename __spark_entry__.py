@@ -1100,6 +1100,40 @@ SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, cos FROM (
 """
 
 
+def q_corpus_bucketed_join(spark, sf):
+    """Doc metadata ⋈ per-doc token counts over a BUCKETED layout: both
+    sides written bucketBy(8, doc_id) so the sort-merge join plans with
+    ZERO shuffle Exchange nodes (plan-audited; test_m33 asserts the
+    plain-parquet control shuffles).  The serving-layer answer to
+    repeated doc_id joins at 100 TB — pay the shuffle once at write
+    time (Iceberg: bucket(N, key) transform + storage-partitioned
+    joins)."""
+    import tempfile
+
+    from yadex_spark.lake.bucketed import colocated_join, save_bucketed
+    from yadex_spark.operators.text import token_count
+
+    d = _t(spark, sf, "documents")
+    base = tempfile.mkdtemp(prefix="bucketed-gate-")
+    left = save_bucketed(
+        d.select("doc_id", "source"), "gate_bkt_docs", f"{base}/docs", n_buckets=8
+    )
+    right = save_bucketed(
+        token_count(d).select("doc_id", "n_ws_tokens"),
+        "gate_bkt_tok", f"{base}/tok", n_buckets=8,
+    )
+    return colocated_join(left, right, "doc_id").select(
+        "doc_id", "source", "n_ws_tokens"
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT doc_id, source,
+       CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_tokens
+FROM documents
+"""
+
+
 def q_decontaminate_fuzzy(spark, sf):
     """Fuzzy (MinHash-LSH) decontamination against the same every-10th
     eval split as `decontaminate` — catches near-duplicate paraphrases
@@ -2657,6 +2691,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #                 embed_ivf_topk's, over int8 codes + rerank
         "embed_sq8_codes": q_embed_sq8_codes,
         "embed_sq8_topk": q_embed_sq8_topk,
+        #   corpus_bucketed_join — new in the fifth session, window
+        #                 full; locally oracle-verified at 2 SFs.  The
+        #                 join VALUES are pinned by text_token_count's
+        #                 subtree; what this row adds is the bucketed
+        #                 layout (zero-Exchange plan, audit-pinned)
+        "corpus_bucketed_join": q_corpus_bucketed_join,
     }
 
 
@@ -2746,4 +2786,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_doc_lines": SQL_DEDUP_DOC_LINES,
         "embed_sq8_codes": SQL_SQ8_CODES,
         "embed_sq8_topk": SQL_SQ8_TOPK,
+        "corpus_bucketed_join": SQL_BUCKETED_JOIN,
     }

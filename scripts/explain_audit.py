@@ -139,6 +139,14 @@ AUDITS = {
         ("code math stays JVM-side (no python UDF)",
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
     ],
+    "corpus_bucketed_join": [
+        ("co-located sort-merge join over bucketed scans — zero shuffle Exchange",
+         lambda p: "SortMergeJoin" in p
+         and not any("Exchange" in ln and "BroadcastExchange" not in ln
+                     for ln in p.splitlines())),
+        ("bucketed scans selected (scan carries the bucket spec)",
+         lambda p: "Bucketed: true" in p or "SelectedBucketsCount" in p),
+    ],
     "embed_sq8_topk": [
         ("query side broadcast (corpus scan never shuffles for the join)",
          lambda p: "Broadcast" in p),

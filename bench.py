@@ -81,6 +81,9 @@ HEADLINE = [
     "cdc_change_feed",
     "cdc_replicate",
     "cdc_point_lookup",
+    "embed_sq8_codes",
+    "embed_sq8_topk",
+    "corpus_bucketed_join",
 ]
 
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))

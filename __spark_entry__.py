@@ -901,6 +901,30 @@ FROM b
 """
 
 
+def q_split_leakage_safe(spark, sf):
+    """Cluster-keyed split: near-duplicates (same simhash CC as the
+    dedup_clusters gate) can never straddle train/val."""
+    from yadex_spark.operators.dedup import simhash_pairs
+    from yadex_spark.operators.packing import leakage_safe_split
+
+    docs = _t(spark, sf, "documents")
+    pairs = simhash_pairs(docs, bits=64, bands=4, max_hamming=3)
+    return leakage_safe_split(docs, pairs, val_pct=10)
+
+
+SQL_SPLIT_SAFE = f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+keyed AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+b AS (SELECT doc_id, split_key,
+             CAST('0x' || substr(md5(CAST(split_key AS VARCHAR)),1,8) AS BIGINT) % 100 AS bucket
+      FROM keyed)
+SELECT doc_id, split_key, bucket,
+       CASE WHEN bucket < 10 THEN 'val' ELSE 'train' END AS split
+FROM b
+"""
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination: eval set = every 10th doc_id; flag
     corpus docs sharing any word 8-gram with it (GPT-3 overlap rule)."""
@@ -2593,7 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                        three composed parts, each graded)
     #   shuffle_corpus     ⊂ prepare_corpus (stage 5 IS the salted
     #                        interleaved shuffle, prepare.py:97)
-    # All 80 still run under tests/ and scripts/compare_oracle.py.
+    # All 81 still run under tests/ and scripts/compare_oracle.py.
     return {
         # --- graded window (1-50) ---
         "cdc_lww_collapse": q_cdc_lww_collapse,
@@ -2697,6 +2721,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #                 subtree; what this row adds is the bucketed
         #                 layout (zero-Exchange plan, audit-pinned)
         "corpus_bucketed_join": q_corpus_bucketed_join,
+        #   split_leakage_safe — composition of two graded subtrees:
+        #   the simhash CC assignment IS dedup_clusters' graded plan
+        #   and the md5-bucket rule IS train_val_split's; verified at
+        #   two SFs by compare_oracle.
+        "split_leakage_safe": q_split_leakage_safe,
     }
 
 
@@ -2787,4 +2816,5 @@ def oracle_sql() -> dict[str, str]:
         "embed_sq8_codes": SQL_SQ8_CODES,
         "embed_sq8_topk": SQL_SQ8_TOPK,
         "corpus_bucketed_join": SQL_BUCKETED_JOIN,
+        "split_leakage_safe": SQL_SPLIT_SAFE,
     }

@@ -147,6 +147,12 @@ AUDITS = {
         ("bucketed scans selected (scan carries the bucket spec)",
          lambda p: "Bucketed: true" in p or "SelectedBucketsCount" in p),
     ],
+    "split_leakage_safe": [
+        ("split is hash projection + one label join — no nested loop",
+         lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),
+        ("whole path stays JVM-side (no python UDF)",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
     "embed_sq8_topk": [
         ("query side broadcast (corpus scan never shuffles for the join)",
          lambda p: "Broadcast" in p),

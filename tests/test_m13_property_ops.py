@@ -436,3 +436,99 @@ def test_apply_span_mask_reconstruction_law(spark, rows, rate, span_len):
         for x in inp:
             rebuilt.extend(spans[x] if x < 0 else [x])
         assert rebuilt == toks
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split: cluster-atomic split law
+# ---------------------------------------------------------------------------
+
+pair_graphs = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=25
+)
+
+
+@settings(max_examples=15, **SETTINGS)
+@given(edges=pair_graphs, val_pct=st.integers(0, 100))
+def test_leakage_safe_split_is_cluster_atomic(spark, edges, val_pct):
+    """(1) Every member of a near-dup cluster lands on the SAME side at
+    any val_pct — the invariant train_val_split cannot give; (2) the
+    assignment equals hashing the union-find representative directly
+    (the definition)."""
+    from yadex_spark.operators.packing import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(31)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges if a != b] or [(0, 0)],
+        "doc_a long, doc_b long",
+    ).where("doc_a < doc_b").distinct()
+    got = {
+        r["doc_id"]: (r["split_key"], r["split"])
+        for r in leakage_safe_split(docs, pairs, val_pct=val_pct).collect()
+    }
+    assert set(got) == set(range(31))
+
+    # python union-find oracle for the representative
+    parent = list(range(31))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            parent[max(ra, rb)] = min(ra, rb)
+    for i in range(31):
+        rep = find(i)
+        bucket = int(hashlib.md5(str(rep).encode()).hexdigest()[:8], 16) % 100
+        want = "val" if bucket < val_pct else "train"
+        assert got[i] == (rep, want), (i, got[i], rep, want)
+    # cluster-atomicity restated: one distinct side per representative
+    sides = {}
+    for i in range(31):
+        sides.setdefault(find(i), set()).add(got[i][1])
+    assert all(len(s) == 1 for s in sides.values())
+
+
+def test_leakage_safe_split_degrades_to_train_val_split(spark):
+    """On a pair-free corpus the cluster-keyed split IS train_val_split
+    (same md5-prefix bucket rule, every doc its own singleton key)."""
+    from yadex_spark.operators.packing import leakage_safe_split, train_val_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    no_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    safe = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in leakage_safe_split(docs, no_pairs, val_pct=10).collect()
+    }
+    plain = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in train_val_split(docs, val_pct=10).collect()
+    }
+    assert safe == plain
+
+
+def test_plain_split_leaks_where_safe_split_cannot(spark):
+    """The failure mode exists: over 400 two-doc near-dup clusters,
+    train_val_split straddles a measurable fraction (independent 10%
+    draws -> ~18% of clusters split-inconsistent) while
+    leakage_safe_split straddles ZERO."""
+    from yadex_spark.operators.packing import leakage_safe_split, train_val_split
+
+    n = 400
+    docs = spark.createDataFrame(
+        [(i,) for i in range(2 * n)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + n) for i in range(n)], "doc_a long, doc_b long"
+    )
+    plain = {r["doc_id"]: r["split"] for r in train_val_split(docs).collect()}
+    leaked = sum(1 for i in range(n) if plain[i] != plain[i + n])
+    assert leaked > 0  # the documented hazard is real on this fixture
+    safe = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, pairs).collect()
+    }
+    assert all(safe[i] == safe[i + n] for i in range(n))

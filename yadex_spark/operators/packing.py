@@ -107,6 +107,60 @@ def train_val_split(docs: DataFrame, val_pct: int = 10) -> DataFrame:
     )
 
 
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
+                       val_pct: int = 10) -> DataFrame:
+    """Train/val split that near-duplicates cannot straddle.
+
+    ``train_val_split`` hashes each doc's OWN id, so two near-duplicate
+    documents draw independent sides — ~val_pct% of every dup cluster
+    leaks from train into the held-out set (the dev-set contamination
+    failure Lee et al. 2022 §6.2 measure on C4/RealNews: validation
+    perplexity is silently optimistic on leaked members).  Fix: hash
+    the near-dup CLUSTER representative instead — ``dedup_clusters``'
+    canonical min-id — so a whole cluster moves as one unit and the
+    val set is duplicate-disjoint from train BY CONSTRUCTION, not by
+    post-hoc decontamination.
+
+    Scale shape (100 TB): ``dedup_clusters`` is the existing
+    pointer-jumping CC, bounded by the PAIR graph (a small fraction of
+    the corpus); the label join-back is one key-co-partitioned LEFT
+    join that AQE broadcasts when the pair graph is small (the common
+    case); the split itself is a per-row hash projection, zero
+    shuffle.  Docs in no pair key on their own id, so on a pair-free
+    corpus the assignment degrades EXACTLY to ``train_val_split``
+    (test-pinned, same md5-prefix bucket rule).
+
+    Contract caveat: the key is only as stable as cluster membership —
+    a later "bridge" doc that merges two clusters re-keys the merged
+    cluster to the smaller min-id, which may migrate that cluster's
+    side wholesale.  That is the right trade-off: a membership change
+    is exactly the moment a cross-split leak would otherwise appear,
+    and the alternative (freeze old keys) reintroduces it.
+
+    Output: (doc_id, split_key, bucket, split)."""
+    from yadex_spark.operators.dedup import dedup_clusters
+
+    comp = dedup_clusters(pairs)
+    keyed = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("split_key"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("split_key").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return keyed.select(
+        "doc_id",
+        "split_key",
+        bucket.alias("bucket"),
+        F.when(bucket < val_pct, "val").otherwise("train").alias("split"),
+    )
+
+
 def mix_rates(docs: DataFrame, target_bp: dict[str, int]) -> DataFrame:
     """Per-source sampling rates that hit a target domain mixture —
     the "40% web, 30% books, ..." step (the LLaMA/Pile mixture-weights

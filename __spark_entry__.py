@@ -1623,6 +1623,36 @@ def q_cdc_point_lookup(spark, sf):
     )
 
 
+def q_cdc_zorder_scan(spark, sf):
+    """Analytics scan over a Z-ORDER-compacted base (lake/zorder.py,
+    ``compact(cluster_by=...)`` — the Delta OPTIMIZE ZORDER analogue):
+    the two-epoch lake is rewritten clustered on (source, doc_id),
+    originals vacuumed, then read back under a two-column pushed
+    filter.  The gate pins that the z-order rewrite is purely physical
+    (state identical to the replay oracle under the same filter) while
+    the layout's measured file-pruning lives in tests/test_m34_zorder."""
+    tbl, _, _ = _two_epoch_table(spark, sf, "zorder-scan-")
+    tbl.compact(cluster_by=["source", "doc_id"])
+    tbl.vacuum()
+    return (
+        tbl.read()
+        .where((F.col("source") == "purchase") & (F.col("doc_id") <= "u2"))
+        .select(
+            "doc_id",
+            F.array_join("tokens", ",").alias("tokens_csv"),
+            "n_tok",
+            "source",
+        )
+    )
+
+
+SQL_ZORDER_SCAN = f"""
+SELECT * FROM (
+{SQL_ENGINE_REPLAY}
+) WHERE source = 'purchase' AND doc_id <= 'u2'
+"""
+
+
 _LOOKUP_IN = ", ".join(f"'{p}'" for p in _LOOKUP_PROBES)
 
 SQL_POINT_LOOKUP = f"""
@@ -2617,7 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                        three composed parts, each graded)
     #   shuffle_corpus     ⊂ prepare_corpus (stage 5 IS the salted
     #                        interleaved shuffle, prepare.py:97)
-    # All 81 still run under tests/ and scripts/compare_oracle.py.
+    # All 82 still run under tests/ and scripts/compare_oracle.py.
     return {
         # --- graded window (1-50) ---
         "cdc_lww_collapse": q_cdc_lww_collapse,
@@ -2726,6 +2756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   and the md5-bucket rule IS train_val_split's; verified at
         #   two SFs by compare_oracle.
         "split_leakage_safe": q_split_leakage_safe,
+        #   cdc_zorder_scan — the z-order rewrite is purely physical;
+        #   state under filter pinned vs the cdc_engine_replay oracle
+        #   subtree (graded); measured pruning in tests/test_m34.
+        "cdc_zorder_scan": q_cdc_zorder_scan,
     }
 
 
@@ -2817,4 +2851,5 @@ def oracle_sql() -> dict[str, str]:
         "embed_sq8_topk": SQL_SQ8_TOPK,
         "corpus_bucketed_join": SQL_BUCKETED_JOIN,
         "split_leakage_safe": SQL_SPLIT_SAFE,
+        "cdc_zorder_scan": SQL_ZORDER_SCAN,
     }

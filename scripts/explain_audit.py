@@ -147,6 +147,14 @@ AUDITS = {
         ("bucketed scans selected (scan carries the bucket spec)",
          lambda p: "Bucketed: true" in p or "SelectedBucketsCount" in p),
     ],
+    "cdc_zorder_scan": [
+        ("both z-order columns' filters pushed to the compacted scan",
+         lambda p: "PushedFilters" in p and "source" in p and "doc_id" in p),
+        ("narrow LWW over the base: hash aggregate, no sort fallback",
+         lambda p: "HashAggregate" in p and "SortAggregate" not in p),
+        ("no python in the scan path",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
     "split_leakage_safe": [
         ("split is hash projection + one label join — no nested loop",
          lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),

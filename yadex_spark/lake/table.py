@@ -339,7 +339,9 @@ class LakeTable:
     def compact(self, keep_tombstones: bool = True,
                 min_live_seq: int | None = None,
                 n_buckets: int | None = None,
-                target_file_bytes: int | None = None) -> int | None:
+                target_file_bytes: int | None = None,
+                cluster_by: list[str] | None = None,
+                zorder_bits: int = 4) -> int | None:
         """Rewrite current state as a fresh base (bounds read amplification).
 
         Tombstones are RETAINED by default: the table is order-free
@@ -360,6 +362,17 @@ class LakeTable:
         would need metastore bucket metadata to elide any shuffle, which
         a from-scratch manifest table doesn't have — range clustering is
         the layout that actually pays off file-skipping.)
+
+        ``cluster_by`` (opt-in): Z-ORDER the base on these columns
+        instead (Delta ``OPTIMIZE ZORDER BY`` / Iceberg sort-order
+        analogue, ``lake/zorder.py``) — the multi-column analytics
+        layout: every participating column keeps tight per-file footer
+        bounds SIMULTANEOUSLY, so ordinary pushed filters on any of
+        them skip files/row-groups with zero reader support.  Same
+        single shuffle as the doc_id layout.  Trade-off: doc_id footer
+        spans go broad, so point-lookup FILE pruning degrades
+        (row-group stats still apply) — keep the default for serving
+        tables, z-order for scan-heavy ones.
         """
         snaps, kill_seq = self._active_chain()
         if not snaps:
@@ -372,7 +385,18 @@ class LakeTable:
                 int(self.spark.conf.get("spark.sql.shuffle.partitions")),
                 snaps, target_file_bytes,
             )
-        cur = cur.repartitionByRange(n_buckets, "doc_id").sortWithinPartitions("doc_id")
+        if cluster_by:
+            from yadex_spark.lake.zorder import zorder_expr
+
+            z = zorder_expr(cur, list(cluster_by), bits=zorder_bits)
+            cur = (
+                cur.withColumn("_zorder", z)
+                .repartitionByRange(n_buckets, "_zorder")
+                .sortWithinPartitions("_zorder", "doc_id")
+                .drop("_zorder")
+            )
+        else:
+            cur = cur.repartitionByRange(n_buckets, "doc_id").sortWithinPartitions("doc_id")
         rel, n = self._write_data(cur, self.latest_version() + 1)
         ddl = _ddl(cur.drop(SEQ_COL, DELETED_COL))
         return self._commit_manifest("compact", None, ddl, n, rel, trunc_seq=kill_seq)

@@ -84,6 +84,8 @@ HEADLINE = [
     "embed_sq8_codes",
     "embed_sq8_topk",
     "corpus_bucketed_join",
+    "split_leakage_safe",
+    "cdc_zorder_scan",
 ]
 
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))

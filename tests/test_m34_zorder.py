@@ -136,3 +136,23 @@ def test_string_cuts_low_cardinality_exact(spark):
     got = {r["s"]: r["b"] for r in
            df.select("s", bucket_expr("s", cuts).alias("b")).distinct().collect()}
     assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_pipeline_maintain_cluster_by(spark, tmp_path):
+    """The pipeline's maintenance tier reaches the z-order layout:
+    maintain(cluster_by=...) rewrites every table's base clustered and
+    state is unchanged (the m1 maintain law, analytics layout)."""
+    from tests.test_m1_streaming import _expected, _pipe
+    from yadex_spark.sources.genlog import gen_oplog, write_oplog_chunks
+    from yadex_spark.verify import assert_equal_state
+
+    oplog = gen_oplog(spark, n_events=3000, n_docs=600, seed=5)
+    path = str(tmp_path / "feed")
+    write_oplog_chunks(oplog, path, n_chunks=3)
+    pipe = _pipe(spark, tmp_path, path)
+    pipe.run_available_now()
+    expected = _expected(spark, oplog)
+    report = pipe.maintain(min_live_seq=3000,
+                           cluster_by=["source", "n_tok"])
+    assert report["tables"]["seqs"]["compacted_version"] is not None
+    assert_equal_state(expected, pipe.table("seqs").read())

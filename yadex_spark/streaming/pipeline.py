@@ -799,7 +799,8 @@ class CdcPipeline:
         return maintenance_lease(self.lake_dir)
 
     def maintain(self, min_live_seq: int | str | None = "auto",
-                 vacuum: bool = True, retain_last: int = 0) -> dict:
+                 vacuum: bool = True, retain_last: int = 0,
+                 cluster_by: list[str] | None = None) -> dict:
         """Compact + vacuum every table, then collect superseded staging
         attempt dirs — the Iceberg rewrite-data-files / expire-snapshots
         maintenance job, decoupled from the apply path (the reference
@@ -816,7 +817,13 @@ class CdcPipeline:
         garbage-collected (without it, state size grows unboundedly with
         cumulative deletes at the 10^10-event design point).  "auto"
         reads it from the feed (bookmarks.feed_min_offset); None keeps
-        every tombstone."""
+        every tombstone.
+
+        ``cluster_by``: Z-order every table's rewritten base on these
+        columns (``LakeTable.compact(cluster_by=...)``, lake/zorder.py)
+        — the analytics layout; omit for the doc_id serving layout.
+        Columns must exist in every table (the pipeline's tables share
+        the write-model schema)."""
         from yadex_spark.streaming.bookmarks import feed_min_offset
 
         t0 = time.monotonic()
@@ -826,7 +833,8 @@ class CdcPipeline:
             per_table = {}
             for t in self.tables():
                 tbl = self.table(t)
-                v = tbl.compact(min_live_seq=min_live_seq)
+                v = tbl.compact(min_live_seq=min_live_seq,
+                                cluster_by=cluster_by)
                 removed = tbl.vacuum(retain_last=retain_last) if vacuum else []
                 meta = tbl.compact_meta()
                 per_table[t] = {"compacted_version": v, "data_dirs_removed": len(removed),

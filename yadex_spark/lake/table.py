@@ -83,6 +83,14 @@ class Snapshot:
     #: active chain (their manifests stay — batch-id idempotence must
     #: survive their files being vacuumed).  Absent on older manifests.
     subsumes: list | None = None
+    #: per-file doc_id bounds, {file relpath: [min, max] | [] for empty},
+    #: captured from the freshly-written footers at commit time — the
+    #: Iceberg manifest file-stats shape.  Probe reads prune from THIS
+    #: dict with zero data-file footer opens (on object storage a point
+    #: lookup otherwise pays O(files) GETs just to plan); a file absent
+    #: from the dict (unprovable stats, or a pre-stats manifest where
+    #: the whole field is None) conservatively falls back to its footer.
+    file_stats: dict | None = None
 
 
 class LakeTable:
@@ -196,13 +204,19 @@ class LakeTable:
                          subsumes: list | None = None) -> int:
         """Atomically claim the next version (O_EXCL + rename)."""
         meta_dir = os.path.join(self.path, META)
+        # per-file doc_id bounds captured ONCE here, while the freshly
+        # written footers are local and hot — every later probe read
+        # then plans from the manifest alone (Iceberg file-stats shape)
+        file_stats = None
+        if files_dir is not None:
+            file_stats = _collect_file_stats(os.path.join(self.path, files_dir))
         while True:
             version = self.latest_version() + 1
             manifest = dict(
                 version=version, action=action, batch_id=batch_id,
                 schema_ddl=schema_ddl, n_rows=n_rows, files_dir=files_dir,
                 committed_at=time.time(), trunc_seq=trunc_seq,
-                subsumes=subsumes,
+                subsumes=subsumes, file_stats=file_stats,
             )
             # unique per pid AND thread: same-process writers (two streams
             # in one driver) racing a version would otherwise interleave
@@ -663,6 +677,20 @@ class LakeTable:
                     report["errors"].append(
                         f"v{s.version}: footer rows {n} != manifest {s.n_rows}"
                     )
+                # manifest file-stats integrity: stale/hand-edited bounds
+                # would silently mis-prune probe reads (files the stats
+                # exclude are never scanned) — recompute from the same
+                # footers this pass already paid for
+                for rel, bounds in (s.file_stats or {}).items():
+                    f = os.path.join(full, rel)
+                    if not os.path.isfile(f):
+                        report["errors"].append(
+                            f"v{s.version}: file_stats names missing file {rel}"
+                        )
+                    elif bounds != _file_key_bounds(f):
+                        report["errors"].append(
+                            f"v{s.version}: file_stats bounds stale for {rel}"
+                        )
         data_dir = os.path.join(self.path, DATA)
         if os.path.isdir(data_dir):
             for name in sorted(os.listdir(data_dir)):
@@ -795,6 +823,28 @@ class LakeTable:
             SEQ_COL, DELETED_COL
         )
 
+    def _prune_files(self, s: Snapshot, full: str, files: list[str],
+                     key: str, sorted_probes: list) -> list[str]:
+        """The probe-pruned subset of a snapshot's data files.
+
+        Prefers the manifest's committed :attr:`Snapshot.file_stats`
+        (zero footer opens — one manifest read plans the whole probe,
+        the Iceberg manifest-skip shape); any file absent from the
+        stats dict, any non-doc_id key, and any pre-stats manifest
+        falls back to the per-file footer probe.  Both paths share the
+        same conservative keep-on-doubt rule."""
+        stats = s.file_stats if key == "doc_id" and s.file_stats else {}
+        kept = []
+        for f in files:
+            b = stats.get(os.path.relpath(f, full))
+            if b is not None:
+                keep = _bounds_may_contain(b, sorted_probes)
+            else:
+                keep = _file_may_contain(f, key, sorted_probes)
+            if keep:
+                kept.append(f)
+        return kept
+
     def read_keys(self, *cols: str, probes: list | None = None,
                   key: str = "doc_id",
                   prune_stats: dict | None = None) -> DataFrame:
@@ -835,8 +885,7 @@ class LakeTable:
                 files = _parquet_files(full)
                 if files is not None:
                     n_total += len(files)
-                    kept = [f for f in files
-                            if _file_may_contain(f, key, sorted_probes)]
+                    kept = self._prune_files(s, full, files, key, sorted_probes)
                     n_read += len(kept)
                     if not kept:
                         continue  # proven probe-free: skip the snapshot
@@ -897,8 +946,7 @@ class LakeTable:
             files = _parquet_files(full)
             if files is not None:
                 n_total += len(files)
-                kept = [f for f in files
-                        if _file_may_contain(f, "doc_id", sorted_probes)]
+                kept = self._prune_files(s, full, files, "doc_id", sorted_probes)
                 n_read += len(kept)
                 if not kept:
                     continue
@@ -1015,7 +1063,7 @@ class LakeTable:
             files = _parquet_files(full)
             if files is not None:
                 n_total += len(files)
-                kept = [f for f in files if _file_may_contain(f, key, sorted_probes)]
+                kept = self._prune_files(s, full, files, key, sorted_probes)
                 n_read += len(kept)
                 if not kept:
                     continue
@@ -1355,6 +1403,82 @@ def _parquet_files(d: str) -> list[str] | None:
 #: writer (parquet column-index truncation defaults to 64); a truncated
 #: max is not a true upper bound, so such files are never pruned.
 _MAX_EXACT_STAT_LEN = 64
+
+
+#: skip manifest stats above this file count — a manifest must stay a
+#: cheap read; past this the layout needs compaction anyway and footer
+#: probing still works
+_MAX_STATS_FILES = 4096
+
+
+def _file_key_bounds(path: str, key: str = "doc_id") -> list | None:
+    """Exact [min, max] of ``key`` in ``path`` from its footer, ``[]``
+    for a zero-row file (always prunable), or None when the footer
+    cannot PROVE bounds — the same conservatism as
+    :func:`_file_may_contain` (missing/partial stats, non-str/int
+    values, truncation-length strings)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    if md.num_rows == 0:
+        return []
+    col_idx = None
+    for i in range(md.num_columns):
+        if md.row_group(0).column(i).path_in_schema == key:
+            col_idx = i
+            break
+    if col_idx is None:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(col_idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mn, mx = st.min, st.max
+        if not isinstance(mn, (str, int)) or type(mn) is not type(mx):
+            return None
+        if isinstance(mn, str) and (
+            len(mn) >= _MAX_EXACT_STAT_LEN or len(mx) >= _MAX_EXACT_STAT_LEN
+        ):
+            return None
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    return [lo, hi]
+
+
+def _collect_file_stats(full_dir: str, key: str = "doc_id") -> dict | None:
+    """{file relpath: bounds} for every provable file under ``full_dir``
+    (unprovable files are simply absent — readers fall back to their
+    footers), or None when the layout can't be enumerated / is too
+    large to inline in a manifest."""
+    files = _parquet_files(full_dir)
+    if files is None or len(files) > _MAX_STATS_FILES:
+        return None
+    stats = {}
+    for f in files:
+        b = _file_key_bounds(f, key)
+        if b is not None:
+            stats[os.path.relpath(f, full_dir)] = b
+    return stats or None
+
+
+def _bounds_may_contain(bounds: list, sorted_probes: list) -> bool:
+    """The :func:`_file_may_contain` decision over manifest-carried
+    bounds instead of a footer read.  Type drift between stored bounds
+    and probes (a manifest written under a different key type) keeps
+    the file — pruning stays an optimization."""
+    import bisect
+
+    if not sorted_probes or bounds == []:
+        return False
+    lo, hi = bounds
+    if type(sorted_probes[0]) is not type(lo) or type(lo) is not type(hi):
+        return True
+    i = bisect.bisect_left(sorted_probes, lo)
+    return i < len(sorted_probes) and sorted_probes[i] <= hi
 
 
 def _file_may_contain(path: str, key: str, sorted_probes: list) -> bool:

@@ -1360,6 +1360,49 @@ WHERE b.bucket < r.rate_bp
 """
 
 
+def q_mix_corpus_upsampled(spark, sf):
+    """Epoch-replicating mixture: scarce sources repeat (rate > 10000 bp
+    = multiple epochs, the LLaMA/Gopher upsampling tables) — each doc
+    emitted floor(rate/10000) times plus a bucket-gated fractional
+    epoch."""
+    from yadex_spark.operators.packing import mix_corpus_epochs
+
+    return mix_corpus_epochs(_t(spark, sf, "documents"), _MIX_TARGETS)
+
+
+_MIX_UP_CTES = """
+s AS (SELECT source, CAST(sum((length(text)+3)//4) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+t AS (SELECT source, n_tokens,
+             CAST(CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 3000
+                              WHEN 'src2' THEN 2000 WHEN 'src3' THEN 1000
+                              ELSE 0 END AS BIGINT) AS share_target_bp
+      FROM s),
+k AS (SELECT max(CASE WHEN share_target_bp > 0
+                      THEN (10000 * n_tokens) // share_target_bp END) AS k
+      FROM t),
+r AS (SELECT source, n_tokens, share_target_bp,
+             CAST(CASE WHEN share_target_bp > 0
+                       THEN (share_target_bp * k.k) // n_tokens
+                       ELSE 0 END AS BIGINT) AS rate_bp
+      FROM t, k)
+"""
+
+SQL_MIX_UP = f"""
+WITH {_MIX_UP_CTES},
+b AS (SELECT doc_id, source,
+             CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 10000 AS bucket
+      FROM documents),
+j AS (SELECT b.doc_id, b.source, b.bucket, r.rate_bp,
+             r.rate_bp // 10000
+             + CASE WHEN b.bucket < r.rate_bp % 10000 THEN 1 ELSE 0 END AS n
+      FROM b JOIN r ON b.source = r.source)
+SELECT doc_id, CAST(e AS INT) AS epoch, source, bucket, rate_bp
+FROM j, unnest(generate_series(0, n - 1)) u(e)
+WHERE n > 0
+"""
+
+
 def q_chunk_sequences(spark, sf):
     """Sliding-window context chunking: 128-token windows, stride 96
     (32-token overlap carry-over)."""
@@ -2647,7 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                        three composed parts, each graded)
     #   shuffle_corpus     ⊂ prepare_corpus (stage 5 IS the salted
     #                        interleaved shuffle, prepare.py:97)
-    # All 82 still run under tests/ and scripts/compare_oracle.py.
+    # All 83 still run under tests/ and scripts/compare_oracle.py.
     return {
         # --- graded window (1-50) ---
         "cdc_lww_collapse": q_cdc_lww_collapse,
@@ -2760,6 +2803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   state under filter pinned vs the cdc_engine_replay oracle
         #   subtree (graded); measured pruning in tests/test_m34.
         "cdc_zorder_scan": q_cdc_zorder_scan,
+        #   mix_corpus_upsampled — the epoch-replication extension of
+        #   mix_corpus (graded); rates subtree shared, verified 2 SFs.
+        "mix_corpus_upsampled": q_mix_corpus_upsampled,
     }
 
 
@@ -2852,4 +2898,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_bucketed_join": SQL_BUCKETED_JOIN,
         "split_leakage_safe": SQL_SPLIT_SAFE,
         "cdc_zorder_scan": SQL_ZORDER_SCAN,
+        "mix_corpus_upsampled": SQL_MIX_UP,
     }

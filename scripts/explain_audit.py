@@ -147,6 +147,13 @@ AUDITS = {
         ("bucketed scans selected (scan carries the bucket spec)",
          lambda p: "Bucketed: true" in p or "SelectedBucketsCount" in p),
     ],
+    "mix_corpus_upsampled": [
+        ("rates side broadcast (corpus never shuffles for the join)",
+         lambda p: "Broadcast" in p),
+        ("epoch fan-out is a per-row generator, no shuffle after the join",
+         lambda p: "Generate" in p),
+        ("no python anywhere", lambda p: "EvalPython" not in p),
+    ],
     "cdc_zorder_scan": [
         ("both z-order columns' filters pushed to the compacted scan",
          lambda p: "PushedFilters" in p and "source" in p and "doc_id" in p),

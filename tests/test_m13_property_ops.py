@@ -532,3 +532,56 @@ def test_plain_split_leaks_where_safe_split_cannot(spark):
         for r in leakage_safe_split(docs, pairs).collect()
     }
     assert all(safe[i] == safe[i + n] for i in range(n))
+
+
+# ---------------------------------------------------------------------------
+# mix_rates_upsampled / mix_corpus_epochs: epoch-replication laws
+# ---------------------------------------------------------------------------
+
+def test_mix_upsampled_equals_python_oracle(spark):
+    """Rates: exact integer waterfilling with K = max (binding source
+    runs exactly one epoch, everything else upsamples above it).
+    Corpus: every doc emitted rate//10000 + (bucket < rate%10000)
+    times with epochs 0..n-1 — replicated in plain python."""
+    import hashlib as _h
+
+    from yadex_spark.operators.packing import (
+        mix_corpus_epochs,
+        mix_rates_upsampled,
+    )
+
+    rows = [(f"d{i}", f"s{i % 3}", "x" * (20 + 13 * (i % 7))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    target = {"s0": 5000, "s1": 4000, "s2": 1000}
+
+    toks = {}
+    for _d, s, t in rows:
+        toks[s] = toks.get(s, 0) + (len(t) + 3) // 4
+    k = max(10000 * toks[s] // w for s, w in target.items())
+    want_rates = {s: target[s] * k // toks[s] for s in target}
+    got_rates = {r["source"]: r["rate_bp"]
+                 for r in mix_rates_upsampled(docs, target).collect()}
+    assert got_rates == want_rates
+    assert min(want_rates.values()) == 10000  # binding source: one epoch
+
+    got = {}
+    for r in mix_corpus_epochs(docs, target).collect():
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+    for d, s, _t in rows:
+        bucket = int(_h.md5(f"mix|{d}".encode()).hexdigest()[:8], 16) % 10000
+        rate = want_rates[s]
+        n = rate // 10000 + (1 if bucket < rate % 10000 else 0)
+        assert sorted(got.get(d, [])) == list(range(n)), (d, rate, bucket)
+
+
+def test_mix_upsampled_single_source_degrades_to_mix_corpus(spark):
+    """A single-source target solves to rate 10000 in BOTH variants:
+    the epoch form emits exactly mix_corpus's rows with epoch = 0."""
+    from yadex_spark.operators.packing import mix_corpus, mix_corpus_epochs
+
+    rows = [(f"d{i}", f"s{i % 2}", "y" * 40) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    up = {(r["doc_id"], r["epoch"]) for r in
+          mix_corpus_epochs(docs, {"s0": 10000}).collect()}
+    down = {(r["doc_id"], 0) for r in mix_corpus(docs, {"s0": 10000}).collect()}
+    assert up == down and len(up) == 25

@@ -208,6 +208,47 @@ def mix_rates(docs: DataFrame, target_bp: dict[str, int]) -> DataFrame:
     )
 
 
+def mix_rates_upsampled(docs: DataFrame, target_bp: dict[str, int]) -> DataFrame:
+    """:func:`mix_rates` with UPSAMPLING: rates in basis points may
+    exceed 10000 (``rate_bp div 10000`` = whole epochs of a source).
+
+    ``mix_rates`` finds the largest mixture achievable by dropping data
+    — right when every source is abundant.  Real LLM mixtures also
+    repeat scarce high-value sources for multiple epochs (the LLaMA /
+    Gopher tables run Wikipedia and books at >1 epoch while web runs
+    <1): here K is the SMALLEST output whose share-weighted demand
+    keeps the most-abundant-relative-to-its-share source at exactly one
+    epoch — ``K = max_s (10000*T_s) div w_s`` — so that source's rate
+    is ~10000 and every other targeted source upsamples above it.
+    Same exact integer arithmetic and scale shape (one partial agg +
+    a #sources-row window) as :func:`mix_rates`; int64 headroom bounds
+    as there.
+
+    Output: (source, n_tokens, share_target_bp, rate_bp)."""
+    share = F.create_map(*[F.lit(x) for kv in target_bp.items() for x in kv])
+    stats = (
+        docs.select("source", token_estimate(F.col("text")).alias("tok"))
+        .groupBy("source")
+        .agg(F.sum("tok").alias("n_tokens"))
+        .withColumn(
+            "share_target_bp",
+            F.coalesce(share[F.col("source")], F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "_kcand",
+            F.expr("CASE WHEN share_target_bp > 0 "
+                   "THEN (10000 * n_tokens) div share_target_bp END"),
+        )
+        .withColumn("_k", F.max("_kcand").over(Window.partitionBy()))
+    )
+    return stats.select(
+        "source", "n_tokens", "share_target_bp",
+        F.expr("CAST(CASE WHEN share_target_bp > 0 "
+               "THEN (share_target_bp * _k) div n_tokens "
+               "ELSE 0 END AS BIGINT)").alias("rate_bp"),
+    )
+
+
 def mix_corpus(docs: DataFrame, target_bp: dict[str, int]) -> DataFrame:
     """Apply :func:`mix_rates` — downsample each source by its computed
     rate via the salted content-stable hash bucket (``'mix|'`` salt, so
@@ -233,6 +274,45 @@ def mix_corpus(docs: DataFrame, target_bp: dict[str, int]) -> DataFrame:
         .join(rates, "source")
         .where(F.col("bucket") < F.col("rate_bp"))
         .select("doc_id", "source", "bucket", "rate_bp")
+    )
+
+
+def mix_corpus_epochs(docs: DataFrame, target_bp: dict[str, int]) -> DataFrame:
+    """Apply :func:`mix_rates_upsampled` — emit each kept doc once PER
+    EPOCH: ``rate_bp div 10000`` whole copies, plus one more when the
+    doc's content-stable mix bucket falls under ``rate_bp mod 10000``
+    (the fractional epoch — the same bucket rule :func:`mix_corpus`
+    uses, so on a single-source target, where both solve to rate
+    10000, this degrades to exactly its row set with ``epoch = 0``,
+    test-pinned).  Downstream shuffles key
+    on (doc_id, epoch); a per-epoch transform seed (span corruption,
+    shuffle salt) keeps repeated copies from being byte-identical.
+
+    Scale shape: rates are #sources rows (AQE broadcast); the copy
+    fan-out is a per-row ``explode`` over a ≤⌈rate/10000⌉-element
+    sequence — no shuffle, expansion bounded by the largest upsample
+    factor.  Output: (doc_id, epoch, source, bucket, rate_bp)."""
+    rates = mix_rates_upsampled(docs, target_bp).select("source", "rate_bp")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 10_000
+    )
+    n_copies = (
+        F.expr("rate_bp div 10000")
+        + F.when(F.col("bucket") < F.col("rate_bp") % 10_000, 1).otherwise(0)
+    )
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .join(rates, "source")
+        .withColumn(
+            "epoch",
+            F.explode(
+                # sequence(0, -1) would DESCEND in Spark — guard empties
+                F.when(n_copies > 0, F.sequence(F.lit(0), (n_copies - 1).cast("int")))
+                .otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .select("doc_id", "epoch", "source", "bucket", "rate_bp")
     )
 
 

@@ -39,13 +39,18 @@ def lake(spark, tmp_path):
 
 
 def _no_footer(monkeypatch):
-    """Make any data-file footer probe explode — proves planning came
-    from the manifest."""
+    """Make any data-file footer probe AND any data-directory listing
+    explode — proves probe planning came from the manifest alone (on
+    object storage both are per-snapshot round-trips)."""
 
     def boom(path, key, probes):  # pragma: no cover - must not run
         raise AssertionError(f"footer opened for {path}")
 
+    def boom_ls(d):  # pragma: no cover - must not run
+        raise AssertionError(f"directory listed: {d}")
+
     monkeypatch.setattr(T, "_file_may_contain", boom)
+    monkeypatch.setattr(T, "_parquet_files", boom_ls)
 
 
 def test_stats_recorded_and_exact(lake):
@@ -149,3 +154,25 @@ def test_fsck_detects_stale_file_stats(lake):
         json.dump(m, f)
     errs = LakeTable(lake.spark, lake.path).fsck()["errors"]
     assert any("file_stats bounds stale" in e for e in errs)
+
+
+def test_fsck_inventory_gap_flagged_none_bounds_tolerated(lake):
+    assert lake.fsck()["errors"] == []
+    meta = os.path.join(lake.path, "_meta")
+    victim = sorted(n for n in os.listdir(meta) if n.startswith("v"))[0]
+    p = os.path.join(meta, victim)
+    with open(p) as f:
+        m = json.load(f)
+    rel = next(iter(m["file_stats"]))
+    # None bounds (unprovable at commit) are always-keep: never stale
+    m["file_stats"][rel] = None
+    with open(p, "w") as f:
+        json.dump(m, f)
+    assert LakeTable(lake.spark, lake.path).fsck()["errors"] == []
+    # dropping the entry makes the file invisible to probe planning
+    # (readers plan from the inventory alone) — fsck must flag the gap
+    del m["file_stats"][rel]
+    with open(p, "w") as f:
+        json.dump(m, f)
+    errs = LakeTable(lake.spark, lake.path).fsck()["errors"]
+    assert any("absent from file_stats inventory" in e for e in errs)

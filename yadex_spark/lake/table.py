@@ -677,20 +677,31 @@ class LakeTable:
                     report["errors"].append(
                         f"v{s.version}: footer rows {n} != manifest {s.n_rows}"
                     )
-                # manifest file-stats integrity: stale/hand-edited bounds
-                # would silently mis-prune probe reads (files the stats
-                # exclude are never scanned) — recompute from the same
-                # footers this pass already paid for
-                for rel, bounds in (s.file_stats or {}).items():
-                    f = os.path.join(full, rel)
-                    if not os.path.isfile(f):
+                # manifest file-stats integrity: the stats dict is a
+                # COMPLETE inventory readers plan probe reads from
+                # without listing the directory, so (a) an on-disk file
+                # absent from it is invisible to probe reads, and
+                # (b) stale/hand-edited bounds silently mis-prune.
+                # Recompute from the same footers this pass already
+                # paid for.  None bounds (unprovable at commit) are
+                # always-keep and can never mis-prune — not an error.
+                if s.file_stats is not None:
+                    on_disk = {os.path.relpath(f, full) for f in files}
+                    for rel in sorted(on_disk - set(s.file_stats)):
                         report["errors"].append(
-                            f"v{s.version}: file_stats names missing file {rel}"
+                            f"v{s.version}: data file absent from "
+                            f"file_stats inventory: {rel}"
                         )
-                    elif bounds != _file_key_bounds(f):
-                        report["errors"].append(
-                            f"v{s.version}: file_stats bounds stale for {rel}"
-                        )
+                    for rel, bounds in s.file_stats.items():
+                        f = os.path.join(full, rel)
+                        if not os.path.isfile(f):
+                            report["errors"].append(
+                                f"v{s.version}: file_stats names missing file {rel}"
+                            )
+                        elif bounds is not None and bounds != _file_key_bounds(f):
+                            report["errors"].append(
+                                f"v{s.version}: file_stats bounds stale for {rel}"
+                            )
         data_dir = os.path.join(self.path, DATA)
         if os.path.isdir(data_dir):
             for name in sorted(os.listdir(data_dir)):
@@ -823,27 +834,31 @@ class LakeTable:
             SEQ_COL, DELETED_COL
         )
 
-    def _prune_files(self, s: Snapshot, full: str, files: list[str],
-                     key: str, sorted_probes: list) -> list[str]:
-        """The probe-pruned subset of a snapshot's data files.
+    def _prune_files(self, s: Snapshot, full: str, key: str,
+                     sorted_probes: list) -> tuple[list[str] | None, int]:
+        """(probe-pruned data files, files_total) for one snapshot —
+        or (None, 0) for an unprunable partition-style layout (caller
+        reads the directory).
 
-        Prefers the manifest's committed :attr:`Snapshot.file_stats`
-        (zero footer opens — one manifest read plans the whole probe,
-        the Iceberg manifest-skip shape); any file absent from the
-        stats dict, any non-doc_id key, and any pre-stats manifest
-        falls back to the per-file footer probe.  Both paths share the
-        same conservative keep-on-doubt rule."""
-        stats = s.file_stats if key == "doc_id" and s.file_stats else {}
-        kept = []
-        for f in files:
-            b = stats.get(os.path.relpath(f, full))
-            if b is not None:
-                keep = _bounds_may_contain(b, sorted_probes)
-            else:
-                keep = _file_may_contain(f, key, sorted_probes)
-            if keep:
-                kept.append(f)
-        return kept
+        Prefers the manifest's committed :attr:`Snapshot.file_stats`:
+        the dict is a complete file inventory with bounds, so planning
+        needs NO directory listing and NO footer opens — one manifest
+        read plans the whole probe (the Iceberg manifest-skip shape).
+        Non-doc_id keys and pre-stats manifests fall back to the
+        listing + per-file footer probe; a null-bounds inventory entry
+        (unprovable footer at commit time) is always kept.  All paths
+        share the conservative keep-on-doubt rule."""
+        stats = s.file_stats if key == "doc_id" else None
+        if stats:
+            kept = [os.path.join(full, rel)
+                    for rel, b in sorted(stats.items())
+                    if b is None or _bounds_may_contain(b, sorted_probes)]
+            return kept, len(stats)
+        files = _parquet_files(full)
+        if files is None:
+            return None, 0
+        kept = [f for f in files if _file_may_contain(f, key, sorted_probes)]
+        return kept, len(files)
 
     def read_keys(self, *cols: str, probes: list | None = None,
                   key: str = "doc_id",
@@ -882,10 +897,9 @@ class LakeTable:
             full = os.path.join(self.path, s.files_dir)
             kept = None
             if sorted_probes is not None:
-                files = _parquet_files(full)
-                if files is not None:
-                    n_total += len(files)
-                    kept = self._prune_files(s, full, files, key, sorted_probes)
+                kept, n_files = self._prune_files(s, full, key, sorted_probes)
+                if kept is not None:
+                    n_total += n_files
                     n_read += len(kept)
                     if not kept:
                         continue  # proven probe-free: skip the snapshot
@@ -943,10 +957,9 @@ class LakeTable:
         dfs = []
         for rank, s in enumerate(snaps):  # rank = position in FULL chain
             full = os.path.join(self.path, s.files_dir)
-            files = _parquet_files(full)
-            if files is not None:
-                n_total += len(files)
-                kept = self._prune_files(s, full, files, "doc_id", sorted_probes)
+            kept, n_files = self._prune_files(s, full, "doc_id", sorted_probes)
+            if kept is not None:
+                n_total += n_files
                 n_read += len(kept)
                 if not kept:
                     continue
@@ -1060,10 +1073,9 @@ class LakeTable:
         dfs = []
         for s in snaps:
             full = os.path.join(self.path, s.files_dir)
-            files = _parquet_files(full)
-            if files is not None:
-                n_total += len(files)
-                kept = self._prune_files(s, full, files, key, sorted_probes)
+            kept, n_files = self._prune_files(s, full, key, sorted_probes)
+            if kept is not None:
+                n_total += n_files
                 n_read += len(kept)
                 if not kept:
                     continue
@@ -1450,18 +1462,18 @@ def _file_key_bounds(path: str, key: str = "doc_id") -> list | None:
 
 
 def _collect_file_stats(full_dir: str, key: str = "doc_id") -> dict | None:
-    """{file relpath: bounds} for every provable file under ``full_dir``
-    (unprovable files are simply absent — readers fall back to their
-    footers), or None when the layout can't be enumerated / is too
-    large to inline in a manifest."""
+    """The COMPLETE file inventory of ``full_dir`` with per-file bounds:
+    {file relpath: [min, max] | [] for empty | None for unprovable}.
+    Because every file is present (None marks unprovable bounds, it
+    doesn't omit the file), readers can plan from the dict alone —
+    no directory LIST and no footer opens.  Returns None only when the
+    layout can't be enumerated (partitioned subdirs) or is too large
+    to inline in a manifest."""
     files = _parquet_files(full_dir)
     if files is None or len(files) > _MAX_STATS_FILES:
         return None
-    stats = {}
-    for f in files:
-        b = _file_key_bounds(f, key)
-        if b is not None:
-            stats[os.path.relpath(f, full_dir)] = b
+    stats = {os.path.relpath(f, full_dir): _file_key_bounds(f, key)
+             for f in files}
     return stats or None
 
 

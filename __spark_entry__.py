@@ -1732,6 +1732,32 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_tagged_read(spark, sf):
+    """Named refs (Iceberg tag / Delta named version,
+    yadex_spark/lake/table.py:LakeTable.tag): epoch A's version is
+    tagged, the table is then compacted AND vacuumed with a zero
+    retention window — only the tag retains epoch A's files — and the
+    tagged read must still reproduce the half-replay state exactly.
+    This is reproducible-dataset pinning for training runs: the tag
+    holds the exact bytes a run consumed across any later maintenance."""
+    tbl, v_a, _ = _two_epoch_table(spark, sf, "tagged-read-")
+    tbl.tag("train-run", version=v_a)
+    tbl.compact()
+    tbl.vacuum()  # retain_last=0: the tag alone protects epoch A
+    return tbl.read(tag="train-run").select(
+        "doc_id",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
+
+
+# same state as time travel to v_a by design — the tag gate's claim is
+# that the NAME resolves to it and vacuum retained it (the oracle-reuse
+# pattern of corpus_kmv_merge)
+SQL_TAGGED_READ = SQL_TIME_TRAVEL
+
+
 def q_cdc_change_feed(spark, sf):
     """Incremental change feed (Delta-CDF / Iceberg-changelog read,
     LakeTable.table_changes): one row per key whose LIVE state changed
@@ -2806,6 +2832,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   mix_corpus_upsampled — the epoch-replication extension of
         #   mix_corpus (graded); rates subtree shared, verified 2 SFs.
         "mix_corpus_upsampled": q_mix_corpus_upsampled,
+        #   cdc_tagged_read — named refs (tags): tag + compact + vacuum,
+        #   read-by-name must equal cdc_time_travel's graded state (the
+        #   oracle IS SQL_TIME_TRAVEL by design); verified 2 SFs.
+        "cdc_tagged_read": q_cdc_tagged_read,
     }
 
 
@@ -2899,4 +2929,5 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_safe": SQL_SPLIT_SAFE,
         "cdc_zorder_scan": SQL_ZORDER_SCAN,
         "mix_corpus_upsampled": SQL_MIX_UP,
+        "cdc_tagged_read": SQL_TAGGED_READ,
     }

@@ -86,6 +86,7 @@ HEADLINE = [
     "corpus_bucketed_join",
     "split_leakage_safe",
     "cdc_zorder_scan",
+    "cdc_tagged_read",
 ]
 
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))

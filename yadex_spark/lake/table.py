@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 import time
 from dataclasses import dataclass
@@ -564,7 +565,12 @@ class LakeTable:
 
         latest = self.latest_version()
         keep = set()
-        for v in range(max(1, latest - retain_last), latest + 1):
+        keep_versions = set(range(max(1, latest - retain_last), latest + 1))
+        # named refs (tags) pin their versions forever — a tagged
+        # training-run snapshot must re-read byte-identical regardless
+        # of the rolling retain_last window
+        keep_versions.update(self.tags().values())
+        for v in keep_versions:
             active, _ = self._active_chain(v)
             keep.update(s.files_dir for s in active)
         removed = []
@@ -575,6 +581,86 @@ class LakeTable:
                     shutil.rmtree(full)
                     removed.append(s.files_dir)
         return removed
+
+    # ---------- named refs (tags) ----------
+
+    _TAG_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+    _REFS = os.path.join(META, "refs")
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Create an immutable named ref to a snapshot version (the
+        Iceberg tag / Delta named-version shape): ``read(tag=name)``
+        resolves it forever, and :meth:`vacuum` retains every file the
+        tagged version's chain references — a training run tagged
+        ``run-2026-08-19`` re-reads byte-identical input months of
+        compactions later.  Reproducible-dataset pinning is the one
+        retention rule ``retain_last=N`` can't express: N grows
+        unboundedly while a tag holds exactly what it needs.
+
+        Creation is O_EXCL-atomic (two racing taggers of one name: one
+        wins, one gets ValueError) and validated: the version must
+        exist and its chain's files must still be on disk — you cannot
+        tag a version vacuum already gutted.  Driver-side metadata
+        only; no Spark job."""
+        if not self._TAG_RE.match(name):
+            raise ValueError(f"invalid tag name: {name!r}")
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError("cannot tag an empty table")
+        if version is None:
+            version = snaps[-1].version
+        if version not in {s.version for s in snaps}:
+            raise ValueError(f"unknown version {version}")
+        chain, _ = self._active_chain(version)
+        for s in chain:
+            if not os.path.isdir(os.path.join(self.path, s.files_dir)):
+                raise ValueError(
+                    f"version {version} is not taggable: its files "
+                    f"(v{s.version}) were already vacuumed"
+                )
+        refs = os.path.join(self.path, self._REFS)
+        os.makedirs(refs, exist_ok=True)
+        tmp = os.path.join(
+            refs, f".tmp-{os.getpid()}-{threading.get_ident()}.json"
+        )
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": version,
+                       "created_at": time.time()}, f)
+        try:
+            os.link(tmp, os.path.join(refs, f"{name}.json"))
+        except FileExistsError:
+            raise ValueError(f"tag already exists: {name}") from None
+        finally:
+            os.unlink(tmp)
+        return version
+
+    def tags(self) -> dict[str, int]:
+        """{tag name: version} for every named ref."""
+        refs = os.path.join(self.path, self._REFS)
+        out = {}
+        if os.path.isdir(refs):
+            for n in sorted(os.listdir(refs)):
+                if n.endswith(".json") and not n.startswith("."):
+                    with open(os.path.join(refs, n)) as f:
+                        m = json.load(f)
+                    out[m["name"]] = m["version"]
+        return out
+
+    def drop_tag(self, name: str) -> bool:
+        """Remove a named ref (its files become vacuum-eligible on the
+        next :meth:`vacuum` unless otherwise retained).  Returns whether
+        the tag existed."""
+        try:
+            os.unlink(os.path.join(self.path, self._REFS, f"{name}.json"))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def _resolve_ref(self, tag: str) -> int:
+        v = self.tags().get(tag)
+        if v is None:
+            raise ValueError(f"unknown tag: {tag}")
+        return v
 
     def fsck(self, verify_rows: bool = True, repair: bool = False) -> dict:
         """Manifest/data integrity audit (Iceberg table-verify + Delta
@@ -647,6 +733,19 @@ class LakeTable:
                 elif sv not in vset:
                     report["errors"].append(
                         f"v{m['version']}: subsumes missing version {sv}"
+                    )
+        # named refs: a tag must point at an existing version and its
+        # chain's files must still exist (vacuum retains tagged chains,
+        # so a gutted tag means hand-deletion or a pre-tag-aware vacuum)
+        for tname, tv in self.tags().items():
+            if tv not in vset:
+                report["errors"].append(f"tag {tname}: unknown version {tv}")
+                continue
+            chain, _ = self._active_chain(tv)
+            for s in chain:
+                if not os.path.isdir(os.path.join(self.path, s.files_dir)):
+                    report["errors"].append(
+                        f"tag {tname}: v{s.version} files missing ({s.files_dir})"
                     )
         referenced = {
             os.path.normpath(os.path.join(self.path, m["files_dir"]))
@@ -825,8 +924,15 @@ class LakeTable:
                     return self.spark.createDataFrame([], clean)
         return self.spark.createDataFrame([], "doc_id string")
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Current (or time-travel) state, hidden columns removed."""
+    def read(self, version: int | None = None,
+             tag: str | None = None) -> DataFrame:
+        """Current (or time-travel) state, hidden columns removed.
+        ``tag`` resolves a named ref (see :meth:`tag`) to its version;
+        passing both is an error."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self._resolve_ref(tag)
         snaps, kill_seq = self._active_chain(version)
         if not snaps:
             return self._empty(version)

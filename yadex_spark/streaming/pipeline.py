@@ -775,6 +775,34 @@ class CdcPipeline:
             for name in self.tables()
         }
 
+    def tag(self, name: str, epoch: int | None = None) -> dict[str, int]:
+        """Cross-table consistent named ref: tag EVERY table at the same
+        fully-applied epoch (the :meth:`read_consistent` pin, made
+        durable).  ``read(tag=name)`` on each table then reproduces the
+        exact dataset a training run consumed, and vacuum retains those
+        files forever — per-table tags alone can't guarantee the tables
+        are mutually consistent.  Tables with no commit at or below the
+        epoch are skipped (nothing to pin).  Returns {table: version}."""
+        if epoch is None:
+            epoch = self.last_applied_epoch()
+        out: dict[str, int] = {}
+        for t in self.tables():
+            v = self._version_at_epoch(t, epoch) if epoch is not None else -1
+            if v and v > 0:
+                out[t] = self.table(t).tag(name, version=v)
+        return out
+
+    def read_tagged(self, name: str) -> dict[str, "DataFrame"]:
+        """Every table as of the cross-table tag ``name`` (tables the
+        tag skipped come back typed-empty, matching read_consistent)."""
+        out = {}
+        for t in self.tables():
+            tags = self.table(t).tags()
+            out[t] = self.table(t).read(
+                version=tags[name] if name in tags else -1
+            )
+        return out
+
     # ---------- out-of-band maintenance ----------
 
     def tables(self) -> list[str]:
@@ -960,7 +988,12 @@ class CdcPipeline:
             # this pass keys only on the current chain) deleted retained
             # time-travel data — found by driving maintain_minor(retain_last=1)
             latest = tbl.latest_version()
-            for v in range(max(1, latest - retain_last), latest + 1):
+            keep_versions = set(range(max(1, latest - retain_last), latest + 1))
+            # named refs pin their chains forever (LakeTable.vacuum
+            # honors tags; a staging pass that didn't would gut a
+            # tagged delta that still lives under _staging)
+            keep_versions.update(tbl.tags().values())
+            for v in keep_versions:
                 active, _ = tbl._active_chain(v)
                 for s in active:
                     if s.files_dir:

@@ -1732,6 +1732,35 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_pruned_scan(spark, sf):
+    """Manifest-planned range scan (LakeTable.read_where,
+    yadex_spark/lake/table.py): the z-order compact commits per-file
+    [min, max] for its cluster columns into the manifest
+    (Snapshot.col_stats — Iceberg sort-order column stats), and
+    read_where skips whole files on the pushed range predicate with
+    zero footer opens or directory listings, while LWW winners are
+    decided over the full narrow chain so pruning can never serve a
+    stale row (the hazard is pinned in tests/test_m37_read_where.py).
+    Same filtered state as cdc_zorder_scan — the claim here is the
+    manifest-only planning path."""
+    tbl, _, _ = _two_epoch_table(spark, sf, "pruned-scan-")
+    tbl.compact(cluster_by=["source", "doc_id"])
+    tbl.vacuum()
+    return tbl.read_where(
+        {"source": "purchase", "doc_id": (None, "u2")}
+    ).select(
+        "doc_id",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
+
+
+# same filtered state as the z-order scan gate by design — the pruned
+# path's claim is WHERE the planning happens, not a different answer
+SQL_PRUNED_SCAN = SQL_ZORDER_SCAN
+
+
 def q_cdc_tagged_read(spark, sf):
     """Named refs (Iceberg tag / Delta named version,
     yadex_spark/lake/table.py:LakeTable.tag): epoch A's version is
@@ -2836,6 +2865,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   read-by-name must equal cdc_time_travel's graded state (the
         #   oracle IS SQL_TIME_TRAVEL by design); verified 2 SFs.
         "cdc_tagged_read": q_cdc_tagged_read,
+        #   cdc_pruned_scan — read_where's manifest-planned file skip
+        #   over the z-ordered base; same filtered state as
+        #   cdc_zorder_scan by design, stale-LWW hazard pinned in m37.
+        "cdc_pruned_scan": q_cdc_pruned_scan,
     }
 
 
@@ -2930,4 +2963,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_zorder_scan": SQL_ZORDER_SCAN,
         "mix_corpus_upsampled": SQL_MIX_UP,
         "cdc_tagged_read": SQL_TAGGED_READ,
+        "cdc_pruned_scan": SQL_PRUNED_SCAN,
     }

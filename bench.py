@@ -87,6 +87,7 @@ HEADLINE = [
     "split_leakage_safe",
     "cdc_zorder_scan",
     "cdc_tagged_read",
+    "cdc_pruned_scan",
 ]
 
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))

@@ -162,6 +162,21 @@ AUDITS = {
         ("no python in the scan path",
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
     ],
+    "cdc_pruned_scan": [
+        ("winner aggregate runs narrow: hash aggregate, no sort fallback",
+         lambda p: "HashAggregate" in p and "SortAggregate" not in p),
+        ("exact predicate still applied after the manifest file skip",
+         lambda p: "Filter" in p and "source" in p),
+        ("payload join-back present (pruned side joined to winners)",
+         lambda p: "Join" in p),
+        ("no python in the scan path",
+         lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+    ],
+    "cdc_tagged_read": [
+        ("tagged read is the same narrow-LWW shape as time travel",
+         lambda p: "HashAggregate" in p and "SortAggregate" not in p),
+        ("winner join-back present", lambda p: "Join" in p),
+    ],
     "split_leakage_safe": [
         ("split is hash projection + one label join — no nested loop",
          lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),

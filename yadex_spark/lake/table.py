@@ -92,6 +92,13 @@ class Snapshot:
     #: from the dict (unprovable stats, or a pre-stats manifest where
     #: the whole field is None) conservatively falls back to its footer.
     file_stats: dict | None = None
+    #: per-file bounds for the CLUSTER columns of a z-ordered compact
+    #: ({col: {file relpath: [min, max] | [] | None}}), captured like
+    #: :attr:`file_stats` — the Iceberg sort-order column-stats shape.
+    #: :meth:`LakeTable.read_where` plans file skips on range predicates
+    #: from these with zero footer opens; absent columns/files are
+    #: conservatively read.
+    col_stats: dict | None = None
 
 
 class LakeTable:
@@ -202,15 +209,25 @@ class LakeTable:
     def _commit_manifest(self, action: str, batch_id: str | None,
                          schema_ddl: str, n_rows: int, files_dir: str | None,
                          trunc_seq: int | None = None,
-                         subsumes: list | None = None) -> int:
+                         subsumes: list | None = None,
+                         stats_cols: list | None = None) -> int:
         """Atomically claim the next version (O_EXCL + rename)."""
         meta_dir = os.path.join(self.path, META)
         # per-file doc_id bounds captured ONCE here, while the freshly
         # written footers are local and hot — every later probe read
-        # then plans from the manifest alone (Iceberg file-stats shape)
+        # then plans from the manifest alone (Iceberg file-stats shape).
+        # ``stats_cols`` (a clustered compact's z-order columns) get the
+        # same treatment into ``col_stats`` for read_where's range skip.
         file_stats = None
+        col_stats = None
         if files_dir is not None:
-            file_stats = _collect_file_stats(os.path.join(self.path, files_dir))
+            full = os.path.join(self.path, files_dir)
+            file_stats = _collect_file_stats(full)
+            if stats_cols:
+                col_stats = {
+                    c: st for c in stats_cols if c != "doc_id"
+                    and (st := _collect_file_stats(full, key=c)) is not None
+                } or None
         while True:
             version = self.latest_version() + 1
             manifest = dict(
@@ -218,6 +235,7 @@ class LakeTable:
                 schema_ddl=schema_ddl, n_rows=n_rows, files_dir=files_dir,
                 committed_at=time.time(), trunc_seq=trunc_seq,
                 subsumes=subsumes, file_stats=file_stats,
+                col_stats=col_stats,
             )
             # unique per pid AND thread: same-process writers (two streams
             # in one driver) racing a version would otherwise interleave
@@ -414,7 +432,10 @@ class LakeTable:
             cur = cur.repartitionByRange(n_buckets, "doc_id").sortWithinPartitions("doc_id")
         rel, n = self._write_data(cur, self.latest_version() + 1)
         ddl = _ddl(cur.drop(SEQ_COL, DELETED_COL))
-        return self._commit_manifest("compact", None, ddl, n, rel, trunc_seq=kill_seq)
+        return self._commit_manifest(
+            "compact", None, ddl, n, rel, trunc_seq=kill_seq,
+            stats_cols=list(cluster_by) if cluster_by else None,
+        )
 
     def compact_minor(self, min_deltas: int = 2,
                       n_buckets: int | None = None,
@@ -801,6 +822,15 @@ class LakeTable:
                             report["errors"].append(
                                 f"v{s.version}: file_stats bounds stale for {rel}"
                             )
+                # cluster-column stats mis-prune read_where the same way
+                for c, d in (s.col_stats or {}).items():
+                    for rel, bounds in (d or {}).items():
+                        f = os.path.join(full, rel)
+                        if (bounds is not None and os.path.isfile(f)
+                                and bounds != _file_key_bounds(f, c)):
+                            report["errors"].append(
+                                f"v{s.version}: col_stats[{c}] stale for {rel}"
+                            )
         data_dir = os.path.join(self.path, DATA)
         if os.path.isdir(data_dir):
             for name in sorted(os.listdir(data_dir)):
@@ -939,6 +969,131 @@ class LakeTable:
         return self._materialize(snaps, keep_deleted=False, kill_seq=kill_seq).drop(
             SEQ_COL, DELETED_COL
         )
+
+    def read_where(self, preds: dict, version: int | None = None,
+                   tag: str | None = None,
+                   prune_stats: dict | None = None) -> DataFrame:
+        """Current (or time-travel) state under a conjunction of range
+        predicates, with manifest-planned FILE skipping on z-ordered
+        bases (the Iceberg sort-order + manifest column-stats scan).
+
+        ``preds``: {col: (lo, hi)} inclusive ranges (either bound may be
+        None for open-ended) or {col: value} for equality.  Result ==
+        ``read(...).where(<the same conjunction>)`` exactly; pruning is
+        planned from :attr:`Snapshot.col_stats` (cluster columns of a
+        ``compact(cluster_by=...)``) and :attr:`Snapshot.file_stats`
+        (doc_id) with ZERO footer opens — files/columns without
+        committed stats are conservatively read, and Spark's own
+        row-group skipping still applies inside kept files.
+
+        **LWW stays correct under pruning** because the per-key winner
+        is decided over the FULL chain read NARROW (doc_id + _seq only —
+        Catalyst column-prunes that scan) and only the payload join-back
+        side is file-pruned: a winner whose row was pruned provably
+        fails the predicate (bounds say no row in that file matches), so
+        its key is correctly absent; naive per-file pruning before the
+        winner aggregate would instead resurrect the newest SURVIVING
+        row — a stale read.  At 100 TB the win is the payload bytes
+        (the wide columns) of skipped files; the narrow planning scan
+        reads two 8-byte-ish columns."""
+        norm: dict[str, tuple] = {}
+        for c, rng in preds.items():
+            lo, hi = rng if isinstance(rng, (tuple, list)) else (rng, rng)
+            norm[c] = (lo, hi)
+        if not norm:
+            raise ValueError("read_where needs at least one predicate")
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self._resolve_ref(tag)
+
+        def cond(df):
+            e = F.lit(True)
+            for c, (lo, hi) in norm.items():
+                if lo is not None:
+                    e = e & (F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    e = e & (F.col(c) <= F.lit(hi))
+            return df.where(e)
+
+        snaps, kill_seq = self._active_chain(version)
+        if not snaps:
+            return cond(self._empty(version))
+        n_total = n_read = 0
+        narrow_dfs, payload_dfs = [], []
+        for i, s in enumerate(snaps):  # rank in FULL chain on both sides
+            full = os.path.join(self.path, s.files_dir)
+            whole = self.spark.read.parquet(full)
+            narrow_dfs.append(
+                whole.select("doc_id", SEQ_COL).withColumn(VERSION_COL, F.lit(i))
+            )
+            kept, n_files = self._prune_files_where(s, full, norm)
+            if kept is None:  # unprunable layout
+                payload_dfs.append(whole.withColumn(VERSION_COL, F.lit(i)))
+                continue
+            n_total += n_files
+            n_read += len(kept)
+            if kept:
+                payload_dfs.append(
+                    self.spark.read.parquet(*kept).withColumn(VERSION_COL, F.lit(i))
+                )
+        if prune_stats is not None:
+            prune_stats.update(
+                files_total=n_total, files_read=n_read, pruned=n_total - n_read
+            )
+        narrow = narrow_dfs[0]
+        for d in narrow_dfs[1:]:
+            narrow = narrow.unionByName(d)
+        if kill_seq is not None:
+            narrow = narrow.where(F.col(SEQ_COL) >= kill_seq)
+        ord_of = (
+            F.col(SEQ_COL) * F.lit(1 << self.ORD_VERSION_BITS) + F.col(VERSION_COL)
+        )
+        winners = (
+            narrow.withColumn("_ord", ord_of)
+            .groupBy("doc_id").agg(F.max("_ord").alias("_ord"))
+        )
+        if not payload_dfs:
+            return cond(self._empty(version))
+        payload = payload_dfs[0]
+        for d in payload_dfs[1:]:
+            payload = payload.unionByName(d, allowMissingColumns=True)
+        if kill_seq is not None:
+            payload = payload.where(F.col(SEQ_COL) >= kill_seq)
+        payload = payload.withColumn("_ord", ord_of)
+        lww = payload.join(winners, ["doc_id", "_ord"]).drop("_ord", VERSION_COL)
+        lww = lww.where(~F.col(DELETED_COL)).drop(SEQ_COL, DELETED_COL)
+        data_cols = [c for c in lww.columns if c != "doc_id"]
+        return cond(lww.select("doc_id", *data_cols))
+
+    def _prune_files_where(self, s: Snapshot, full: str,
+                           norm: dict) -> tuple[list[str] | None, int]:
+        """(range-pruned payload files, files_total) for one snapshot —
+        (None, 0) for an unprunable partition-style layout.  A file is
+        skipped only when some predicate column's committed bounds
+        PROVE no row matches; unknown columns/files/bounds are read."""
+        cs = s.col_stats or {}
+        if s.file_stats is not None:
+            rels = sorted(s.file_stats)
+        else:
+            files = _parquet_files(full)
+            if files is None:
+                return None, 0
+            rels = sorted(os.path.relpath(f, full) for f in files)
+
+        def keep(rel: str) -> bool:
+            for c, (lo, hi) in norm.items():
+                if c == "doc_id" and s.file_stats is not None:
+                    b = s.file_stats.get(rel)
+                elif c in cs and cs[c] is not None:
+                    b = cs[c].get(rel)
+                else:
+                    continue
+                if not _range_may_overlap(b, lo, hi):
+                    return False
+            return True
+
+        return [os.path.join(full, r) for r in rels if keep(r)], len(rels)
 
     def _prune_files(self, s: Snapshot, full: str, key: str,
                      sorted_probes: list) -> tuple[list[str] | None, int]:
@@ -1597,6 +1752,26 @@ def _bounds_may_contain(bounds: list, sorted_probes: list) -> bool:
         return True
     i = bisect.bisect_left(sorted_probes, lo)
     return i < len(sorted_probes) and sorted_probes[i] <= hi
+
+
+def _range_may_overlap(bounds: list | None, lo, hi) -> bool:
+    """Whether a file with ``bounds`` = [min, max] may hold a row in the
+    inclusive range [lo, hi] (either end None = open).  Conservative:
+    unknown bounds or a type drift between stored bounds and the
+    predicate keep the file — pruning stays an optimization."""
+    if bounds is None:
+        return True
+    if bounds == []:
+        return False  # provably empty file
+    mn, mx = bounds
+    try:
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+    except TypeError:
+        return True
+    return True
 
 
 def _file_may_contain(path: str, key: str, sorted_probes: list) -> bool:

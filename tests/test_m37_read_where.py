@@ -202,3 +202,24 @@ def test_range_may_overlap_edges():
     assert _range_may_overlap(["b", "d"], "e", None) is False
     # type drift between stored bounds and predicate: keep
     assert _range_may_overlap([1, 5], "a", "z") is True
+
+
+def test_minor_compact_cluster_by_keeps_col_stats(lake, monkeypatch):
+    """Z-ordered L1: compact_minor(cluster_by=...) folds the trailing
+    deltas into a merge that commits col_stats, so read_where keeps
+    file-skipping between full compactions."""
+    want_all = _state(lake.read())
+    want = _state(
+        lake.read().where((F.col("source") == "books") & F.col("n_tok").between(1, 40))
+    )
+    v = lake.compact_minor(cluster_by=["source", "n_tok"])
+    assert v is not None
+    s = lake.snapshots()[-1]
+    assert s.action == "minicompact" and set(s.col_stats) == {"source", "n_tok"}
+    assert _state(lake.read()) == want_all  # purely physical
+    lake.vacuum()
+    assert lake.fsck()["errors"] == []
+    _boom_planning(monkeypatch)
+    st = {}
+    got = _state(lake.read_where(PRED, prune_stats=st))
+    assert got == want and st["pruned"] > 0

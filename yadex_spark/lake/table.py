@@ -439,7 +439,9 @@ class LakeTable:
 
     def compact_minor(self, min_deltas: int = 2,
                       n_buckets: int | None = None,
-                      merge_fanin: int = 4) -> int | None:
+                      merge_fanin: int = 4,
+                      cluster_by: list[str] | None = None,
+                      zorder_bits: int = 4) -> int | None:
         """Minor compaction (the LSM L0→L1 merge; Iceberg's binPack
         ``rewrite_data_files``): fold the TRAILING run of delta
         snapshots into one range-clustered snapshot at O(those deltas)
@@ -510,12 +512,29 @@ class LakeTable:
         data_cols = [c for c in merged.columns
                      if c not in (SEQ_COL, DELETED_COL, "doc_id")]
         merged = merged.select("doc_id", *data_cols, SEQ_COL, DELETED_COL)
-        merged = merged.repartitionByRange(n_buckets, "doc_id").sortWithinPartitions("doc_id")
+        if cluster_by:
+            # z-ordered L1 (Delta auto-compaction under OPTIMIZE ZORDER):
+            # a scan-optimized table's trailing deltas fold into a merge
+            # that KEEPS the layout and commits col_stats, so read_where
+            # file-skips stay tight between full compactions instead of
+            # degrading one doc_id-clustered merge at a time
+            from yadex_spark.lake.zorder import zorder_expr
+
+            z = zorder_expr(merged, list(cluster_by), bits=zorder_bits)
+            merged = (
+                merged.withColumn("_zorder", z)
+                .repartitionByRange(n_buckets, "_zorder")
+                .sortWithinPartitions("_zorder", "doc_id")
+                .drop("_zorder")
+            )
+        else:
+            merged = merged.repartitionByRange(n_buckets, "doc_id").sortWithinPartitions("doc_id")
         rel, n = self._write_data(merged, self.latest_version() + 1)
         ddl = _ddl(merged.drop(SEQ_COL, DELETED_COL))
         return self._commit_manifest(
             "minicompact", None, ddl, n, rel,
             subsumes=[s.version for s in run],
+            stats_cols=list(cluster_by) if cluster_by else None,
         )
 
     def purge_keys(self, keys: list, n_buckets: int | None = None) -> int | None:

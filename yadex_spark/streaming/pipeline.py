@@ -879,7 +879,8 @@ class CdcPipeline:
         }
 
     def maintain_minor(self, min_deltas: int = 2, vacuum: bool = True,
-                       retain_last: int = 0) -> dict:
+                       retain_last: int = 0,
+                       cluster_by: list[str] | None = None) -> dict:
         """Minor compaction across the lake (:meth:`LakeTable.
         compact_minor` per table + vacuum of the subsumed delta dirs) —
         the CHEAP maintenance tier: O(trailing small deltas) per table
@@ -893,7 +894,8 @@ class CdcPipeline:
             per_table = {}
             for t in self.tables():
                 tbl = self.table(t)
-                v = tbl.compact_minor(min_deltas=min_deltas)
+                v = tbl.compact_minor(min_deltas=min_deltas,
+                                      cluster_by=cluster_by)
                 removed = (tbl.vacuum(retain_last=retain_last)
                            if (vacuum and v is not None) else [])
                 meta = tbl.compact_meta()

@@ -2745,7 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                        three composed parts, each graded)
     #   shuffle_corpus     ⊂ prepare_corpus (stage 5 IS the salted
     #                        interleaved shuffle, prepare.py:97)
-    # All 83 still run under tests/ and scripts/compare_oracle.py.
+    # All 85 still run under tests/ and scripts/compare_oracle.py.
     return {
         # --- graded window (1-50) ---
         "cdc_lww_collapse": q_cdc_lww_collapse,

@@ -264,3 +264,53 @@ def test_redrive_empty_dlq_is_a_noop(spark, tmp_path):
     pipe = _pipe(spark, tmp_path, path)
     pipe.run_available_now()
     assert pipe.redrive_dlq(_repair) == 0
+
+
+def test_expectations_quarantine_contract_violations(spark, tmp_path):
+    """RoutePattern.expect (the Delta Live Tables expect_or_drop shape):
+    data-setting rows failing the payload contract are quarantined with
+    reason 'expectation' instead of applied; deletes are exempt (no
+    payload to judge); the lake equals the oracle replay of the
+    CONFORMING feed alone."""
+    from yadex_spark.operators.route import Router, RoutePattern
+
+    oplog = gen_oplog(spark, N_EVENTS, N_DOCS, seed=29)
+    path = str(tmp_path / "oplog")
+    write_oplog_chunks(oplog, path, n_chunks=2)
+    rows = [
+        # violates the contract below (n_tok must be <= 1000)
+        (N_EVENTS + 1, TS, "insert", "seqs", "fat1", ([1], 9999, "s1")),
+        # NULL expectation value == violation (SQL CHECK under ingest)
+        (N_EVENTS + 2, TS, "insert", "seqs", "nullq", ([2], None, "s1")),
+        # delete is exempt even though it carries no payload
+        (N_EVENTS + 3, TS, "delete", "seqs", "u1", None),
+    ]
+    rows_df = spark.createDataFrame(rows, _nullable_oplog_schema())
+    rows_df.write.mode("append").parquet(path)
+
+    pipe = CdcPipeline(
+        spark,
+        oplog_dir=path,
+        lake_dir=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        router=Router(patterns=(
+            RoutePattern(r"seqs", "ST", exclude=(), expect="after.n_tok <= 1000"),
+        )),
+    )
+    pipe.run_available_now()
+
+    # oracle: healthy feed + the delete, WITHOUT the two violators
+    healthy = oplog.toPandas()
+    extra = rows_df.where(F.col("op") == "delete").toPandas()
+    import pandas as pd
+
+    pdf = state_to_pdf(replay(pd.concat([healthy, extra], ignore_index=True)), "seqs")
+    expected = spark.createDataFrame(
+        pdf, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    assert_equal_state(expected, pipe.table("seqs").read())
+    live_ids = {r["doc_id"] for r in pipe.table("seqs").read().collect()}
+    assert not live_ids & {"fat1", "nullq"} and "u1" not in live_ids
+
+    got = {(r["doc_id"], r["reason"]) for r in pipe.dlq().collect()}
+    assert got == {("fat1", "expectation"), ("nullq", "expectation")}

@@ -40,6 +40,15 @@ class RoutePattern:
     #: by the pipeline for RT-classified tables; None falls back to the
     #: pipeline-level default.  ST tables never expire.
     expires_ms: int | None = None
+    #: data-quality expectation (Delta Live Tables ``expect_or_drop``):
+    #: a SQL boolean over the event (payload under ``after.*``).  Rows
+    #: of data-SETTING ops (insert/update/replace) failing it — or
+    #: evaluating it to NULL — are quarantined to the DLQ with reason
+    #: ``expectation`` instead of being applied; deletes/drops carry no
+    #: payload and are exempt.  No reference analogue (the reference
+    #: applies whatever arrives); standard lakehouse ingest-contract
+    #: surface.
+    expect: str | None = None
 
 
 @dataclass

@@ -65,7 +65,8 @@ from pyspark.sql import functions as F
 from yadex_spark.lake.table import DELETED_COL, SEQ_COL, LakeTable, _ddl, prepare_delta
 from yadex_spark.operators.collapse import ORDER_COL, collapse
 from yadex_spark.operators.route import RT, Router, namespace_filter, route_filter
-from yadex_spark.schema import ALL_OPS, LINEAGE_SCHEMA, oplog_read_schema, oplog_schema
+from yadex_spark.schema import (ALL_OPS, OP_INSERT, OP_REPLACE, OP_UPDATE,
+                                LINEAGE_SCHEMA, oplog_read_schema, oplog_schema)
 
 
 def quarantine_reason():
@@ -84,6 +85,25 @@ def quarantine_reason():
         .when(F.col(ORDER_COL).isNull(), F.lit("null_seq"))
         .when((F.col("op") != "drop") & F.col("doc_id").isNull(), F.lit("null_key"))
     )
+
+
+def expect_fail(routed: dict) -> "F.Column":
+    """Per-pattern data-quality expectation failures (Delta Live Tables
+    ``expect_or_drop``; see RoutePattern.expect).  True for a row whose
+    table's pattern declares an expectation the row fails (NULL counts
+    as failure — an unevaluable contract is a violation, matching SQL
+    CHECK semantics under ingest).  Data-setting ops only: deletes and
+    drops carry no payload to judge.  Returns a False literal when no
+    routed pattern declares one, so healthy pipelines pay nothing."""
+    e = F.lit(False)
+    for t, p in sorted(routed.items()):
+        if p.expect:
+            e = e | (
+                (F.col("table") == t)
+                & F.col("op").isin(OP_INSERT, OP_UPDATE, OP_REPLACE)
+                & ~F.coalesce(F.expr(p.expect), F.lit(False))
+            )
+    return e
 
 
 def read_lineage(spark: SparkSession, lake_dir: str) -> DataFrame:
@@ -309,15 +329,16 @@ class CdcPipeline:
         # PASS 2 — the ONLY full-width pass: filter → collapse → staged
         # write, with late counts and per-table lineage stats riding the
         # same job as Observation metrics (no extra aggregation jobs)
+        exp_fail = expect_fail(routed)
         late_metrics = [
             F.sum(F.when(late & (F.col("table") == t), 1).otherwise(0)).alias(f"late_{i}")
             for i, t in enumerate(names)
-        ]
+        ] + [F.sum(F.when(exp_fail, 1).otherwise(0)).alias("nexp")]
         batch_plain = batch  # pre-observe handle for the rare recompute path
         late_obs = Observation()
         batch = batch.observe(late_obs, *late_metrics)
         live = batch.where(~late).where(
-            (F.col("op") != "drop") & quarantine_reason().isNull()
+            (F.col("op") != "drop") & quarantine_reason().isNull() & ~exp_fail
         )
         for t, bar in barriers.items():
             live = live.where(
@@ -416,23 +437,31 @@ class CdcPipeline:
         # proof (apply_batch skips replays on it), so everything the
         # epoch produces — including quarantined rows — must exist first
         n_bad = sum(int(r["nbad"] or 0) for r in inv if r["table"] in routed)
-        if n_bad:
-            self._write_dlq(src, epoch_id, names)
+        if n_bad or int(lates.get("nexp") or 0):
+            self._write_dlq(src, epoch_id, names, exp_fail)
 
         self._write_lineage(epoch_id, lineage_rows)
 
     # ---------- dead-letter queue (malformed events) ----------
 
-    def _write_dlq(self, src: DataFrame, epoch_id: int, tables: list[str]) -> None:
+    def _write_dlq(self, src: DataFrame, epoch_id: int, tables: list[str],
+                   exp_fail=None) -> None:
         """Quarantine the epoch's malformed rows (rare path: runs only
         when the inventory counted any).  The destination is
         deterministic per (scope, epoch) and written with overwrite, so
         a crash-replayed epoch rewrites identical content — idempotent
         like every other epoch artifact.  Healthy processing never pays
         for this job."""
+        reason = quarantine_reason()
+        if exp_fail is not None:
+            # structural reasons win (an unknown-op row can't be judged
+            # against a payload contract); expectation failures follow
+            reason = F.coalesce(
+                reason, F.when(exp_fail, F.lit("expectation"))
+            )
         dlq = (
             src.where(F.col("table").isin(tables))
-            .withColumn("reason", quarantine_reason())
+            .withColumn("reason", reason)
             .where(F.col("reason").isNotNull())
             .withColumn("epoch_id", F.lit(epoch_id).cast("long"))
         )

@@ -1881,6 +1881,73 @@ JOIN (SELECT doc_id, CAST(count(*) AS INT) AS n_uniq,
 """
 
 
+def q_dedup_cross_doc_lines(spark, sf):
+    """Cross-document boilerplate line removal (CCNet shard paragraph
+    dedup / C4 boilerplate scrub, operators/text.py:
+    dedup_cross_doc_lines): the gate wraps every document IDENTICALLY
+    in both engines with a shared 2-line banner ("COMMON HEADER",
+    "COMMON FOOTER" — corpus-wide df == n_docs, provably boilerplate)
+    plus one doc-unique line (df == 1, provably kept); the operator
+    must drop exactly the banner from every document and keep the body
+    and unique line in order.  DF counting dedups (line, doc) pairs
+    first so intra-doc repeats count once; lines shuffle as md5 hashes,
+    boilerplate set AQE-broadcast back."""
+    from yadex_spark.operators.text import dedup_cross_doc_lines
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("COMMON HEADER"),
+            F.col("text"),
+            F.concat(F.lit("unique-"), F.col("doc_id").cast("string")),
+            F.lit("COMMON FOOTER"),
+        ).alias("text"),
+    )
+    return dedup_cross_doc_lines(docs, min_df=2).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_lines", "n_kept", "n_dropped", "clean_text",
+    )
+
+
+SQL_CROSS_DOC_LINES = """
+WITH d AS (
+  SELECT doc_id,
+         concat_ws(chr(10), 'COMMON HEADER', text,
+                   'unique-' || CAST(doc_id AS VARCHAR),
+                   'COMMON FOOTER') AS t
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS line,
+         generate_subscripts(string_split(t, chr(10)), 1) AS i
+  FROM d
+),
+boiler AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line
+  ) WHERE df >= 2
+),
+kept AS (
+  SELECT doc_id, line, i FROM l WHERE line NOT IN (SELECT line FROM boiler)
+),
+reb AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         string_agg(line, chr(10) ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(len(string_split(t, chr(10))) AS INT) AS n_lines FROM d
+)
+SELECT base.doc_id, base.n_lines,
+       COALESCE(reb.n_kept, 0) AS n_kept,
+       base.n_lines - COALESCE(reb.n_kept, 0) AS n_dropped,
+       COALESCE(reb.clean_text, '') AS clean_text
+FROM base LEFT JOIN reb USING (doc_id)
+"""
+
+
 def q_scrub_pii(spark, sf):
     """PII scrubbing: the gate INJECTS deterministic PII (an email, an
     IP, a phone number derived from doc_id) into every document —
@@ -2745,7 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                        three composed parts, each graded)
     #   shuffle_corpus     ⊂ prepare_corpus (stage 5 IS the salted
     #                        interleaved shuffle, prepare.py:97)
-    # All 85 still run under tests/ and scripts/compare_oracle.py.
+    # All 86 still run under tests/ and scripts/compare_oracle.py.
     return {
         # --- graded window (1-50) ---
         "cdc_lww_collapse": q_cdc_lww_collapse,
@@ -2869,6 +2936,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   over the z-ordered base; same filtered state as
         #   cdc_zorder_scan by design, stale-LWW hazard pinned in m37.
         "cdc_pruned_scan": q_cdc_pruned_scan,
+        #   dedup_cross_doc_lines — corpus-level boilerplate-line scrub
+        #   (cross-doc df), the shuffle-side complement of the graded
+        #   per-row dedup_doc_lines; verified at 2 SFs.
+        "dedup_cross_doc_lines": q_dedup_cross_doc_lines,
     }
 
 
@@ -2964,4 +3035,5 @@ def oracle_sql() -> dict[str, str]:
         "mix_corpus_upsampled": SQL_MIX_UP,
         "cdc_tagged_read": SQL_TAGGED_READ,
         "cdc_pruned_scan": SQL_PRUNED_SCAN,
+        "dedup_cross_doc_lines": SQL_CROSS_DOC_LINES,
     }

@@ -88,6 +88,7 @@ HEADLINE = [
     "cdc_zorder_scan",
     "cdc_tagged_read",
     "cdc_pruned_scan",
+    "dedup_cross_doc_lines",
 ]
 
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))

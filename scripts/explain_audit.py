@@ -177,6 +177,13 @@ AUDITS = {
          lambda p: "HashAggregate" in p and "SortAggregate" not in p),
         ("winner join-back present", lambda p: "Join" in p),
     ],
+    "dedup_cross_doc_lines": [
+        ("df count is a partial hash agg over hashed (line, doc) pairs",
+         lambda p: "HashAggregate" in p and "partial_" in p),
+        ("boilerplate set joined back as anti-join (broadcast-able)",
+         lambda p: "LeftAnti" in p or "left_anti" in p.lower()),
+        ("no python anywhere", lambda p: "EvalPython" not in p),
+    ],
     "split_leakage_safe": [
         ("split is hash projection + one label join — no nested loop",
          lambda p: "NestedLoop" not in p and "CartesianProduct" not in p),

@@ -1669,3 +1669,34 @@ def test_dedup_doc_lines_first_occurrence_in_order(spark):
         sep="|",
     ).collect()[0]
     assert sep["n_dropped"] == 1 and sep["clean_text"] == "u|v"
+
+
+def test_dedup_cross_doc_lines_semantics(spark):
+    """Cross-doc boilerplate: df >= min_df lines dropped everywhere,
+    intra-doc repeats count ONCE toward df, order preserved, an
+    all-boilerplate doc survives with empty clean_text."""
+    from yadex_spark.operators.text import dedup_cross_doc_lines
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "BANNER\nbody-a\nBANNER\nend-a"),   # BANNER twice in ONE doc
+            ("b", "BANNER\nbody-b"),
+            ("c", "BANNER"),                           # all-boilerplate doc
+            ("d", "solo-d\nonly-here"),                # nothing shared
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in dedup_cross_doc_lines(docs).collect()}
+    # BANNER df = 3 docs (a counts once despite two occurrences)
+    assert got["a"]["clean_text"] == "body-a\nend-a"
+    assert (got["a"]["n_lines"], got["a"]["n_kept"], got["a"]["n_dropped"]) == (4, 2, 2)
+    assert got["b"]["clean_text"] == "body-b"
+    assert got["c"]["clean_text"] == "" and got["c"]["n_kept"] == 0
+    assert got["d"]["clean_text"] == "solo-d\nonly-here"  # untouched, in order
+    # min_df above the banner's df: nothing is boilerplate
+    got4 = {r["doc_id"]: r["n_dropped"]
+            for r in dedup_cross_doc_lines(docs, min_df=4).collect()}
+    assert set(got4.values()) == {0}
+    # no python anywhere in the plan
+    plan = dedup_cross_doc_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

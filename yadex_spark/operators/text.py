@@ -276,6 +276,63 @@ def dedup_doc_lines(docs: DataFrame, sep: str = "\n") -> DataFrame:
     )
 
 
+def dedup_cross_doc_lines(docs: DataFrame, min_df: int = 2,
+                          sep: str = "\n") -> DataFrame:
+    """CROSS-document boilerplate line removal (the CCNet shard-level
+    paragraph dedup / C4 boilerplate scrub): a line appearing in
+    ``min_df`` or more DISTINCT documents is boilerplate (cookie
+    banners, nav bars, license footers) and is dropped from every
+    document; document-unique lines keep their order.  Complements
+    :func:`dedup_doc_lines` (intra-doc, per-row, no shuffle) — this one
+    must see the corpus.
+
+    Plan shape at 100 TB: lines ride the shuffles as md5 HASHES, never
+    line text (the repo's portable-hash discipline — 16 bytes/line in
+    flight); the document-frequency aggregate is a two-level partial
+    hash agg over DISTINCT (hash, doc) pairs (dedup first, so a line
+    repeated inside one doc counts once and the hot-line skew collapses
+    map-side); the boilerplate set (lines with df >= min_df) is tiny
+    relative to the corpus, so AQE broadcasts it back into the kept
+    filter; reassembly is one groupBy(doc) of (pos, line) structs —
+    per-doc sort, never a global one.  Zero python.
+
+    Returns (doc_id, n_lines, n_kept, n_dropped, clean_text) — one row
+    per input document (all-boilerplate docs come back with an empty
+    clean_text, not dropped)."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\\Q" + sep + "\\E")).alias("i", "line"),
+    ).withColumn("h", F.md5("line"))
+    df_per_line = (
+        lines.select("h", "doc_id").distinct()
+        .groupBy("h").count()
+        .where(F.col("count") >= min_df)
+        .select("h")
+    )
+    kept = lines.join(df_per_line, "h", "left_anti")
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "line"))).alias("_k"))
+        .select(
+            "doc_id",
+            F.size("_k").alias("n_kept"),
+            F.array_join(F.transform("_k", lambda s: s["line"]), sep).alias("clean_text"),
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), "\\Q" + sep + "\\E")).alias("n_lines"),
+    )
+    out = base.join(rebuilt, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def dedup_lines_expr(text, sep: str = "\n"):
     """The line-scrub as a single Column expression (cleaned text) —
     for composing into other per-row pipelines (clean-ingest's scrub →

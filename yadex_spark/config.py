@@ -66,7 +66,7 @@ def load_config(path: str) -> PipelineConfig:
             expires = delay_ms + DEFAULT_EXPIRES_MS
         pats.append(
             RoutePattern(p["regex"], RT, exclude=tuple(p.get("exclude", ())),
-                         expires_ms=expires)
+                         expires_ms=expires, expect=p.get("expect"))
         )
     # catch-all default ONLY when no pattern key is present at all: an
     # RT-only config must not silently sync every non-RT table losslessly
@@ -74,7 +74,8 @@ def load_config(path: str) -> PipelineConfig:
     # not synced (msync/match.go findEntry returns nil)
     default_st = [{"regex": ".*"}] if ("patterns" not in raw and "rt_patterns" not in raw) else []
     for p in raw.get("patterns", default_st):
-        pats.append(RoutePattern(p["regex"], ST, exclude=tuple(p.get("exclude", ()))))
+        pats.append(RoutePattern(p["regex"], ST, exclude=tuple(p.get("exclude", ())),
+                                 expect=p.get("expect")))
     return PipelineConfig(
         patterns=tuple(pats),
         max_files_per_trigger=int(raw.get("max_files_per_trigger", 8)),

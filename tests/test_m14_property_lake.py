@@ -196,3 +196,100 @@ def test_lake_state_invariant_under_interleaved_minicompacts(spark, hm):
         assert got2 == got
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@st.composite
+def histories_with_clustered_compacts(draw):
+    h = draw(histories())
+    _, apply_seq, _, _, _ = h
+    # (position -> "full" | "minor") clustered compactions anywhere
+    kinds = draw(
+        st.dictionaries(
+            st.integers(0, len(apply_seq)),
+            st.sampled_from(["full", "minor"]),
+            max_size=2,
+        )
+    )
+    lo = draw(st.integers(0, 4))
+    hi = draw(st.integers(lo, 4))
+    vacuum = draw(st.booleans())
+    return h, kinds, (lo, hi), vacuum
+
+
+@settings(max_examples=6, **SETTINGS)
+@given(hc=histories_with_clustered_compacts())
+def test_read_where_equals_filtered_read_on_any_history(spark, hc):
+    """read_where's manifest-planned pruning law on ARBITRARY histories:
+    for any event history, any interleaving of clustered full/minor
+    compactions (which commit the col_stats pruning relies on), any
+    barrier position, and any range predicate, read_where == the
+    unpruned read().where() == the driver oracle filtered — i.e. file
+    pruning can never change an answer, only skip IO (the m37 fixed
+    fixtures pin instances; this pins the algebra)."""
+    from pyspark.sql import functions as F
+
+    (batches, apply_seq, trunc, trunc_pos, clone), kinds, (lo, hi), vacuum = hc
+    root = tempfile.mkdtemp(prefix="prop-rw-")
+    try:
+        tbl = LakeTable(spark, root)
+        if clone:
+            tbl.commit_append(
+                spark.createDataFrame(
+                    [(d, "init", -1) for d in DOCS[:3]],
+                    "doc_id string, val string, num int",
+                ),
+                batch_id="clone",
+            )
+        for pos, bi in enumerate(apply_seq):
+            if trunc is not None and pos == trunc_pos:
+                tbl.commit_truncate(batch_id="tr", trunc_seq=trunc)
+            if pos in kinds:
+                if kinds[pos] == "full":
+                    tbl.compact(cluster_by=["num"])
+                else:
+                    tbl.compact_minor(min_deltas=2, cluster_by=["num"])
+            rows = [
+                (doc, op, s, f"v{s}", s % 5)
+                for doc, op, s in _collapse_py(batches[bi])
+            ]
+            if rows:
+                tbl.commit_delta(
+                    spark.createDataFrame(
+                        rows,
+                        "doc_id string, op string, op_seq long, val string, num int",
+                    ),
+                    batch_id=f"b{bi}",
+                )
+        if trunc is not None and trunc_pos == len(apply_seq):
+            tbl.commit_truncate(batch_id="tr", trunc_seq=trunc)
+        if len(apply_seq) in kinds:
+            if kinds[len(apply_seq)] == "full":
+                tbl.compact(cluster_by=["num"])
+            else:
+                tbl.compact_minor(min_deltas=2, cluster_by=["num"])
+        if vacuum:
+            tbl.vacuum()
+        got = sorted(
+            (r.doc_id, r.val)
+            for r in tbl.read_where({"num": (lo, hi)}).collect()
+        )
+        full = tbl.read()
+        # mirror read_where's degenerate rule: a frame that never
+        # committed the predicate column can satisfy nothing
+        ctl = (
+            sorted(
+                (r.doc_id, r.val)
+                for r in full.where(F.col("num").between(lo, hi)).collect()
+            )
+            if "num" in full.columns
+            else []
+        )
+        # clone rows carry num=-1 (never in [lo, hi]); delta rows num=s%5
+        want = [
+            (doc, val)
+            for doc, val in _oracle(batches, trunc, clone)
+            if val != "init" and lo <= int(val[1:]) % 5 <= hi
+        ]
+        assert got == ctl == sorted(want)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1027,8 +1027,18 @@ class LakeTable:
             version = self._resolve_ref(tag)
 
         def cond(df):
+            # a frame without a predicate column can satisfy nothing —
+            # reachable only on the degenerate paths (never-committed
+            # table whose typed-empty schema is just the key, or a
+            # predicate on a column no snapshot ever carried); real
+            # chains union with allowMissingColumns, so evolved columns
+            # exist (null for pre-evolution rows, which correctly fail
+            # the range like any SQL comparison)
+            cols = set(df.columns)
             e = F.lit(True)
             for c, (lo, hi) in norm.items():
+                if c not in cols:
+                    return df.limit(0)
                 if lo is not None:
                     e = e & (F.col(c) >= F.lit(lo))
                 if hi is not None:

@@ -156,3 +156,84 @@ def test_pipeline_cross_table_tag(spark, tmp_path):
     assert got == want
     for t in pipe.tables():
         assert pipe.table(t).fsck()["errors"] == []
+
+
+def test_history_lists_versions_and_tags(lake):
+    lake.tag("h1", version=1)
+    h = {r["version"]: r for r in lake.history().collect()}
+    assert set(h) == {1, 2}
+    assert h[1]["action"] == "delta" and h[1]["batch_id"] == "e0"
+    assert h[1]["tags"] == ["h1"] and h[2]["tags"] == []
+    assert all(r["has_files"] for r in h.values())
+    lake.compact_minor()
+    h2 = {r["version"]: r for r in lake.history().collect()}
+    assert h2[3]["action"] == "minicompact" and h2[3]["subsumes"] == [1, 2]
+
+
+def test_restore_rolls_back_and_future_events_apply(lake, spark):
+    from pyspark.sql import functions as F
+
+    want_v1 = _state(lake.read(version=1))
+    assert _state(lake.read()) != want_v1
+    v = lake.restore(version=1)
+    assert _state(lake.read()) == want_v1
+    # every later version is still in the log (restore never rewrites)
+    assert {r["version"] for r in lake.history().collect()} == {1, 2, v}
+    # a replayed pre-restore epoch is a no-op: the rollback sticks
+    ev = gen_oplog(spark, n_events=4000, n_docs=800, seed=7)
+    assert lake.commit_delta(
+        collapse(ev.where(F.col("op_seq") >= 2000)), batch_id="e1"
+    ) is None
+    assert _state(lake.read()) == want_v1
+    # future events apply normally on top
+    ev2 = gen_oplog(spark, n_events=500, n_docs=800, seed=9)
+    lake.commit_delta(collapse(ev2), batch_id="e2")
+    assert _state(lake.read()) != want_v1
+    assert lake.fsck()["errors"] == []
+
+
+def test_restore_by_tag_after_vacuum_needs_the_tag(lake):
+    lake.tag("keep", version=1)
+    want = _state(lake.read(version=1))
+    lake.compact()
+    lake.vacuum()  # only the tag retains v1's chain
+    lake.restore(tag="keep")
+    assert _state(lake.read()) == want
+    # an untagged vacuumed version is NOT restorable, and says so
+    with pytest.raises(ValueError, match="not restorable"):
+        lake.restore(version=2)
+
+
+def test_pipeline_restore_to_epoch(spark, tmp_path):
+    oplog = gen_oplog(spark, 3000, 600, seed=37, tables=TABLES)
+    path = str(tmp_path / "oplog")
+    base = time.time() - 600
+    for i in range(2):
+        oplog.where(
+            (F.col("op_seq") >= i * 1501) & (F.col("op_seq") < (i + 1) * 1501)
+        ).repartition(1).write.mode("append").parquet(path)
+        for f in os.listdir(path):
+            fp = os.path.join(path, f)
+            if f.endswith(".parquet") and os.path.getmtime(fp) > base + 10:
+                os.utime(fp, (base + i, base + i))
+    pipe = CdcPipeline(
+        spark,
+        oplog_dir=path,
+        lake_dir=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        router=Router(patterns=(RoutePattern(r"seqs.*", "ST", exclude=()),)),
+        max_files_per_trigger=1,
+    )
+    pipe.run_available_now()
+    want_e0 = {t: _state(df) for t, df in pipe.read_consistent(epoch=0).items()}
+    restored = pipe.restore(epoch=0)
+    assert set(restored) == set(pipe.tables())
+    got = {t: _state(pipe.table(t).read()) for t in pipe.tables()}
+    assert got == want_e0
+    # fresh feed chunks keep applying on top of the rollback
+    more = gen_oplog(spark, 400, 600, seed=38, tables=TABLES)
+    more.repartition(1).write.mode("append").parquet(path)
+    pipe.run_available_now()
+    assert any(_state(pipe.table(t).read()) != want_e0[t] for t in pipe.tables())
+    for t in pipe.tables():
+        assert pipe.table(t).fsck()["errors"] == []

@@ -622,6 +622,76 @@ class LakeTable:
                     removed.append(s.files_dir)
         return removed
 
+    def history(self) -> DataFrame:
+        """The manifest log as a DataFrame (Delta ``DESCRIBE HISTORY`` /
+        Iceberg ``snapshots`` metadata table): one row per committed
+        version — action, batch_id, rows, commit time, subsumed
+        versions, and the tags pointing at it.  Driver-side metadata
+        only (no data-file IO); the frame is model-sized by
+        construction (one row per version, bounded by compact_meta)."""
+        tag_of: dict[int, list[str]] = {}
+        for name, v in self.tags().items():
+            tag_of.setdefault(v, []).append(name)
+        rows = [
+            (
+                s.version, s.action, s.batch_id, s.n_rows,
+                float(s.committed_at), s.trunc_seq,
+                sorted(s.subsumes) if s.subsumes else [],
+                sorted(tag_of.get(s.version, [])),
+                s.files_dir is not None,
+            )
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version int, action string, batch_id string, n_rows long, "
+            "committed_at double, trunc_seq long, subsumes array<int>, "
+            "tags array<string>, has_files boolean",
+        )
+
+    def restore(self, version: int | None = None,
+                tag: str | None = None,
+                n_buckets: int | None = None) -> int:
+        """Roll the table back to an earlier version (Delta ``RESTORE
+        TABLE ... VERSION AS OF`` / Iceberg rollback) — as a NEW commit,
+        never by rewriting history: the as-of state (tombstones AND the
+        version's drop barrier included) is materialized into a fresh
+        compact snapshot, so post-restore reads equal the time-travel
+        read of that version while every later version remains in the
+        log (auditable, still time-travelable until vacuum).
+
+        Exactly-once composes correctly: epochs committed between the
+        restored version and now keep their batch_ids, so a crash-replay
+        of them after the restore is a no-op — the rollback sticks
+        (Delta documents the same rule).  Future feed events apply
+        normally on top; their op_seq exceeds the restored rows' _seq,
+        so LWW proceeds as if the rolled-back epochs never happened."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self._resolve_ref(tag)
+        if version is None:
+            raise ValueError("restore needs a version or tag")
+        snaps, kill_seq = self._active_chain(version)
+        if not snaps:
+            raise ValueError(f"version {version} has no restorable state")
+        for s in snaps:
+            if not os.path.isdir(os.path.join(self.path, s.files_dir)):
+                raise ValueError(
+                    f"version {version} is not restorable: v{s.version} "
+                    "files were vacuumed (tag versions you may roll back to)"
+                )
+        cur = self._materialize(snaps, keep_deleted=True, kill_seq=kill_seq)
+        if n_buckets is None:
+            n_buckets = self._sized_buckets(
+                int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+                snaps, None,
+            )
+        cur = cur.repartitionByRange(n_buckets, "doc_id").sortWithinPartitions("doc_id")
+        rel, n = self._write_data(cur, self.latest_version() + 1)
+        ddl = _ddl(cur.drop(SEQ_COL, DELETED_COL))
+        return self._commit_manifest("compact", None, ddl, n, rel, trunc_seq=kill_seq)
+
     # ---------- named refs (tags) ----------
 
     _TAG_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")

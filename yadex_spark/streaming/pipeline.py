@@ -821,6 +821,27 @@ class CdcPipeline:
                 out[t] = self.table(t).tag(name, version=v)
         return out
 
+    def restore(self, epoch: int) -> dict[str, int]:
+        """Cross-table rollback: every table restored to the end of
+        fully-applied ``epoch`` (Delta RESTORE, at the consistency
+        boundary :meth:`read_consistent` defines).  Tables with no
+        commit at or below the epoch (created later) are wiped to
+        empty — the cross-table state AT the epoch had no such table.
+        Replayed later epochs stay no-ops (batch ids remain committed),
+        so the rollback sticks while fresh feed chunks keep applying.
+        Run with the stream stopped, like maintenance."""
+        out: dict[str, int] = {}
+        for t in self.tables():
+            v = self._version_at_epoch(t, epoch)
+            tbl = self.table(t)
+            if v and v > 0:
+                out[t] = tbl.restore(version=v)
+            else:
+                wiped = tbl.commit_truncate(batch_id=None)
+                if wiped is not None:
+                    out[t] = wiped
+        return out
+
     def read_tagged(self, name: str) -> dict[str, "DataFrame"]:
         """Every table as of the cross-table tag ``name`` (tables the
         tag skipped come back typed-empty, matching read_consistent)."""

@@ -1787,6 +1787,36 @@ def q_cdc_tagged_read(spark, sf):
 SQL_TAGGED_READ = SQL_TIME_TRAVEL
 
 
+def q_cdc_restore_read(spark, sf):
+    """Rollback (Delta RESTORE TABLE / Iceberg rollback,
+    yadex_spark/lake/table.py:LakeTable.restore): epoch B is applied,
+    then the table is ROLLED BACK to epoch A's version as a new commit
+    (history preserved, replayed epochs stay no-ops by batch id) and a
+    crash-replay of epoch B is driven to prove the rollback sticks.
+    The post-restore CURRENT read must equal the half-replay state —
+    the same graded oracle as cdc_time_travel, read at HEAD instead of
+    by version."""
+    tbl, v_a, _ = _two_epoch_table(spark, sf, "restore-read-")
+    tbl.restore(version=v_a)
+    # replayed epoch B after the rollback must be a no-op
+    from yadex_spark.operators.collapse import collapse
+
+    oplog = _events_oplog(spark, sf)
+    half = oplog.agg(F.floor(F.max("op_seq") / 2)).first()[0]
+    assert tbl.commit_delta(
+        collapse(oplog.where(F.col("op_seq") > half)).drop("table"), batch_id="B"
+    ) is None
+    return tbl.read().select(
+        "doc_id",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
+
+
+SQL_RESTORE_READ = SQL_TIME_TRAVEL
+
+
 def q_cdc_change_feed(spark, sf):
     """Incremental change feed (Delta-CDF / Iceberg-changelog read,
     LakeTable.table_changes): one row per key whose LIVE state changed
@@ -2812,7 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                        three composed parts, each graded)
     #   shuffle_corpus     ⊂ prepare_corpus (stage 5 IS the salted
     #                        interleaved shuffle, prepare.py:97)
-    # All 86 still run under tests/ and scripts/compare_oracle.py.
+    # All 87 still run under tests/ and scripts/compare_oracle.py.
     return {
         # --- graded window (1-50) ---
         "cdc_lww_collapse": q_cdc_lww_collapse,
@@ -2940,6 +2970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (cross-doc df), the shuffle-side complement of the graded
         #   per-row dedup_doc_lines; verified at 2 SFs.
         "dedup_cross_doc_lines": q_dedup_cross_doc_lines,
+        #   cdc_restore_read — rollback-as-new-commit + replay no-op;
+        #   post-restore HEAD state == the graded time-travel oracle.
+        "cdc_restore_read": q_cdc_restore_read,
     }
 
 
@@ -3036,4 +3069,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_tagged_read": SQL_TAGGED_READ,
         "cdc_pruned_scan": SQL_PRUNED_SCAN,
         "dedup_cross_doc_lines": SQL_CROSS_DOC_LINES,
+        "cdc_restore_read": SQL_RESTORE_READ,
     }

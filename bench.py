@@ -89,6 +89,7 @@ HEADLINE = [
     "cdc_tagged_read",
     "cdc_pruned_scan",
     "dedup_cross_doc_lines",
+    "cdc_restore_read",
 ]
 
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))

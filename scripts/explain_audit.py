@@ -172,6 +172,11 @@ AUDITS = {
         ("no python in the scan path",
          lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
     ],
+    "cdc_restore_read": [
+        ("post-restore head read is the compacted narrow-LWW shape",
+         lambda p: "HashAggregate" in p and "SortAggregate" not in p),
+        ("winner join-back present", lambda p: "Join" in p),
+    ],
     "cdc_tagged_read": [
         ("tagged read is the same narrow-LWW shape as time travel",
          lambda p: "HashAggregate" in p and "SortAggregate" not in p),

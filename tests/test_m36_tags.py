@@ -237,3 +237,20 @@ def test_pipeline_restore_to_epoch(spark, tmp_path):
     assert any(_state(pipe.table(t).read()) != want_e0[t] for t in pipe.tables())
     for t in pipe.tables():
         assert pipe.table(t).fsck()["errors"] == []
+
+
+def test_vacuum_dry_run_previews_without_deleting(lake):
+    lake.compact()
+    preview = lake.vacuum(dry_run=True)
+    assert preview, "compaction must leave removable history"
+    # nothing deleted: every previewed dir still exists and reads work
+    for rel in preview:
+        assert os.path.isdir(os.path.join(lake.path, rel))
+    assert _state(lake.read(version=1))  # history still readable
+    # the real run removes exactly the previewed set
+    assert lake.vacuum() == preview
+    for rel in preview:
+        assert not os.path.isdir(os.path.join(lake.path, rel))
+    # tags shift the preview: tagged chains disappear from it
+    # (fresh lake state: only current base remains, nothing to remove)
+    assert lake.vacuum(dry_run=True) == []

@@ -582,10 +582,13 @@ class LakeTable:
         self.vacuum()
         return v
 
-    def vacuum(self, retain_last: int = 0) -> list[str]:
+    def vacuum(self, retain_last: int = 0, dry_run: bool = False) -> list[str]:
         """Delete data directories no longer reachable from the CURRENT
         active chain (Iceberg's expire-snapshots + remove-orphans
-        maintenance).  Returns the removed dirs.
+        maintenance).  Returns the removed dirs.  ``dry_run=True``
+        returns exactly what a real run would remove without deleting
+        anything (the Delta ``VACUUM ... DRY RUN`` preview — the sane
+        first step before any destructive retention change).
 
         ``retain_last`` is the snapshot-retention window (Iceberg's
         ``expire_snapshots(retain_last=N)``): keep every file reachable
@@ -618,7 +621,8 @@ class LakeTable:
             if s.files_dir and s.files_dir not in keep:
                 full = os.path.join(self.path, s.files_dir)
                 if os.path.isdir(full):
-                    shutil.rmtree(full)
+                    if not dry_run:
+                        shutil.rmtree(full)
                     removed.append(s.files_dir)
         return removed
 

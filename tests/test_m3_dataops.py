@@ -339,7 +339,9 @@ def test_dedup_clusters_chain_converges_logarithmically(spark):
     """Pointer-jumping stress: a 10^4-node PATH (diameter 10^4) must
     converge in O(log diameter) rounds — plain min-label propagation
     would need ~10^4 rounds and max_iter=30 would raise.  Pins the
-    claim the docstring argues."""
+    claim the docstring argues.  ``driver_cc_max_edges=0`` forces the
+    DISTRIBUTED path (the size gate would otherwise answer this small
+    graph with the driver union-find and pin nothing)."""
     from yadex_spark.operators.dedup import dedup_clusters
 
     n = 10_000
@@ -347,13 +349,64 @@ def test_dedup_clusters_chain_converges_logarithmically(spark):
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
     )
     stats: dict = {}
-    out = dedup_clusters(pairs, stats=stats)
+    out = dedup_clusters(pairs, stats=stats, driver_cc_max_edges=0)
     assert stats["rounds"] <= 16, stats
     agg = out.agg(
         F.count("*").alias("n"), F.countDistinct("cluster_id").alias("c"),
         F.max("cluster_id").alias("mx"),
     ).first()
     assert (agg["n"], agg["c"], agg["mx"]) == (n, 1, 0)  # one cluster, min id
+
+
+def test_dedup_clusters_driver_path_equals_distributed(spark):
+    """The size-gated driver union-find and the iterative pointer-
+    jumping path must produce the IDENTICAL labeling (min member id per
+    component) — chains, merges, self-contained cliques, string ids."""
+    from yadex_spark.operators.dedup import dedup_clusters
+
+    edges = [(1, 2), (2, 3), (3, 9), (8, 9), (5, 6), (20, 21), (21, 22),
+             (40, 41), (7, 40)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs).collect()}
+    slow = {r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs, driver_cc_max_edges=0).collect()}
+    assert fast == slow and fast[40] == 7 and fast[8] == 1
+    # string ids exercise the non-numeric label path on BOTH sides
+    spairs = spark.createDataFrame(
+        [("d2", "d1"), ("d2", "d3"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    fast_s = {r["doc_id"]: r["cluster_id"]
+              for r in dedup_clusters(spairs).collect()}
+    slow_s = {r["doc_id"]: r["cluster_id"]
+              for r in dedup_clusters(spairs, driver_cc_max_edges=0).collect()}
+    assert fast_s == slow_s == {"d1": "d1", "d2": "d1", "d3": "d1",
+                                "x": "x", "y": "x"}
+
+
+def test_simhash_chunks_match_bitstring(spark):
+    """_simhash_chunks is the bit-exact integer form of the simhash bit
+    string: chunk i == int(bitstring[off:off+w], 2) — the equivalence
+    simhash_pairs' popcount hamming and 8-byte band keys rest on."""
+    from yadex_spark.operators.dedup import (_chunk_widths, _simhash_chunks,
+                                             simhash)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon"),
+         (3, "zeta eta theta iota kappa"), (4, "")],
+        "doc_id long, text string",
+    )
+    bits, bands = 64, 4
+    strs = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits).collect()}
+    chunks = {r["doc_id"]: r for r in
+              _simhash_chunks(docs, bits, bands).collect()}
+    widths = _chunk_widths(bits, bands)
+    assert sum(widths) == bits
+    for doc_id, s in strs.items():
+        off = 0
+        for i, w in enumerate(widths):
+            assert chunks[doc_id][f"k{i}"] == int(s[off:off + w], 2), (doc_id, i)
+            off += w
 
 
 def test_pack_sequences_shard_count_scales(spark):

@@ -85,7 +85,15 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 10,
     per iteration — model-sized, like the k-means centroids).  Stops
     early when no adjacent pair remains (tiny corpora)."""
     wf = bpe_word_freq(docs)
-    words = wf.select(_initial_syms(F.col("word")).alias("syms"), "freq")
+    # persist the word-frequency table: it is the Zipf-bounded model
+    # input of EVERY merge iteration, and without the persist each
+    # iteration's action re-ran the corpus-scale word-count pass from
+    # scratch (n_merges corpus scans instead of one — guide §5's
+    # "reused AND expensive to recompute" case; measured ~3x on the
+    # whole training run at sf0.1).  Iteration i then applies its i
+    # cumulative replaces over the cached vocab rows only.
+    base = wf.select(_initial_syms(F.col("word")).alias("syms"), "freq").persist()
+    words = base
 
     merges: list[tuple] = []
     for it in range(n_merges):
@@ -126,6 +134,7 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 10,
             # truncate lineage; lazy — materializes on the next
             # iteration's pair-count action
             words = words.localCheckpoint(eager=False)
+    base.unpersist()
     return merges
 
 

@@ -72,12 +72,21 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, pct_threshold: int = 2,
     O(n²) join explosion.  Jaccard is then computed over the surviving
     (discriminative) shingle set on both sides of the comparison, which
     keeps the measure consistent."""
-    sh = doc_shingles(docs, n)
+    # stage barriers (lazy localCheckpoint): the shingle subtree
+    # (scan -> explode -> distinct) otherwise recomputes once per
+    # consumer — the df-cap side, BOTH self-join sides, and BOTH size
+    # lookups (measured: 8 copies / 16 parquet scans in the round-5
+    # plan; AQE exchange reuse recovers the shuffles but not the
+    # per-row shingle work above them).  Guide §2.4: each stage
+    # computes exactly once; at 100 TB the recomputed corpus scans
+    # dominate — the same fan-out lesson as prepare_corpus's barriers.
+    sh = doc_shingles(docs, n).localCheckpoint(eager=False)
     if max_df is not None:
         df_counts = sh.groupBy("sh").agg(F.count("*").alias("_df"))
         sh = (
             sh.join(df_counts.where(F.col("_df") <= max_df), "sh")
             .drop("_df")
+            .localCheckpoint(eager=False)
         )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -143,12 +152,13 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, n: int = 3) -> DataFrame:
     )
 
 
-def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
-    """SimHash over distinct words, up to 64 bits: bit j is the majority
-    vote of nibble j%16 (>= 8, i.e. the nibble's top bit) of the seeded
-    hash md5('<j//16>#' || word); emitted as a bit string.  Seeding one
+def _simhash_votes(docs: DataFrame, bits: int) -> DataFrame:
+    """(doc_id, v0..v{bits-1}): per-bit majority votes over distinct
+    words — bit j's vote counts nibble j%16 (>= 8, i.e. the nibble's
+    top bit) of the seeded hash md5('<j//16>#' || word).  Seeding one
     md5 per 16-bit block makes the signature width independent of a
-    single digest's 16 nibbles."""
+    single digest's 16 nibbles.  Shared by :func:`simhash` (bit-string
+    form) and :func:`_simhash_chunks` (integer-chunk form)."""
     n_hashes = (bits + 15) // 16
     w = _spread(
         docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("w")).distinct(),
@@ -173,11 +183,61 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     votes = [
         F.sum(F.when(top_bit(j), 1).otherwise(-1)).alias(f"v{j}") for j in range(bits)
     ]
-    agg = w.groupBy("doc_id").agg(*votes)
+    return w.groupBy("doc_id").agg(*votes)
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash over distinct words, up to 64 bits, emitted as a bit
+    string ('1' where the vote is positive)."""
+    agg = _simhash_votes(docs, bits)
     bitstr = F.concat(
         *[F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)]
     )
     return agg.select("doc_id", bitstr.alias("simhash"))
+
+
+def _chunk_widths(bits: int, bands: int) -> list[int]:
+    """Band-chunk widths covering ALL bits: ``bands`` chunks of
+    bits//bands plus one remainder chunk when bands does not divide
+    bits (the remainder participates in hamming, not banding — exactly
+    the coverage of the old substring banding + full-width hamming)."""
+    w = bits // bands
+    widths = [w] * bands
+    if bits % bands:
+        widths.append(bits % bands)
+    return widths
+
+
+def _simhash_chunks(docs: DataFrame, bits: int, bands: int) -> DataFrame:
+    """(doc_id, k0..k{n-1}): the simhash signature as integer chunks —
+    chunk i holds its bits MSB-first, so ``ki == conv(substring(
+    bitstring, off_i, w_i), 2, 10)`` exactly.  Integer chunks keep the
+    banding join key 8 bytes instead of a w-char string and let the
+    hamming verify run as ``bit_count(a ^ b)`` per chunk instead of
+    64 substring compares — the same values, a fraction of the
+    expression tree (codegen compile cost was a measurable slice of
+    every cold run) and of the shuffled bytes."""
+    agg = _simhash_votes(docs, bits)
+    cols, j = [], 0
+    for i, w in enumerate(_chunk_widths(bits, bands)):
+        assert w <= 62, "chunk width must fit a signed long"
+        c = F.lit(0).cast("long")
+        for p in range(w):
+            c = c + F.when(F.col(f"v{j + p}") > 0, F.lit(1 << (w - 1 - p))).otherwise(0)
+        cols.append(c.cast("long").alias(f"k{i}"))
+        j += w
+    return agg.select("doc_id", *cols)
+
+
+def _chunk_hamming(nchunks: int, acol, bcol):
+    """Exact hamming over the integer-chunk signature: popcount of the
+    per-chunk XOR, summed — identical to the char-compare sum over the
+    bit strings.  ``acol(i)`` / ``bcol(i)`` yield the i-th chunk column
+    of each side."""
+    h = F.lit(0).cast("long")
+    for i in range(nchunks):
+        h = h + F.bit_count(acol(i).bitwiseXOR(bcol(i)))
+    return h
 
 
 def simhash_pairs(docs: DataFrame, bits: int = 64, bands: int = 4,
@@ -209,20 +269,21 @@ def simhash_pairs(docs: DataFrame, bits: int = 64, bands: int = 4,
     distributed replacement.
     """
     assert max_hamming <= bands - 1, "banding only guarantees recall to bands-1"
-    sh = simhash(docs, bits)
-    w = bits // bands
+    # integer-chunk signature: same bits, 8-byte band keys and a
+    # bit_count(xor) hamming instead of 64-char strings + 64 substring
+    # compares (values identical — see _simhash_chunks)
+    sig = _simhash_chunks(docs, bits, bands)
+    nchunks = len(_chunk_widths(bits, bands))
+    kcols = [f"k{i}" for i in range(nchunks)]
     chunks = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.substring("simhash", b * w + 1, w).alias("chunk"),
-            )
+            F.struct(F.lit(b).alias("band"), F.col(f"k{b}").alias("chunk"))
             for b in range(bands)
         ]
     )
-    banded = sh.select(
-        "doc_id", "simhash", F.explode(chunks).alias("bc")
-    ).select("doc_id", "simhash", "bc.band", "bc.chunk")
+    banded = sig.select(
+        "doc_id", *kcols, F.explode(chunks).alias("bc")
+    ).select("doc_id", *kcols, "bc.band", "bc.chunk")
     if max_bucket is not None:
         # bucket-LOCAL pair generation: gather each (band, chunk) bucket
         # into one bounded array (<= max_bucket members, ~100 B each)
@@ -247,7 +308,7 @@ def simhash_pairs(docs: DataFrame, bits: int = 64, bands: int = 4,
             .drop("_n")
         )
         members = capped.groupBy("band", "chunk").agg(
-            F.collect_list(F.struct("doc_id", "simhash")).alias("ms")
+            F.collect_list(F.struct("doc_id", *kcols)).alias("ms")
         )
         # spread the bucket rows BEFORE the pair explosion: the explode +
         # hamming verify is the CPU-heavy part and would otherwise run in
@@ -257,28 +318,30 @@ def simhash_pairs(docs: DataFrame, bits: int = 64, bands: int = 4,
             .select(F.explode("ms").alias("a"), "ms")
             .select("a", F.explode("ms").alias("b"))
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("a.simhash").alias("sh_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.col("b.simhash").alias("sh_b"),
-            )
         )
         # exact hamming BEFORE the dedup: it is a pure per-row function,
         # so filter-then-distinct ≡ distinct-then-filter — but this way
-        # the 64-char compare runs in the parallel explode stage and the
+        # the popcount verify runs in the parallel explode stage and the
         # distinct exchange only carries the few surviving pairs
-        ham = _hamming(bits)
+        ham = _chunk_hamming(
+            nchunks, lambda i: F.col(f"a.k{i}"), lambda i: F.col(f"b.k{i}")
+        )
         return (
-            cand.withColumn("hamming", ham.cast("long"))
+            cand.select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.cast("long").alias("hamming"),
+            )
             .where(F.col("hamming") <= max_hamming)
-            .select("doc_a", "doc_b", "hamming")
             .distinct()
         )
     else:
         # uncapped buckets can be arbitrarily large — fall back to the
         # band equi-join rather than collect an unbounded array
         a, b = banded.alias("a"), banded.alias("b")
+        ham = _chunk_hamming(
+            nchunks, lambda i: F.col(f"a.k{i}"), lambda i: F.col(f"b.k{i}")
+        )
         cand = (
             a.join(
                 b,
@@ -288,22 +351,18 @@ def simhash_pairs(docs: DataFrame, bits: int = 64, bands: int = 4,
             )
             .select(
                 F.col("a.doc_id").alias("doc_a"),
-                F.col("a.simhash").alias("sh_a"),
                 F.col("b.doc_id").alias("doc_b"),
-                F.col("b.simhash").alias("sh_b"),
+                ham.cast("long").alias("hamming"),
             )
             .distinct()
         )
-    return (
-        cand.withColumn("hamming", _hamming(bits).cast("long"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return cand.where(F.col("hamming") <= max_hamming)
 
 
 def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
                    all_docs: DataFrame | None = None,
-                   stats: dict | None = None) -> DataFrame:
+                   stats: dict | None = None,
+                   driver_cc_max_edges: int | None = None) -> DataFrame:
     """Connected components over near-dup pairs: every doc that appears
     in a pair gets its component's MIN doc id as ``cluster_id`` — the
     canonical-representative assignment a real dedup pass needs (pair
@@ -330,16 +389,56 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
     ones; the anti-join is one narrow pass over the corpus.
 
     ``stats`` (optional dict): filled with ``{"rounds": n}`` on
-    convergence — lets tests pin the O(log diameter) claim."""
+    convergence — lets tests pin the O(log diameter) claim (``rounds``
+    is 0 when the size-gated driver union-find answered).
+
+    ``driver_cc_max_edges``: when the DISTINCT edge count is at or
+    under this cap, the component labeling is computed with a driver-
+    side union-find over one bounded ``collect()`` instead of the
+    iterative joins — the broadcast-hash-join analogue for CC, decided
+    from the RUNTIME edge count exactly like AQE's broadcast decision
+    (and like the capped-probe-with-fallback pattern of the dedup/
+    boiler ingests).  A near-dup PAIR graph is orders of magnitude
+    smaller than its corpus, so the common case is a model-sized
+    relation whose O(E α(E)) sequential union-find costs milliseconds,
+    where every distributed round costs a full job wave; graphs over
+    the cap take the unchanged pointer-jumping path, so the 100 TB
+    shape is identical.  0 disables the driver path entirely."""
+    import os as _os
+
+    if driver_cc_max_edges is None:
+        driver_cc_max_edges = int(
+            _os.environ.get("YADEX_CC_DRIVER_MAX_EDGES", str(1 << 20))
+        )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
     ).persist()
+
+    if driver_cc_max_edges > 0:
+        # bounded size probe: scans at most cap+1 rows (LocalLimit
+        # short-circuits), never the full edge set
+        probe = edges.limit(driver_cc_max_edges + 1).count()
+        if probe <= driver_cc_max_edges:
+            try:
+                out = _driver_union_find(pairs.sparkSession, edges, stats)
+                if all_docs is not None:
+                    singles = (
+                        all_docs.select("doc_id").distinct()
+                        .join(out.select("doc_id"), "doc_id", "left_anti")
+                        .withColumn("cluster_id", F.col("doc_id"))
+                    )
+                    out = out.unionByName(singles)
+                return out
+            finally:
+                edges.unpersist()
+
     labels = (
         edges.select(F.col("src").alias("doc")).distinct()
         .withColumn("label", F.col("doc"))
     ).persist()
+
     initial = labels  # unpersisted once round 1 has replaced it
     try:
         for round_no in range(1, max_iter + 1):
@@ -351,44 +450,52 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
                 .groupBy("src")
                 .agg(F.min("nl").alias("nbr_min"))
             )
-            stepped = (
-                labels.join(nbr_min, labels.doc == nbr_min.src, "left")
+            # inner join: every doc in `labels` has >= 1 neighbor by
+            # construction (edges are symmetric and labels = edge
+            # sources), so nothing is lost.  The previous label rides
+            # along as `_prev` so the convergence check below is a
+            # plain filter over the round's own output — the old shape
+            # paid a join-with-previous-labels count job per round.
+            cur = (
+                labels.join(nbr_min, labels.doc == nbr_min.src)
                 .select(
                     labels.doc.alias("doc"),
-                    F.least(
-                        labels.label, F.coalesce(F.col("nbr_min"), labels.label)
-                    ).alias("label"),
+                    F.least(labels.label, F.col("nbr_min")).alias("label"),
+                    labels.label.alias("_prev"),
                 )
             )
-            # pointer jump: label <- label(label).  Labels only ever
-            # decrease and are always node ids, so the looked-up value
-            # exists and is <= the current label.  (Distinct column
-            # names on the lookup side: a USING self-join on a column
-            # that aliases the other side's attribute is ambiguous.)
-            lut = stepped.select(
-                F.col("doc").alias("_lk"), F.col("label").alias("_jmp")
-            )
-            new = (
-                stepped.join(lut, F.col("label") == F.col("_lk"), "left")
-                .select("doc", F.coalesce("_jmp", "label").alias("label"))
-                # truncate the logical plan each round (and materialize):
-                # without it iteration i carries an i-deep lineage and
-                # Catalyst re-analysis alone grows quadratically
-                .localCheckpoint(eager=True)
-            )
-            changed = (
-                new.select("doc", F.col("label").alias("_nl"))
-                .join(labels, "doc")
-                .where(F.col("_nl") != F.col("label"))
-                .count()
-            )
+            # DOUBLE pointer jump: label <- label(label), twice.  Labels
+            # are always node ids, so the looked-up value exists and is
+            # <= the current label; the second jump contracts chains
+            # twice as fast for one extra small-table join, halving the
+            # round count — and the per-round fixed cost (job launch,
+            # checkpoint, codegen) dominated this operator.  (Distinct
+            # column names on the lookup side: a USING self-join on a
+            # column aliasing the other side's attribute is ambiguous.)
+            for _ in range(2):
+                lut = cur.select(
+                    F.col("doc").alias("_lk"), F.col("label").alias("_jmp")
+                )
+                cur = (
+                    cur.join(lut, F.col("label") == F.col("_lk"), "left")
+                    .select(
+                        "doc", F.coalesce("_jmp", "label").alias("label"), "_prev"
+                    )
+                )
+            # truncate the logical plan each round: without it iteration
+            # i carries an i-deep lineage and Catalyst re-analysis alone
+            # grows quadratically.  Lazy: the changed-count below is the
+            # materializing action — ONE job per round where the old
+            # shape paid an eager-checkpoint job PLUS a count job.
+            new = cur.localCheckpoint(eager=False)
+            changed = new.where(F.col("label") != F.col("_prev")).count()
             if initial is not None:
                 initial.unpersist()
                 initial = None
             # (each round's localCheckpoint blocks are released by
             # context GC once unreferenced — ~log(diameter) small label
             # tables per call, bounded)
-            labels = new
+            labels = new.select("doc", "label")
             if changed == 0:
                 if stats is not None:
                     stats["rounds"] = round_no
@@ -408,19 +515,47 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
         edges.unpersist()
 
 
-def _hamming(bits: int):
-    """Exact hamming as a char-compare sum over the bit strings: stays
-    in codegen and is bit-portable to the DuckDB oracle (no
-    engine-specific bit ops)."""
-    return sum(
-        (
-            F.when(
-                F.substring("sh_a", j + 1, 1) != F.substring("sh_b", j + 1, 1), 1
-            ).otherwise(0)
-            for j in range(bits)
-        ),
-        start=F.lit(0),
-    )
+def _driver_union_find(spark, edges: DataFrame, stats: dict | None) -> DataFrame:
+    """Min-label connected components of a CAPPED edge set via
+    sequential union-find (path compression + union by smaller label):
+    the size-gated fast path of :func:`dedup_clusters`.  One bounded
+    collect in, one createDataFrame out; identical fixpoint to the
+    iterative labeling (the min reachable id per component)."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id: the root is always the component's
+            # smallest member, so the final find() IS the cluster_id
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = edges.schema["src"].dataType
+    schema = StructType([
+        StructField("doc_id", id_type, False),
+        StructField("cluster_id", id_type, False),
+    ])
+    out_rows = [(n, find(n)) for n in parent]
+    if stats is not None:
+        stats["rounds"] = 0
+    return spark.createDataFrame(out_rows, schema)
 
 
 def chunk_structs(text: Column, p: int) -> Column:

@@ -2413,13 +2413,20 @@ def q_quality_score(spark, sf):
     """Apply path on top of the full training lineage: train the model,
     then score EVERY document (w·x fixed-point) — the downstream
     keep/drop signal.  Grading this pins train + featurize + score."""
-    from yadex_spark.operators.qmodel import score_quality_model, train_quality_model
+    from yadex_spark.operators.qmodel import (hashed_features,
+                                              score_quality_model,
+                                              train_quality_model)
 
     docs = _t(spark, sf, "documents")
+    # featurize ONCE for train + score (stage barrier): the hashed
+    # feature pass is the expensive corpus scan and is identical on
+    # both sides — the old shape ran it twice
+    feats = hashed_features(docs, _QM_DIM).localCheckpoint(eager=False)
     w = train_quality_model(
-        docs, _qm_labels(docs), dim=_QM_DIM, iters=_QM_ITERS, lr_shift=_QM_LR_SHIFT
+        docs, _qm_labels(docs), dim=_QM_DIM, iters=_QM_ITERS,
+        lr_shift=_QM_LR_SHIFT, feats=feats,
     )
-    return score_quality_model(docs, w, dim=_QM_DIM)
+    return score_quality_model(docs, w, dim=_QM_DIM, feats=feats)
 
 
 def _qm_oracle(final: str, dim: int = _QM_DIM, iters: int = _QM_ITERS,

@@ -106,7 +106,8 @@ def _pred_col(feats: Column, weights: list[int]) -> Column:
 
 def train_quality_model(docs: DataFrame, labels: DataFrame, dim: int = 64,
                         iters: int = 3, lr_shift: int = 10,
-                        salt: str = "qf") -> list[int]:
+                        salt: str = "qf",
+                        feats: DataFrame | None = None) -> list[int]:
     """Full-batch GD on squared loss, ``iters`` distributed passes.
 
     ``labels``: (doc_id, y) with y ∈ {0, 1}.  Update per iteration,
@@ -114,8 +115,15 @@ def train_quality_model(docs: DataFrame, labels: DataFrame, dim: int = 64,
     (gradient normalized by corpus size n, so step magnitude — and
     bigint headroom — is scale-invariant from sf0.001 to 10^9 docs).
     Returns the ``dim+1`` fixed-point weights (index ``dim`` = bias).
+
+    ``feats``: optional precomputed :func:`hashed_features` output —
+    lets a train-then-score composition featurize the corpus ONCE
+    (the features are the expensive corpus pass; training vs scoring
+    differ only in what they fold over them).
     """
-    feats = hashed_features(docs, dim, salt).join(labels, "doc_id")
+    if feats is None:
+        feats = hashed_features(docs, dim, salt)
+    feats = feats.join(labels, "doc_id")
     feats = feats.select("doc_id", "feats", F.col("y").cast("long").alias("y"))
     feats.cache()
     n = feats.count()  # materializes the cache; n is the GD normalizer
@@ -137,13 +145,17 @@ def train_quality_model(docs: DataFrame, labels: DataFrame, dim: int = 64,
 
 
 def score_quality_model(docs: DataFrame, weights: list[int],
-                        dim: int | None = None, salt: str = "qf") -> DataFrame:
+                        dim: int | None = None, salt: str = "qf",
+                        feats: DataFrame | None = None) -> DataFrame:
     """(doc_id, score_fp) — fixed-point score w·x for every doc; the
     apply path (filter ``score_fp >= threshold·FP`` downstream).
     Shuffle profile: the one (doc_id, idx) feature shuffle; scoring
-    itself is a per-row fold against the broadcast weight literal."""
+    itself is a per-row fold against the broadcast weight literal.
+    ``feats``: optional precomputed features (see
+    :func:`train_quality_model`)."""
     dim = dim if dim is not None else len(weights) - 1
-    feats = hashed_features(docs, dim, salt)
+    if feats is None:
+        feats = hashed_features(docs, dim, salt)
     return feats.select(
         "doc_id", _pred_col(F.col("feats"), weights).alias("score_fp")
     )

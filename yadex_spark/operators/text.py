@@ -668,23 +668,58 @@ def lm_bigram_score(docs: DataFrame, k_bigrams: int = 50_000) -> DataFrame:
     md5 stages (the AQE tiny-by-bytes coalescing guard)."""
     w = words_col(F.col("text"))
     g2 = shingles(w, 2)
+    # ONE corpus pass for training AND scoring: per doc, every word
+    # occurrence (t=0: unigram hash) and every 2-gram occurrence (t=1:
+    # gram hash + first-word hash) in one exploded feature frame, hashed
+    # inside the explode so raw strings never leave the row.  A doc with
+    # no 2-grams emits one (t=1, h=null) marker — exactly the null row
+    # the old explode_outer produced, so 0-bigram docs still score
+    # (0 coverage / 0 hits).  The frame is stage-barriered: the old
+    # shape ran THREE separate corpus scans (each with its own full-text
+    # spread shuffle) for unigram counts, bigram counts, and scoring.
+    hb = lambda c: _sh_bigint(c)  # noqa: E731
+    uni_structs = F.transform(
+        w, lambda x: F.struct(
+            F.lit(0).alias("t"), hb(x).alias("h"),
+            F.lit(None).cast("long").alias("h1"),
+        )
+    )
+    big_structs = F.transform(
+        g2, lambda g: F.struct(
+            F.lit(1).alias("t"), hb(g).alias("h"),
+            hb(F.split(g, " ")[0]).alias("h1"),
+        )
+    )
+    no_bigram_marker = F.array(
+        F.struct(
+            F.lit(1).alias("t"), F.lit(None).cast("long").alias("h"),
+            F.lit(None).cast("long").alias("h1"),
+        )
+    )
+    feats = (
+        spread(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.concat(
+                    uni_structs,
+                    F.when(F.size(g2) > 0, big_structs).otherwise(no_bigram_marker),
+                )
+            ).alias("f"),
+        )
+        .select("doc_id", "f.t", "f.h", "f.h1")
+        .localCheckpoint(eager=False)
+    )
     # training: corpus unigram counts ...
     uni = (
-        spread(docs.select("doc_id", "text"), "doc_id")
-        .select(F.explode(words_col(F.col("text"))).alias("wrd"))
-        .select(_sh_bigint("wrd").alias("h1"))
-        .groupBy("h1")
+        feats.where(F.col("t") == 0)
+        .groupBy(F.col("h").alias("h1"))
         .agg(F.count("*").alias("c1"))
     )
     # ... and top-k bigram counts, keyed by (gram hash, first-word hash)
     big = (
-        spread(docs.select("doc_id", g2.alias("g")), "doc_id")
-        .select(F.explode("g").alias("g"))
-        .select(
-            _sh_bigint("g").alias("h2"),
-            _sh_bigint(F.split(F.col("g"), " ")[0]).alias("h1"),
-        )
-        .groupBy("h2", "h1")
+        feats.where((F.col("t") == 1) & F.col("h").isNotNull())
+        .groupBy(F.col("h").alias("h2"), "h1")
         .agg(F.count("*").alias("c2"))
     )
     top = big.orderBy(F.desc("c2"), F.asc("h2"), F.asc("h1")).limit(k_bigrams)
@@ -694,13 +729,11 @@ def lm_bigram_score(docs: DataFrame, k_bigrams: int = 50_000) -> DataFrame:
         .groupBy("h2")
         .agg(F.max("cond_bp").alias("cond_bp"))  # unique h2 under collisions
     )
-    # scoring: explode_outer keeps 0-bigram docs (score 0 / 0 hits)
-    doc_g = (
-        spread(docs.select("doc_id", g2.alias("g")), "doc_id")
-        .select("doc_id", F.explode_outer("g").alias("g"))
-        .select("doc_id", _sh_bigint("g").alias("h2"))
-    )
-    per_doc = doc_g.join(model, "h2", "left").groupBy("doc_id").agg(
+    # scoring over the same feature frame; the model is <= k_bigrams
+    # rows BY CONSTRUCTION (the limit), so the broadcast hint is safe
+    # at any corpus size — the corpus never shuffles for this join
+    doc_g = feats.where(F.col("t") == 1).select("doc_id", F.col("h").alias("h2"))
+    per_doc = doc_g.join(F.broadcast(model), "h2", "left").groupBy("doc_id").agg(
         F.count("h2").alias("n_bigrams"),
         F.count("cond_bp").alias("n_hits"),
         F.coalesce(F.sum("cond_bp"), F.lit(0)).alias("sum_cond"),
@@ -834,7 +867,14 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
 
     tb = dsir_features(target, B).where(F.col("b").isNotNull()) \
         .groupBy("b").agg(F.count("*").alias("c_t"))
+    # stage barrier: the corpus feature stream otherwise computes TWICE
+    # (raw-corpus bucket model + per-doc scoring) — each a full corpus
+    # scan with the per-gram md5 work (guide §2.4 / the prepare_corpus
+    # fan-out lesson).  Skipped when the raw model is caller-supplied:
+    # scoring is then the only consumer.
     corpus_feats = dsir_features(corpus, B)
+    if raw_counts is None:
+        corpus_feats = corpus_feats.localCheckpoint(eager=False)
     if raw_counts is None:
         rb = corpus_feats.where(F.col("b").isNotNull()) \
             .groupBy("b").agg(F.count("*").alias("c_r"))

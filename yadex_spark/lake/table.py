@@ -421,6 +421,11 @@ class LakeTable:
         if cluster_by:
             from yadex_spark.lake.zorder import zorder_expr
 
+            # stage barrier: column_cuts runs one driver-side job per
+            # cluster column (approxQuantile / capped distinct) and the
+            # write is a third consumer — without it each re-runs the
+            # full LWW materialize of the chain (guide §2.4)
+            cur = cur.localCheckpoint(eager=False)
             z = zorder_expr(cur, list(cluster_by), bits=zorder_bits)
             cur = (
                 cur.withColumn("_zorder", z)
@@ -520,6 +525,8 @@ class LakeTable:
             # degrading one doc_id-clustered merge at a time
             from yadex_spark.lake.zorder import zorder_expr
 
+            # stage barrier for the cuts jobs + write (see compact)
+            merged = merged.localCheckpoint(eager=False)
             z = zorder_expr(merged, list(cluster_by), bits=zorder_bits)
             merged = (
                 merged.withColumn("_zorder", z)

@@ -409,6 +409,41 @@ def test_simhash_chunks_match_bitstring(spark):
             off += w
 
 
+def test_pair_arrow_paths_equal_sql(spark):
+    """The size-gated Arrow bucket verifiers (near_dup_pairs cell
+    groups, semdedup cluster groups) must emit BIT-identical rows to
+    the streaming SQL joins they gate over — including the float cos
+    values (exact int64 dot + correctly-rounded IEEE double ops on
+    both sides)."""
+    import hashlib
+
+    from yadex_spark.operators.similarity import near_dup_pairs, semdedup
+
+    vecs = []
+    for i in range(40):
+        h = hashlib.md5(f"v{i}".encode()).digest()
+        base = [((h[j % 16] * (j + 1)) % 1999 - 999) / 1000.0 for j in range(8)]
+        vecs.append((i, base))
+        # a close near-dup for every 4th vector
+        if i % 4 == 0:
+            vecs.append((100 + i, [x + 0.001 for x in base]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    fast = {(r.vec_a, r.vec_b): r.cos
+            for r in near_dup_pairs(emb, threshold=0.3, cell=250).collect()}
+    slow = {(r.vec_a, r.vec_b): r.cos
+            for r in near_dup_pairs(emb, threshold=0.3, cell=250,
+                                    arrow_cell_max=0).collect()}
+    assert fast == slow and fast  # non-empty, bit-equal cos included
+
+    fast_s = {r.vec_id: (r.cluster, r.keep)
+              for r in semdedup(emb, k=4, threshold=0.3).collect()}
+    slow_s = {r.vec_id: (r.cluster, r.keep)
+              for r in semdedup(emb, k=4, threshold=0.3,
+                                arrow_cluster_max=0).collect()}
+    assert fast_s == slow_s and 0 in {v[1] for v in fast_s.values()}
+
+
 def test_pack_sequences_shard_count_scales(spark):
     """Packing invariants hold at n_shards=64, and the default shard
     count derives from the cluster (defaultParallelism) instead of a

@@ -104,8 +104,73 @@ def _probe_cells(df: DataFrame) -> DataFrame:
     )
 
 
+def _cell_pairs_arrow(probes: DataFrame, trues: DataFrame,
+                      threshold: float, out_schema: str,
+                      block: int = 8192) -> DataFrame:
+    """Bucket-grouped pair verify in ONE vectorized Arrow stage
+    (guide §4.2: let Spark do distribution, hand whole batches to
+    numpy): per (cx, cy) group, the probe-side and true-side member
+    vectors cross the JVM→Python boundary ONCE (9+1 rows per vector —
+    NOT once per candidate pair), and the |A|x|B| integer dot-product
+    matrix runs as block-chunked ``np.matmul`` over int64 (exact, no
+    float intermediate; blocks bound task memory).
+
+    Bit-identical to the SQL verify: dot is exact int64; cos =
+    double(dot) / sqrt(double(na2) * double(nb2)) uses the same
+    correctly-rounded IEEE-754 double multiply/divide/sqrt the JVM
+    executes, so the emitted cos values hash equal.  zip_with's
+    unequal-length semantics (null product → null cos → dropped) are
+    replicated by pairing only equal-dimension vectors."""
+    import numpy as np
+    import pandas as pd
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if len(a) and len(b):
+            adim = a["q"].map(len)
+            bdim = b["q"].map(len)
+            for dim in np.intersect1d(adim.unique(), bdim.unique()):
+                asub = a[adim == dim]
+                bsub = b[bdim == dim]
+                qa = np.stack(asub["q"].to_numpy()).astype(np.int64)
+                qb = np.stack(bsub["q"].to_numpy()).astype(np.int64)
+                ia = asub["vec_id"].to_numpy()
+                ib = bsub["vec_id"].to_numpy()
+                na = asub["n2"].to_numpy().astype(np.float64)
+                nb = bsub["n2"].to_numpy().astype(np.float64)
+                for lo in range(0, len(qb), block):
+                    hi = min(lo + block, len(qb))
+                    dots = qa @ qb[lo:hi].T  # exact int64
+                    cos = dots.astype(np.float64) / np.sqrt(
+                        na[:, None] * nb[None, lo:hi]
+                    )
+                    ai, bi = np.nonzero(
+                        (ia[:, None] < ib[None, lo:hi]) & (cos >= threshold)
+                    )
+                    out_a.append(ia[ai])
+                    out_b.append(ib[lo:hi][bi])
+                    out_c.append(cos[ai, bi])
+        if not out_a:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
+            )
+        return pd.DataFrame({
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "cos": np.concatenate(out_c),
+        })
+
+    both = probes.withColumn("side", F.lit(0)).unionByName(
+        trues.withColumn("side", F.lit(1))
+    ).where(F.col("cx").isNotNull() & F.col("cy").isNotNull())
+    return both.groupBy("cx", "cy").applyInPandas(verify, out_schema)
+
+
 def near_dup_pairs(emb: DataFrame, threshold: float = 0.45, cell: int = 250,
-                   probe: bool = True) -> DataFrame:
+                   probe: bool = True,
+                   arrow_cell_max: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs, grid-bucketed candidates.
 
     Candidates are vectors sharing a grid cell (equi-join Catalyst can
@@ -118,8 +183,39 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.45, cell: int = 250,
     straddle a cell boundary (invisible to same-cell candidates) are
     found too.  Each pair still appears at most once: B keeps its single
     true cell, and B's cell occurs once in A's distinct probe set.  For
-    small-N exactness checks use :func:`near_dup_pairs_exact`."""
+    small-N exactness checks use :func:`near_dup_pairs_exact`.
+
+    ``arrow_cell_max`` (size gate, default 200k via env
+    YADEX_PAIR_ARROW_CELL_MAX, 0 disables): when a narrow runtime
+    occupancy probe shows every cell group (9 probe replicas + 1 true
+    row per vector) fits the cap, the pair verify runs as the
+    bucket-grouped Arrow/numpy stage (:func:`_cell_pairs_arrow`) —
+    vectors cross the Python boundary once per cell instead of
+    materializing one JVM row PER CANDIDATE PAIR (measured 1.84M
+    candidate rows for 2 000 vectors at sf0.1: the per-pair expression
+    stream was the whole cost).  Oversized cells fall back to the
+    streaming SQL join below, which never materializes a group — the
+    same runtime-size-gated pattern as AQE's broadcast decision and
+    dedup_clusters' driver union-find.  Both paths emit bit-identical
+    (vec_a, vec_b, cos) rows."""
     p = _with_cell(_prepared(emb), cell)
+    if arrow_cell_max is None:
+        import os as _os
+
+        arrow_cell_max = int(
+            _os.environ.get("YADEX_PAIR_ARROW_CELL_MAX", str(200_000))
+        )
+    if probe and arrow_cell_max > 0:
+        occ = (
+            p.groupBy("cx", "cy").count().agg(F.max("count")).first()[0]
+        )
+        if occ is not None and occ * 10 <= arrow_cell_max:
+            base = p.select("vec_id", "q", "n2", "cx", "cy")
+            id_t = dict(p.dtypes)["vec_id"]
+            return _cell_pairs_arrow(
+                _probe_cells(base), base, threshold,
+                f"vec_a {id_t}, vec_b {id_t}, cos double",
+            )
     a = p.select(
         F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
         F.col("n2").alias("na2"), "cx", "cy",
@@ -213,6 +309,10 @@ def cosine_lsh_pairs(emb: DataFrame, threshold: float = 0.45,
             ])
         ).alias("b"),
     ).select("vec_id", "q", "n2", "b.bi", "b.bv")
+    # stage barrier: the signature subtree (64 plane dots per vector)
+    # otherwise recomputes per consumer — the hot-bucket window and
+    # BOTH candidate join sides (guide §2.4)
+    banded = banded.localCheckpoint(eager=False)
     if max_bucket is not None:
         # window count BEFORE the join: a degenerate hot bucket is
         # dropped without ever materializing its pair explosion
@@ -313,7 +413,8 @@ def _nearest(q: Column, cents: dict[int, list[int]]) -> Column:
     )
 
 
-def train_kmeans(emb: DataFrame, k: int = 8, iters: int = 2) -> dict[int, list[int]]:
+def train_kmeans(emb: DataFrame, k: int = 8, iters: int = 2,
+                 prepared: DataFrame | None = None) -> dict[int, list[int]]:
     """Deterministic Lloyd's k-means over quantized embeddings —
     learned centroids for the IVF index (the step beyond the fixed
     2-dim grid of :func:`ann_grid_topk` and the data-blind hyperplanes
@@ -354,7 +455,11 @@ def train_kmeans(emb: DataFrame, k: int = 8, iters: int = 2) -> dict[int, list[i
     # AQE coalescing) would serialize to one task.  Cache the quantized
     # features across the iteration jobs (the MLlib-kmeans pattern —
     # every pass re-reading + re-quantizing the corpus is pure waste).
-    p = _spread(_prepared(emb), "vec_id").persist()
+    # ``prepared``: a caller-materialized _spread(_prepared(emb))
+    # frame — a train-then-search composition (ivf_topk / semdedup)
+    # then quantizes the corpus ONCE for training AND the final query.
+    own = prepared is None
+    p = _spread(_prepared(emb), "vec_id").persist() if own else prepared
     try:
         seeds = (
             p.select("vec_id", "q")
@@ -376,7 +481,8 @@ def train_kmeans(emb: DataFrame, k: int = 8, iters: int = 2) -> dict[int, list[i
             }
         return cents
     finally:
-        p.unpersist()
+        if own:
+            p.unpersist()
 
 
 def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
@@ -385,8 +491,12 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
     The returned plan is a PURE per-row projection — centroids are
     literals, so there is no join and no shuffle at any corpus size."""
     if cents is None:
-        cents = train_kmeans(emb, k, iters)
-    p = _prepared(emb)
+        # share one checkpointed prepared frame with training (the
+        # ivf_topk/semdedup pattern: quantize the corpus once)
+        p = _spread(_prepared(emb), "vec_id").localCheckpoint(eager=False)
+        cents = train_kmeans(emb, k, iters, prepared=p)
+    else:
+        p = _prepared(emb)
     m = _nearest(F.col("q"), cents)
     return p.select(
         "vec_id", m["cl"].alias("cluster"), m["d"].alias("dist")
@@ -412,10 +522,12 @@ def ivf_topk(emb: DataFrame, k: int = 8, iters: int = 2, n_queries: int = 8,
     small constant fraction of k (the gate pins the small-corpus k=8).
     A corpus vector lives in exactly one cluster, so no candidate pair
     is generated twice."""
-    cents = train_kmeans(emb, k, iters)
     # spread before assignment: same CPU-heavy tiny-by-bytes guard as
-    # training; the query side is n_queries rows and stays unspread
-    p = _spread(_prepared(emb), "vec_id")
+    # training; the query side is n_queries rows and stays unspread.
+    # Lazily checkpointed and shared with training (quantize the
+    # corpus once, not once per consumer).
+    p = _spread(_prepared(emb), "vec_id").localCheckpoint(eager=False)
+    cents = train_kmeans(emb, k, iters, prepared=p)
     corpus = p.where(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"),
         F.col("n2").alias("nb2"),
@@ -447,10 +559,57 @@ def ivf_topk(emb: DataFrame, k: int = 8, iters: int = 2, n_queries: int = 8,
     )
 
 
+def _cluster_dropped_arrow(pairable: DataFrame, threshold: float,
+                           id_type: str, block: int = 1024) -> DataFrame:
+    """Per-cluster SemDeDup drop decision as ONE vectorized Arrow
+    stage: each cluster's member vectors cross the Python boundary
+    once, and "has a smaller-id neighbor with cos >= threshold" runs
+    as block-chunked exact int64 ``np.matmul`` + IEEE-double cosine —
+    the same bit-identical arithmetic argument as
+    :func:`_cell_pairs_arrow`, upper-triangular over the id order.
+    Cross-dimension pairs contribute nothing (SQL: null cos), so each
+    equal-dimension subset is verified independently.  Output: the
+    distinct dropped vec_ids."""
+    import numpy as np
+    import pandas as pd
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        dims = pdf["q"].map(len)
+        for dim in dims.unique():
+            sub = pdf[dims == dim].sort_values("vec_id", kind="stable")
+            n = len(sub)
+            if n < 2:
+                continue
+            q = np.stack(sub["q"].to_numpy()).astype(np.int64)
+            ids = sub["vec_id"].to_numpy()
+            norms = sub["n2"].to_numpy().astype(np.float64)
+            dropped = np.zeros(n, dtype=bool)
+            for lo in range(0, n, block):
+                hi = min(lo + block, n)
+                cos = (q @ q[lo:hi].T).astype(np.float64) / np.sqrt(
+                    norms[:, None] * norms[None, lo:hi]
+                )
+                # i strictly before j in id order (ids are unique)
+                mask = np.arange(n)[:, None] < np.arange(lo, hi)[None, :]
+                dropped[lo:hi] |= ((cos >= threshold) & mask).any(axis=0)
+            out.append(ids[dropped])
+        if not out:
+            return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
+        return pd.DataFrame({"vec_id": np.concatenate(out)})
+
+    return (
+        pairable.select("cluster", "vec_id", "q", "n2")
+        .groupBy("cluster")
+        .applyInPandas(verify, f"vec_id {id_type}")
+    )
+
+
 def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
              threshold: float = 0.45,
              cents: dict[int, list[int]] | None = None,
-             max_cluster: int | None = None) -> DataFrame:
+             max_cluster: int | None = None,
+             arrow_cluster_max: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
     via embedding clusters — every vector labeled keep/drop.
 
@@ -479,16 +638,29 @@ def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
     standard LSH hot-bucket trade; None (gate/default) disables so a
     SQL oracle can mirror the query without the cap.
 
+    ``arrow_cluster_max`` (default 32k via YADEX_PAIR_ARROW_CLUSTER_MAX,
+    0 disables): when a narrow occupancy probe shows every cluster fits
+    the cap, the drop decision runs as the bucket-grouped Arrow/numpy
+    stage (:func:`_cluster_dropped_arrow`) — bit-identical, vectors
+    cross the Python boundary once per cluster instead of one JVM row
+    per candidate pair; oversized clusters fall back to the streaming
+    SQL join (the near_dup_pairs size-gate pattern).
+
     Output: (vec_id, cluster, keep) for EVERY input vector — drops are
     attributable, all-integer so the oracle matches exactly.
     """
-    if cents is None:
-        cents = train_kmeans(emb, k, iters)
     # spread before the per-row k x dim argmin: CPU-heavy tiny-by-bytes
-    # rows, same guard as training/ivf_topk
-    assigned = _spread(_prepared(emb), "vec_id").withColumn(
+    # rows, same guard as training/ivf_topk; checkpointed and shared
+    # with training (one corpus quantize pass)
+    p = _spread(_prepared(emb), "vec_id").localCheckpoint(eager=False)
+    if cents is None:
+        cents = train_kmeans(emb, k, iters, prepared=p)
+    # the assignment itself also fans out (hot-cluster guard, both
+    # pair-join sides, and the final keep/drop join-back) — barrier it
+    # so the k x dim argmin runs once per vector, not once per consumer
+    assigned = p.withColumn(
         "cluster", _nearest(F.col("q"), cents)["cl"]
-    )
+    ).localCheckpoint(eager=False)
     if max_cluster is not None:
         # per-cluster sizes via a partial hash agg on the narrow
         # cluster column, semi-joined back — the previous window form
@@ -502,6 +674,28 @@ def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
         pairable = assigned.join(small, "cluster", "left_semi")
     else:
         pairable = assigned
+    if arrow_cluster_max is None:
+        import os as _os
+
+        arrow_cluster_max = int(
+            _os.environ.get("YADEX_PAIR_ARROW_CLUSTER_MAX", str(32_768))
+        )
+    if arrow_cluster_max > 0:
+        occ = (
+            pairable.groupBy("cluster").count().agg(F.max("count")).first()
+        )[0]
+        if occ is not None and occ <= arrow_cluster_max:
+            dropped = _cluster_dropped_arrow(
+                pairable, threshold, dict(pairable.dtypes)["vec_id"]
+            ).withColumn("_drop", F.lit(1))
+            return (
+                assigned.join(dropped, "vec_id", "left")
+                .select(
+                    "vec_id", "cluster",
+                    F.when(F.col("_drop").isNull(), F.lit(1))
+                    .otherwise(F.lit(0)).alias("keep"),
+                )
+            )
     a = pairable.select(
         F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
         F.col("n2").alias("na2"), "cluster",

@@ -69,27 +69,34 @@ def hashed_features(docs: DataFrame, dim: int = 64, salt: str = "qf",
     """(doc_id, feats) — sparse hashed bag-of-words per doc: feats is
     ``array<struct<idx int, cnt bigint>>`` over ``dim`` word buckets
     plus a constant bias feature at ``idx == dim`` (so the model has
-    ``dim+1`` weights).  One corpus pass, one (doc_id, idx) shuffle."""
-    w = (
-        docs.select("doc_id", F.explode(words_col(F.col(text_col))).alias("word"))
-        .where(F.col("word") != "")
-        .select("doc_id", bucket_idx(F.col("word"), dim, salt).alias("idx"))
-        .groupBy("doc_id", "idx")
-        .agg(F.count("*").alias("cnt"))
+    ``dim+1`` weights).
+
+    Entirely per-row HOF expressions — ZERO shuffle at any corpus
+    size: bucket ids and their in-row counts are computed over the
+    row's own word array (O(distinct-buckets x words) per row, with
+    distinct-buckets <= dim+1 — bounded by the model width, not the
+    doc).  The previous explode -> groupBy(doc_id, idx) ->
+    collect_list shape paid two corpus-wide shuffles for the same
+    multiset; feature ORDER inside the array differs, which no
+    consumer observes (prediction and gradients are sums over the
+    array).  The bucket-id array lands in its own projection so the
+    per-distinct count rescans a materialized array, not the md5
+    expressions (the alias-substitution hazard text.py documents)."""
+    ids = F.transform(
+        F.filter(words_col(F.col(text_col)), lambda x: x != ""),
+        lambda x: bucket_idx(x, dim, salt),
     )
-    sparse = w.groupBy("doc_id").agg(
-        F.collect_list(F.struct("idx", "cnt")).alias("wf")
+    d = docs.select("doc_id", ids.alias("_ids"))
+    main = F.transform(
+        F.array_distinct(F.col("_ids")),
+        lambda b: F.struct(
+            b.alias("idx"),
+            F.size(F.filter(F.col("_ids"), lambda x: x == b))
+            .cast("long").alias("cnt"),
+        ),
     )
-    # left join: a doc with no words still carries its bias feature
     bias = F.array(F.struct(F.lit(dim).alias("idx"), F.lit(1).cast("long").alias("cnt")))
-    return (
-        docs.select("doc_id")
-        .join(sparse, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.concat(F.coalesce("wf", F.array()), bias).alias("feats"),
-        )
-    )
+    return d.select("doc_id", F.concat(main, bias).alias("feats"))
 
 
 def _pred_col(feats: Column, weights: list[int]) -> Column:

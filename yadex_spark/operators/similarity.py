@@ -470,11 +470,7 @@ def train_kmeans(emb: DataFrame, k: int = 8, iters: int = 2,
         cents = {i: [int(v) for v in r["q"]] for i, r in enumerate(seeds)}
         dim = len(next(iter(cents.values())))
         for _ in range(iters):
-            assigned = p.withColumn("cl", _nearest(F.col("q"), cents)["cl"])
-            rows = assigned.groupBy("cl").agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(dim)],
-            ).collect()
+            rows = _assign_sums_arrow(p, cents, dim).collect()
             cents = {
                 r["cl"]: [math.floor(r[f"s{i}"] / r["n"]) for i in range(dim)]
                 for r in rows
@@ -483,6 +479,67 @@ def train_kmeans(emb: DataFrame, k: int = 8, iters: int = 2,
     finally:
         if own:
             p.unpersist()
+
+
+def _assign_sums_arrow(p: DataFrame, cents: dict[int, list[int]],
+                       dim: int) -> DataFrame:
+    """One Lloyd's iteration's (cluster, count, per-dim sum) partials as
+    a vectorized Arrow stage + a k-row hash agg.
+
+    Bit-identical to the expression form: squared-L2 distances are
+    exact int64 (numpy int64 ops), argmin ties resolve to the FIRST
+    minimum over centroids sorted by cluster id — exactly array_min's
+    (d, cl) ordering — and the update sums are exact int64, order-
+    independent.  Why Arrow here: centroid values are PLAN LITERALS in
+    the expression form, so every iteration of every kmeans call
+    compiled a fresh k x dim codegen unit (the dominant cost of
+    training on anything but huge corpora); the Arrow stage's plan is
+    literal-free (centroids travel in the function closure), and numpy
+    does the k x dim arithmetic per batch.  Partials are one row per
+    (batch, non-empty cluster) — the shuffle moves k rows per batch,
+    never vectors (the same partial-agg contract as before)."""
+    import numpy as np
+    import pandas as pd
+
+    items = sorted(cents.items())
+    cids = [int(cid) for cid, _ in items]
+    cvecs = [[int(v) for v in c] for _, c in items]
+    schema = "cl int, n long, " + ", ".join(f"s{i} long" for i in range(dim))
+
+    def fn(it):
+        cmat = np.array(cvecs, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            d = np.empty((len(q), len(cids)), dtype=np.int64)
+            for j in range(len(cids)):
+                diff = q - cmat[j]
+                d[:, j] = (diff * diff).sum(axis=1)
+            a = np.argmin(d, axis=1)  # first min == smallest cluster id
+            out: dict[str, list] = {"cl": [], "n": []}
+            sums: list[np.ndarray] = []
+            for j in range(len(cids)):
+                m = a == j
+                cnt = int(m.sum())
+                if not cnt:
+                    continue
+                out["cl"].append(cids[j])
+                out["n"].append(cnt)
+                sums.append(q[m].sum(axis=0))
+            if not out["cl"]:
+                continue
+            smat = np.stack(sums)
+            for i in range(dim):
+                out[f"s{i}"] = smat[:, i]
+            yield pd.DataFrame(out)
+
+    return (
+        p.select("q").mapInPandas(fn, schema)
+        .groupBy("cl")
+        .agg(F.sum("n").alias("n"),
+             *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)])
+    )
 
 
 def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,

@@ -42,11 +42,16 @@ def shingles(words: Column, n: int) -> Column:
 
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, sh) — distinct word n-grams per document."""
-    return _spread(
-        docs.select("doc_id", F.explode(shingles(words_col(F.col("text")), n)).alias("sh"))
-        .distinct(),
+    """(doc_id, sh) — distinct word n-grams per document.
+
+    The dedup is doc-SCOPED, so a per-row ``array_distinct`` before
+    the explode produces the exact same rowset as the old
+    ``explode().distinct()`` with ZERO shuffle — the distinct's
+    exchange moved every exploded (doc_id, n-gram) string across the
+    network for a dedup each row can do locally (guide §2.4)."""
+    return _spread(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
+        F.explode(F.array_distinct(shingles(words_col(F.col("text")), n))).alias("sh"),
     )
 
 
@@ -160,9 +165,10 @@ def _simhash_votes(docs: DataFrame, bits: int) -> DataFrame:
     single digest's 16 nibbles.  Shared by :func:`simhash` (bit-string
     form) and :func:`_simhash_chunks` (integer-chunk form)."""
     n_hashes = (bits + 15) // 16
-    w = _spread(
-        docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("w")).distinct(),
-        "doc_id",
+    # per-row array_distinct: identical rowset to explode().distinct()
+    # (the dedup is doc-scoped), no shuffle — see doc_shingles
+    w = _spread(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(words_col(F.col("text")))).alias("w")
     )
     for k in range(n_hashes):
         # nibbles 1..15 as one 60-bit integer + nibble 16 separately:
@@ -620,10 +626,14 @@ def passage_dedup(docs: DataFrame, p: int = 6, min_words: int = 4) -> DataFrame:
     # CPU-heavy but tiny by bytes, the exact shape AQE coalescing (or a
     # single-file scan) serializes to one task — the decontaminate
     # lesson; measured 6-8x on the chunking stage at sf0.1
+    # stage barrier: the chunk explode (per-word md5 + slicing) feeds
+    # BOTH the winner aggregate and the keep join-back — without it the
+    # chunking pass runs twice (guide §2.4)
     chunks = (
         _spread(docs.select("doc_id", "text"), "doc_id")
         .select("doc_id", F.explode(chunk).alias("c"))
         .select("doc_id", "c.p0", "c.nw", F.md5("c.passage").alias("ph"), "c.passage")
+        .localCheckpoint(eager=False)
     )
     eligible = chunks.where(F.col("nw") >= min_words)
     winners = (

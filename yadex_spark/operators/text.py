@@ -120,9 +120,12 @@ def token_count(docs: DataFrame) -> DataFrame:
 def fingerprint(docs: DataFrame, n: int = 5) -> DataFrame:
     """Rolling-hash-style document fingerprint: min/max md5 over word
      5-grams + distinct-shingle count (docs shorter than n words drop)."""
+    # per-row array_distinct == explode().distinct() for a doc-scoped
+    # dedup, zero shuffle (see dedup.doc_shingles)
     sh = docs.select(
-        "doc_id", F.explode(shingles(words_col(F.col("text")), n)).alias("sh")
-    ).distinct()
+        "doc_id",
+        F.explode(F.array_distinct(shingles(words_col(F.col("text")), n))).alias("sh"),
+    )
     return sh.groupBy("doc_id").agg(
         F.min(F.md5("sh")).alias("fp_min"),
         F.max(F.md5("sh")).alias("fp_max"),
@@ -182,18 +185,28 @@ def decontaminate(corpus: DataFrame, bench: DataFrame, n: int = 8,
     present in more than that many benchmark docs (boilerplate/
     stop-grams) BEFORE the join — the same quadratic-bucket guard as
     ``ngram_jaccard_pairs``'s df-cap."""
+    # per-row array_distinct before the explode: the old
+    # explode -> hash -> distinct shuffled every (doc_id, hash) pair
+    # for a doc-scoped dedup.  Residual within-doc hash collisions
+    # (two distinct n-grams, one 60-bit hash) now survive as duplicate
+    # (doc_id, h) rows where the old distinct merged them — invisible
+    # to the countDistinct aggregates below, so results are identical.
     c = (
         spread(corpus.select("doc_id", "text"), "doc_id")
         .select(
-            "doc_id", F.explode(shingles(words_col(F.col("text")), n)).alias("sh")
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(words_col(F.col("text")), n))
+            ).alias("sh"),
         )
         .select("doc_id", _sh_bigint("sh").alias("h"))
-        .distinct()
     )
     b = (
         bench.select(
             F.col("doc_id").alias("bench_id"),
-            F.explode(shingles(words_col(F.col("text")), n)).alias("sh"),
+            F.explode(
+                F.array_distinct(shingles(words_col(F.col("text")), n))
+            ).alias("sh"),
         )
         .select("bench_id", _sh_bigint("sh").alias("h"))
         .distinct()

@@ -49,12 +49,15 @@ AUDITS = {
         ("winner join-back present", lambda p: "Join" in p),
     ],
     "quality_score": [
-        # trained weights ride as an array literal: scoring adds no join
-        # on top of the feature build, and everything is JVM-side
-        ("map-side partial aggregation on features", lambda p: "partial_" in p),
+        # r6: features are per-row HOFs (zero shuffle) and the trained
+        # weights ride as an array literal — the scoring plan is a pure
+        # projection over the scan: NO exchange, no join, JVM-side
+        ("zero-shuffle scoring plan (no exchange)",
+         lambda p: "Exchange" not in p),
         ("no Python in the training/scoring path",
          lambda p: "EvalPython" not in p),
-        ("hash aggregates present", lambda p: "HashAggregate" in p or "ObjectHashAggregate" in p),
+        ("pure projection (no aggregate needed)",
+         lambda p: "Project" in p),
     ],
     "cdc_change_feed": [
         # O(changed keys): the pre-state LWW shuffle must see only the

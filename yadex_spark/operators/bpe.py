@@ -79,7 +79,7 @@ def _initial_syms(word) -> F.Column:
 
 
 def bpe_train_merges(docs: DataFrame, n_merges: int = 10,
-                     checkpoint_every: int = 8) -> list[tuple]:
+                     checkpoint_every: int = 4) -> list[tuple]:
     """Run BPE training, returning the merge sequence as a driver-side
     list of ``(merge_rank, lhs, rhs, freq)`` tuples (1 row collected
     per iteration — model-sized, like the k-means centroids).  Stops
@@ -139,7 +139,7 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 10,
 
 
 def bpe_train(docs: DataFrame, n_merges: int = 10,
-              checkpoint_every: int = 8) -> DataFrame:
+              checkpoint_every: int = 4) -> DataFrame:
     """BPE merge-table training as a DataFrame gate:
     (merge_rank int, lhs string, rhs string, freq bigint) — one row
     per learned merge in training order."""

@@ -1558,20 +1558,47 @@ def _events_oplog(spark, sf):
 
 def _two_epoch_table(spark, sf, prefix):
     """Commit the derived oplog as TWO epochs split at half max op_seq;
-    returns (table, v_epoch_a, v_epoch_b)."""
+    returns (table, v_epoch_a, v_epoch_b).
+
+    Both epochs are staged in ONE Spark job (partitionBy the epoch tag,
+    per-epoch row counts riding as Observation metrics) and committed
+    via ``commit_delta_dir`` — the pipeline's own one-job-per-epoch
+    staging shape — instead of two separate collapse+write jobs.  The
+    committed state, batch ids, versions and file CONTENTS are
+    identical to two ``commit_delta`` calls (same prepare_delta layout;
+    the partition column lives in the path, not the files)."""
+    import os as _os
     import tempfile
 
-    from yadex_spark.lake.table import LakeTable
+    from pyspark.sql import Observation
+
+    from yadex_spark.lake.table import (DELETED_COL, SEQ_COL, LakeTable,
+                                        _ddl, prepare_delta)
     from yadex_spark.operators.collapse import collapse
 
     oplog = _events_oplog(spark, sf)
     half = oplog.agg(F.floor(F.max("op_seq") / 2)).first()[0]
     tbl = LakeTable(spark, tempfile.mkdtemp(prefix=prefix))
-    v_a = tbl.commit_delta(
-        collapse(oplog.where(F.col("op_seq") <= half)).drop("table"), batch_id="A"
+    a = prepare_delta(collapse(oplog.where(F.col("op_seq") <= half)).drop("table"))
+    b = prepare_delta(collapse(oplog.where(F.col("op_seq") > half)).drop("table"))
+    ddl = _ddl(a.drop(SEQ_COL, DELETED_COL))
+    staged = a.withColumn("_epoch", F.lit("A")).unionByName(
+        b.withColumn("_epoch", F.lit("B"))
     )
-    v_b = tbl.commit_delta(
-        collapse(oplog.where(F.col("op_seq") > half)).drop("table"), batch_id="B"
+    obs = Observation()
+    staged = staged.observe(
+        obs,
+        F.sum(F.when(F.col("_epoch") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("_epoch") == "B", 1).otherwise(0)).alias("nb"),
+    )
+    staging = _os.path.join(tbl.path, "_staging_epochs")
+    staged.write.mode("overwrite").partitionBy("_epoch").parquet(staging)
+    m = obs.get
+    v_a = tbl.commit_delta_dir(
+        _os.path.join(staging, "_epoch=A"), "A", int(m["na"]), ddl
+    )
+    v_b = tbl.commit_delta_dir(
+        _os.path.join(staging, "_epoch=B"), "B", int(m["nb"]), ddl
     )
     return tbl, v_a, v_b
 

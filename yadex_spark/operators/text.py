@@ -878,8 +878,6 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
     if B > 1 << 20:
         raise ValueError(f"n_buckets={B} exceeds the 2**20 model-size cap")
 
-    tb = dsir_features(target, B).where(F.col("b").isNotNull()) \
-        .groupBy("b").agg(F.count("*").alias("c_t"))
     # stage barrier: the corpus feature stream otherwise computes TWICE
     # (raw-corpus bucket model + per-doc scoring) — each a full corpus
     # scan with the per-gram md5 work (guide §2.4 / the prepare_corpus
@@ -888,11 +886,6 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
     corpus_feats = dsir_features(corpus, B)
     if raw_counts is None:
         corpus_feats = corpus_feats.localCheckpoint(eager=False)
-    if raw_counts is None:
-        rb = corpus_feats.where(F.col("b").isNotNull()) \
-            .groupBy("b").agg(F.count("*").alias("c_r"))
-    else:
-        rb = raw_counts.select("b", F.col("c_r").cast("long").alias("c_r"))
     # Both models are <= B rows — collect them and build the dense
     # weight table 0..B-1 on the driver with exact Python-int floor
     # division (== DuckDB HUGEINT // == the old DECIMAL(38,0) div).
@@ -903,8 +896,25 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
     from decimal import Decimal
     from pyspark.sql.types import DecimalType, LongType, StructField, StructType
 
-    ct = {r["b"]: r["c_t"] for r in tb.collect()}
-    cr = {r["b"]: r["c_r"] for r in rb.collect()}
+    tb = dsir_features(target, B).where(F.col("b").isNotNull()) \
+        .select("b", F.lit(0).alias("_s"))
+    if raw_counts is None:
+        # BOTH bucket models in one union + hash agg + ONE model-sized
+        # collect (two separate collect jobs before; each was a full
+        # feature pass + its own cold codegen unit)
+        both = tb.unionByName(
+            corpus_feats.where(F.col("b").isNotNull())
+            .select("b", F.lit(1).alias("_s"))
+        )
+        counts = both.groupBy("_s", "b").agg(F.count("*").alias("c")).collect()
+        ct = {r["b"]: r["c"] for r in counts if r["_s"] == 0}
+        cr = {r["b"]: r["c"] for r in counts if r["_s"] == 1}
+    else:
+        ct = {
+            r["b"]: r["c"]
+            for r in tb.groupBy("_s", "b").agg(F.count("*").alias("c")).collect()
+        }
+        cr = {r["b"]: int(r["c_r"]) for r in raw_counts.select("b", "c_r").collect()}
     n_t, n_r = sum(ct.values()), sum(cr.values())
     rows = [
         (
